@@ -1,0 +1,84 @@
+"""Physical-plan assertions (SURVEY.md §4) — the 100 TB posture checks.
+
+Correctness says *what* came back; these tests pin *how*: filters
+reach the parquet scan, projections prune columns, small dims
+broadcast, top-k avoids a global sort, per-group top-k is pushed
+below the shuffle.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def q(registry, spark):
+    def run(name):
+        return registry.QUERIES[name](spark, SF_DIR)
+
+    return run
+
+
+def test_scan_pruned_pushes_filters_and_prunes_columns(q):
+    plan = _plan(q("scan_pruned"))
+    assert "PushedFilters: [" in plan
+    assert "LessThan(l_quantity" in plan
+    # l_discount is in neither the projection nor the predicates:
+    assert "l_discount" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_scan_parquet_prunes_readschema(q):
+    plan = _plan(q("scan_parquet"))
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_join_inner_broadcast_uses_bhj(q):
+    plan = _plan(q("join_inner_broadcast"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_join_multiway_broadcasts_dims(q):
+    plan = _plan(q("join_multiway"))
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+
+
+def test_topk_global_is_take_ordered(q):
+    plan = _plan(q("topk_global"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_win_rank_topk_pushes_group_limit(q):
+    plan = _plan(q("win_rank_topk"))
+    assert "WindowGroupLimit" in plan
+
+
+def test_agg_grouped_is_two_phase_hash(q):
+    plan = _plan(q("agg_grouped"))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen_covers_flagship(q):
+    # AQE hides WSCG in the formatted plan pre-execution; codegen mode
+    # compiles the initial plan and reports the fused subtrees.
+    df = q("agg_grouped")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "codegen"
+    )
+    assert "WholeStageCodegen" in plan
+
+
+def test_join_interval_is_not_nested_loop(q):
+    # equi conjunct on user_id must make this a hash/SMJ join, not BNLJ
+    plan = _plan(q("join_interval"))
+    assert "NestedLoop" not in plan

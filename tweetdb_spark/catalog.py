@@ -1,0 +1,61 @@
+"""Table loading + temp-view registration.
+
+Single chokepoint for fixture access: every operator gets its inputs
+from :func:`load_tables`, never from raw ``spark.read.parquet`` —
+because ``events.ts`` is TIMESTAMP(NANOS) on disk and needs the shim
+below, and because this is where 100 TB-scale read hygiene lives
+(explicit column pruning happens downstream via Catalyst; nothing here
+collects or caches eagerly).
+
+events-ts shim
+--------------
+With ``spark.sql.legacy.parquet.nanosAsLong=true`` the column arrives
+as int64 nanoseconds.  We restore TimestampType at µs precision with
+**integer** division (``ts div 1000``): the fixture's nanos have
+sub-µs components (e.g. ...575175 ns), and DuckDB — the correctness
+oracle — truncates them when it reads the same file as TIMESTAMP(µs).
+Float division would lose precision above 2^53 ns (~1970+104 days) and
+can flip a µs boundary; ``div`` is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tweetdb_spark import schemas
+from tweetdb_spark.session import configure
+
+EVENTS_TS_SHIM = "ts div 1000"  # int64 ns -> int64 µs, exact, truncating
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table, applying the events-ts shim if needed."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr(EVENTS_TS_SHIM)))
+        # Preserve the declared column order.
+        df = df.select([f.name for f in schemas.EVENTS.fields])
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: list[str] | None = None) -> dict[str, DataFrame]:
+    """Load fixture tables and register each as a temp view.
+
+    Cheap: builds logical plans only (no IO until an action).  Also
+    defensively applies the engine's runtime confs so that an
+    externally-created SparkSession (the driver's) can read events.
+    """
+    configure(spark)
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        raise RuntimeError(
+            "spark.sql.legacy.parquet.nanosAsLong must be true to read "
+            "events.parquet (TIMESTAMP(NANOS)); the session refused the conf"
+        )
+    out: dict[str, DataFrame] = {}
+    for name in names or schemas.TABLE_NAMES:
+        df = read_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,245 @@
+"""Scalar function surface (SURVEY.md §2.7, F1–F8).
+
+All JVM-side builtins inside whole-stage codegen — the fast path the
+reference delegated to its RDBMS's expression evaluator.
+
+Cross-engine parity notes (each verified against DuckDB 1.0):
+- day-of-week: Spark ``weekday()`` is Mon=0; DuckDB ``isodow`` is
+  Mon=1 → we emit ``weekday+1`` as ``dow_iso``.
+- epoch: integer ``unix_millis`` ↔ ``epoch_ms`` (never float epoch).
+- ``ceil``/``floor`` return BIGINT in Spark vs DOUBLE in DuckDB → cast
+  in the oracle.
+- transcendentals (ln) are rounded to 4 decimals on both sides (libm
+  last-bit differences); pow uses exponent 2 (exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tweetdb_spark.registry import query
+from tweetdb_spark.schemas import PROPS_JSON
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT doc_id,
+           lower(lang) AS lang_lc,
+           upper(source) AS source_uc,
+           substring(text, 1, 10) AS text_head,
+           trim(concat(' ', lang, ' ')) AS lang_trim,
+           concat_ws('-', lang, source) AS lang_source,
+           length(text) AS text_len,
+           regexp_extract(text, '^(\\w+)', 1) AS first_word
+    FROM documents
+    """,
+)
+def fn_string(spark, t):
+    """F1: lower/upper/substring/trim/concat_ws/length/regexp_extract."""
+    return t["documents"].select(
+        "doc_id",
+        F.lower("lang").alias("lang_lc"),
+        F.upper("source").alias("source_uc"),
+        F.substring("text", 1, 10).alias("text_head"),
+        F.trim(F.concat(F.lit(" "), F.col("lang"), F.lit(" "))).alias("lang_trim"),
+        F.concat_ws("-", "lang", "source").alias("lang_source"),
+        F.length("text").alias("text_len"),
+        F.regexp_extract("text", r"^(\w+)", 1).alias("first_word"),
+    )
+
+
+@query(
+    "fn_split_explode",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+    """,
+)
+def fn_split_explode(spark, t):
+    """F2: tokenize → one row per token (the tweet-entity explode analog).
+
+    explode() is a Generate node: per-row fan-out with no shuffle;
+    downstream aggs see the exploded cardinality, so at scale the
+    token stream goes straight into a partial agg before any exchange.
+    """
+    return t["documents"].select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+
+
+@query(
+    "fn_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mo,
+           isodow(o_orderdate) AS dow_iso,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since,
+           epoch_ms(o_orderdate) AS epoch_msec
+    FROM orders
+    """,
+)
+def fn_datetime(spark, t):
+    """F3: datetime kit — extract/trunc/diff/epoch (timezone-pinned UTC)."""
+    d = F.col("o_orderdate")
+    return t["orders"].select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        (F.weekday(d) + 1).alias("dow_iso"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.datediff(d, F.lit("1995-01-01")).alias("days_since"),
+        F.unix_millis(d).alias("epoch_msec"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1) AS price_r1,
+           ABS(l_discount - 0.05) AS disc_dev,
+           CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_kbin,
+           POW(l_discount, 2) AS disc_sq,
+           ROUND(LN(l_extendedprice), 4) AS price_ln,
+           CAST(l_quantity AS INTEGER) % 7 AS qty_mod7,
+           SQRT(l_extendedprice) AS price_sqrt
+    FROM lineitem
+    """,
+)
+def fn_math(spark, t):
+    """F4: round/abs/ceil/floor/pow/ln/mod/sqrt.
+
+    pow(x,2) and sqrt are exactly rounded per IEEE-754 (safe raw);
+    ln rounded to 4 decimals (libm tie risk, SURVEY.md §5).
+    """
+    return t["lineitem"].select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_kbin"),
+        F.pow("l_discount", 2).alias("disc_sq"),
+        F.round(F.log("l_extendedprice"), 4).alias("price_ln"),
+        (F.col("l_quantity").cast("int") % 7).alias("qty_mod7"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 200000 THEN 'mid'
+                ELSE 'high' END AS price_band,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_norm,
+           CASE WHEN o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+                THEN 1 ELSE 0 END AS is_priority
+    FROM orders
+    """,
+)
+def fn_conditional(spark, t):
+    """F5: CASE WHEN bands; coalesce/nullif normalization."""
+    p = F.col("o_totalprice")
+    return t["orders"].select(
+        "o_orderkey",
+        F.when(p < 50000, "low").when(p < 200000, "mid").otherwise("high").alias(
+            "price_band"
+        ),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_norm"
+        ),
+        F.when(
+            F.col("o_orderpriority").like("1%") | F.col("o_orderpriority").like("2%"),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_priority"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           embedding[1] AS first_val,
+           embedding[1:4] AS head4,
+           list_max(embedding) AS max_val,
+           list_min(embedding) AS min_val
+    FROM embeddings
+    """,
+)
+def fn_array(spark, t):
+    """F6: array ops over the embedding column (size/element_at/slice/max).
+
+    Array columns stay columnar (Arrow) end-to-end; element access is
+    codegen'd, no Python.
+    """
+    e = F.col("embedding")
+    return t["embeddings"].select(
+        "vec_id",
+        F.size(e).alias("dim"),
+        F.element_at(e, 1).alias("first_val"),
+        F.slice(e, 1, 4).alias("head4"),
+        F.array_max(e).alias("max_val"),
+        F.array_min(e).alias("min_val"),
+    )
+
+
+@query(
+    "fn_map_json",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           count(*) AS cnt,
+           ROUND(AVG(value), 2) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def fn_map_json(spark, t):
+    """F7: JSON path extraction → bucket → aggregate.
+
+    ``get_json_object`` path-extracts without materializing the full
+    struct (vs S3's ``from_json`` which builds the typed struct).
+    """
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        t["events"]
+        .groupBy((k % 10).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.avg("value"), 2).alias("avg_value"),
+        )
+    )
+
+
+@query(
+    "fn_cast_decimal",
+    oracle="""
+    SELECT o_orderstatus,
+           SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total_dec,
+           ROUND(CAST(AVG(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+             AS avg_dec
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def fn_cast_decimal(spark, t):
+    """F8: decimal money arithmetic — exact, order-insensitive sums.
+
+    Decimal *sums* need no rounding discipline: fixed-point addition
+    is associative, so Spark and DuckDB agree bit-exactly.  AVG does:
+    Spark returns DECIMAL(16,6) (exact) while DuckDB returns DOUBLE,
+    so both sides round the mean to 2 via double.
+    """
+    dec = F.col("o_totalprice").cast("decimal(12,2)")
+    return t["orders"].groupBy("o_orderstatus").agg(
+        F.sum(dec).alias("total_dec"),
+        F.round(F.avg(dec).cast("double"), 2).alias("avg_dec"),
+    )

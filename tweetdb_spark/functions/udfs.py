@@ -1,0 +1,166 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.9, U1–U4).
+
+The deliberate demonstration of Spark's Python extension points, in
+increasing sophistication:
+  U1 row-at-a-time UDF   — the slow path (pickled per row); kept tiny
+                           and only here to cover the API surface.
+  U2 pandas scalar UDF   — Arrow-batched, vectorized (the right way).
+  U3 applyInPandas       — grouped-map UDAF over embedding vectors.
+  U4 Python UDTF         — table function (Spark 4), lateral explode.
+
+Everything else in the engine uses JVM builtins; UDFs are never in a
+hot path unless Arrow-vectorized.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf, udtf
+from pyspark.sql.types import DoubleType, StringType
+
+from tweetdb_spark.registry import query
+
+_LANG_NAMES = {
+    "en": "english",
+    "de": "german",
+    "es": "spanish",
+    "fr": "french",
+    "zh": "chinese",
+}
+
+
+@query(
+    "udf_python",
+    oracle="""
+    SELECT doc_id,
+           CASE lang WHEN 'en' THEN 'english'
+                     WHEN 'de' THEN 'german'
+                     WHEN 'es' THEN 'spanish'
+                     WHEN 'fr' THEN 'french'
+                     WHEN 'zh' THEN 'chinese'
+                     ELSE 'other' END AS lang_name
+    FROM documents
+    """,
+)
+def udf_python(spark, t):
+    """U1: row-at-a-time scalar UDF (crude lang normalization)."""
+
+    @udf(StringType())
+    def lang_name(lang):
+        return _LANG_NAMES.get(lang, "other")
+
+    return t["documents"].select("doc_id", lang_name("lang").alias("lang_name"))
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS discounted
+    FROM lineitem
+    """,
+)
+def udf_pandas_scalar(spark, t):
+    """U2: vectorized Arrow UDF (Series→Series), ~10-100× over U1.
+
+    Same arithmetic as P1 — per-row IEEE ops are order-independent, so
+    the raw doubles hash-match the SQL oracle.
+    """
+
+    @pandas_udf(DoubleType())
+    def discounted(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1.0 - disc)
+
+    return t["lineitem"].select(
+        "l_orderkey",
+        "l_linenumber",
+        discounted("l_extendedprice", "l_discount").alias("discounted"),
+    )
+
+
+@query(
+    "udaf_pandas_agg",
+    oracle="""
+    WITH norms AS (
+      SELECT label,
+             sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+      FROM embeddings
+    )
+    SELECT label,
+           count(*) AS n,
+           MAX(norm) AS max_norm,
+           ROUND(AVG(norm), 2) AS mean_norm
+    FROM norms GROUP BY label
+    """,
+)
+def udaf_pandas_agg(spark, t):
+    """U3: grouped-map pandas UDAF — per-label embedding-norm stats.
+
+    ``applyInPandas`` streams each label group as an Arrow batch into
+    Python.  Norms are accumulated left-to-right in float64 to mirror
+    DuckDB's ``list_sum`` order exactly (max is then bit-identical;
+    the mean is rounded).  Partitioning is by label (10 groups, evenly
+    sized) — at 100 TB use a salted two-level agg if a group outgrows
+    one executor's memory.
+    """
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        norms = []
+        for emb in pdf["embedding"]:
+            acc = 0.0
+            for x in emb:
+                xd = float(x)
+                acc += xd * xd
+            norms.append(acc**0.5)
+        s = pd.Series(norms)
+        return pd.DataFrame(
+            {
+                "label": [pdf["label"].iloc[0]],
+                "n": [len(s)],
+                "max_norm": [s.max()],
+                "mean_norm": [round(sum(norms) / len(norms), 2)],
+            }
+        )
+
+    return (
+        t["embeddings"]
+        .groupBy("label")
+        .applyInPandas(stats, "label int, n long, max_norm double, mean_norm double")
+    )
+
+
+@udtf(returnType="token: string, pos: int")
+class TokenizeUDTF:
+    """U4 table function: text → (token, 1-based position) rows."""
+
+    def eval(self, text: str):
+        if text is None:
+            return
+        for i, tok in enumerate(text.split(" ")):
+            yield tok, i + 1
+
+
+@query(
+    "udtf_python",
+    oracle="""
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS token,
+           CAST(unnest(range(1, len(string_split(text, ' ')) + 1)) AS INTEGER) AS pos
+    FROM documents
+    """,
+)
+def udtf_python(spark, t):
+    """U4: Python UDTF (Spark 4) in a LATERAL join — positional tokenize.
+
+    The DuckDB oracle zips two parallel unnests (DuckDB's equivalent
+    of WITH ORDINALITY).
+    """
+    spark.udtf.register("tokenize_udtf", TokenizeUDTF)
+    return spark.sql(
+        """
+        SELECT d.doc_id, tk.token, tk.pos
+        FROM documents d, LATERAL tokenize_udtf(d.text) tk
+        """
+    )

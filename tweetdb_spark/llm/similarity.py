@@ -1,0 +1,161 @@
+"""Similarity-search / embedding operators (SURVEY.md §2.10, L4, L5, L9).
+
+All vector math runs JVM-side via higher-order functions
+(``zip_with`` + ``aggregate``) — no Python in the loop, stays inside
+Tungsten.  float32 elements are widened to float64 *before* any
+arithmetic, and sums accumulate left-to-right, mirroring DuckDB's
+``list_sum`` order so raw doubles agree bit-for-bit.
+
+Scale story: brute-force cosine is O(N·d) per query — fine to ~10⁷
+vectors per executor-core batch.  Past that, bucket with LSH (random
+hyperplane signs → band equi-join, same shape as dedup L3) or an IVF
+coarse quantizer (k-means cells → probe nearest cells only); both
+reduce the scan to a candidate slice and re-rank exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tweetdb_spark.registry import query
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in float64, left-to-right (matches DuckDB list_sum)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
+    return df.withColumn("norm", l2_norm(F.col(vec)))
+
+
+# DuckDB-side mirror of dot(): identical association order.
+_DUCK_NORM = (
+    "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+_DUCK_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+
+
+@query(
+    "sim_topk_cosine",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           ROUND({_DUCK_DOT.format(a='e.embedding', b='q.qv')}
+                 / ({_DUCK_NORM.format(v='e.embedding')}
+                    * {_DUCK_NORM.format(v='q.qv')}), 6) AS cos_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def sim_topk_cosine(spark, t):
+    """L4: top-10 cosine neighbors of the query vector (vec_id=0).
+
+    The query vector joins in as a broadcast single-row frame (a query
+    *parameter*, not data).  Scoring is a narrow map over embeddings —
+    no shuffle; TakeOrderedAndProject merges per-partition top-10s.
+    """
+    e = t["embeddings"]
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                dot(F.col("embedding"), F.col("qv"))
+                / (l2_norm(F.col("embedding")) * l2_norm(F.col("qv"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(10)
+
+
+@query(
+    "sim_pairwise_label",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, label, embedding,
+             {_DUCK_NORM.format(v='embedding')} AS norm
+      FROM embeddings
+    )
+    SELECT CAST(a.label = b.label AS INTEGER) AS same_label,
+           count(*) AS n_pairs,
+           ROUND(AVG({_DUCK_DOT.format(a='a.embedding', b='b.embedding')}
+                     / (a.norm * b.norm)), 3) AS mean_cos
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    GROUP BY 1
+    """,
+)
+def sim_pairwise_label(spark, t):
+    """L5: mean intra- vs inter-label cosine (embedding-quality report).
+
+    All-pairs (N²/2) — acceptable ≤ ~10⁴ vectors; at scale, sample per
+    label first (stratified) — the estimate converges fast and the
+    shape is unchanged.  Norms precomputed once per vector, not per
+    pair.
+    """
+    n = with_norm(t["embeddings"]).select("vec_id", "label", "embedding", "norm")
+    a, b = n.alias("a"), n.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .groupBy(
+            (F.col("a.label") == F.col("b.label")).cast("int").alias("same_label")
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg(cos), 3).alias("mean_cos"),
+        )
+    )
+
+
+@query(
+    "multimodal_norm",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, {_DUCK_NORM.format(v='embedding')} AS norm
+      FROM embeddings
+    )
+    SELECT CAST(FLOOR(norm) AS INTEGER) AS norm_bucket,
+           count(*) AS n_vecs,
+           ROUND(AVG(norm), 4) AS avg_norm,
+           MIN(norm) AS min_norm,
+           MAX(norm) AS max_norm
+    FROM n GROUP BY 1
+    """,
+)
+def multimodal_norm(spark, t):
+    """L9: L2-norm distribution of the embedding column, bucketed.
+
+    The normalize-and-report primitive for any vector/multimodal
+    column; min/max are order-insensitive exact, avg rounded.
+    """
+    n = with_norm(t["embeddings"])
+    return (
+        n.groupBy(F.floor("norm").cast("int").alias("norm_bucket"))
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+            F.min("norm").alias("min_norm"),
+            F.max("norm").alias("max_norm"),
+        )
+    )

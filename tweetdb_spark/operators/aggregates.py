@@ -1,0 +1,234 @@
+"""Aggregation operators (SURVEY.md §2.4, A1–A9).
+
+Spark-first notes (100 TB posture):
+- Every ``groupBy().agg()`` here compiles to a two-phase
+  HashAggregate (partial map-side combine → shuffle on group keys →
+  final), so the shuffle carries pre-aggregated rows, not raw data.
+- Low-cardinality group keys (returnflag×linestatus = 6 groups,
+  event_type = 5) make the final stage trivially small at any scale;
+  AQE coalesces the post-shuffle partitions.
+- Float discipline: every float aggregate is rounded identically in
+  the Spark plan and the DuckDB oracle (summation order differs
+  between engines in the low bits; see SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tweetdb_spark.registry import query
+
+
+@query(
+    "agg_global",
+    oracle="""
+    SELECT count(*) AS cnt,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(AVG(l_extendedprice), 2) AS avg_price,
+           MIN(l_shipdate) AS min_ship,
+           MAX(l_shipdate) AS max_ship
+    FROM lineitem
+    """,
+)
+def agg_global(spark, t):
+    """A1: global count/sum/avg/min/max over lineitem (no group keys).
+
+    Single partial-agg per partition → 1-row final: no data shuffle at
+    any scale (each task emits one accumulator row).
+    """
+    return t["lineitem"].agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+@query(
+    "agg_grouped",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 2) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 2) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_grouped(spark, t):
+    """A2 (flagship): TPC-H Q1 pricing-summary shape.
+
+    Scan with pushed predicate → partial hash agg (7 aggregates) →
+    shuffle on 2 keys (6 groups) → final hash agg.  The shuffle moves
+    ≤ 6 rows × partitions regardless of input scale.
+    """
+    li = t["lineitem"].where(F.col("l_shipdate") <= F.lit("2000-12-01"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT event_type, count(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY event_type
+    HAVING count(*) > 2000
+    """,
+)
+def agg_having(spark, t):
+    """A3: grouped counts with a post-aggregation filter (HAVING).
+
+    The hashtag-count analog of the reference pipeline's entity
+    tables.  Catalyst keeps the filter above the final agg (it
+    references the aggregate), which is the only correct placement.
+    """
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .where(F.col("cnt") > 2000)
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_distinct(spark, t):
+    """A4: exact count(DISTINCT) per group.
+
+    Spark plans this as Expand + two-phase agg: dedup on
+    (event_type, user_id) first, then count — the distinct shuffle is
+    on the compound key, so skewed event_types still spread across
+    partitions.
+    """
+    return t["events"].groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query("agg_approx_distinct", oracle=None)  # approx ≠ hash-comparable → rows-only
+def agg_approx_distinct(spark, t):
+    """A5: HLL++ approximate distinct users per event_type.
+
+    The 100 TB path for A4: one pass, no Expand, fixed-size sketch per
+    group mergeable map-side (rsd=0.02).  Deterministic for a given
+    input but not equal to the exact count → rows-only check; A4 is
+    the hash-checked exact twin.
+    """
+    return t["events"].groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT n_name, c_mktsegment,
+           count(*) AS n_cust,
+           ROUND(SUM(c_acctbal), 2) AS sum_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, c_mktsegment)
+    """,
+)
+def agg_rollup(spark, t):
+    """A6: ROLLUP (nation, mktsegment) — hierarchical subtotals.
+
+    Broadcast the 25-row nation dim; rollup expands each input row to
+    its 3 grouping levels before the (partial) agg.
+    """
+    joined = t["customer"].join(
+        F.broadcast(t["nation"]),
+        t["customer"].c_nationkey == t["nation"].n_nationkey,
+    )
+    return joined.rollup("n_name", "c_mktsegment").agg(
+        F.count("*").alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs, ROUND(AVG(n_chars), 2) AS avg_chars
+    FROM documents
+    GROUP BY CUBE (lang, source)
+    """,
+)
+def agg_cube(spark, t):
+    """A7: CUBE (lang, source) over documents — all 4 grouping combos."""
+    return t["documents"].cube("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs
+    FROM documents
+    GROUP BY GROUPING SETS ((lang), (source), ())
+    """,
+)
+def agg_grouping_sets(spark, t):
+    """A8: explicit GROUPING SETS via the SQL entry point (E2)."""
+    return spark.sql(
+        """
+        SELECT lang, source, count(*) AS n_docs
+        FROM documents
+        GROUP BY GROUPING SETS ((lang), (source), ())
+        """
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT user_id,
+           list_sort(array_agg(event_type)) AS types,
+           count(*) AS n
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_collect(spark, t):
+    """A9: per-user sorted array of event_types.
+
+    ``array_sort(collect_list(...))`` — the sort makes the array a
+    deterministic *value* (collect_list order is partition-dependent;
+    never hash-compare an unsorted collect).
+    """
+    return t["events"].groupBy("user_id").agg(
+        F.array_sort(F.collect_list("event_type")).alias("types"),
+        F.count("*").alias("n"),
+    )

@@ -1,0 +1,302 @@
+"""Join operators (SURVEY.md §2.3, J1–J10; J11 streaming lives in
+``tweetdb_spark/streaming``).
+
+Join strategy notes (100 TB posture):
+- Dimension tables (region 5, nation 25, supplier ≤1k) are broadcast
+  explicitly — no shuffle of the fact side, ever.
+- Fact-fact joins (orders⋈lineitem) shuffle on the join key; AQE
+  handles skew splitting at runtime.
+- The non-equi joins (J8 theta, J10 interval) are the two shapes
+  Spark's planner can only do as BNLJ; J10 documents the bucketed
+  rewrite that makes it an equi-join at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tweetdb_spark.registry import query
+
+
+@query(
+    "join_inner_broadcast",
+    oracle="""
+    SELECT n_nationkey, n_name, r_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def join_inner_broadcast(spark, t):
+    """J1: small-dim inner join, broadcast hash join (no shuffle)."""
+    return (
+        t["nation"]
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name", "r_name")
+    )
+
+
+@query(
+    "join_multiway",
+    oracle="""
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def join_multiway(spark, t):
+    """J2: 6-table TPC-H Q5 shape (incl. a 2-key equi join).
+
+    The two big tables shuffle once each on the orderkey equi-join;
+    supplier/nation/region broadcast, so the region filter prunes via
+    the broadcast side (runtime bloom/DPP at scale).
+    """
+    c, o, li = t["customer"], t["orders"], t["lineitem"]
+    s, n, r = t["supplier"], t["nation"], t["region"]
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .where(
+            (r.r_name == "ASIA")
+            & (o.o_orderdate >= F.lit("1996-01-01"))
+            & (o.o_orderdate < F.lit("1998-01-01"))
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+)
+def join_left_outer(spark, t):
+    """J3: customers with/without orders; null-filled right side."""
+    c, o = t["customer"], t["orders"]
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT c_custkey, c_nationkey, s_suppkey, s_nationkey
+    FROM customer FULL JOIN supplier ON c_nationkey = s_nationkey
+    """,
+)
+def join_full_outer(spark, t):
+    """J4: full outer join on nationkey (many-to-many, both-null-filled)."""
+    c, s = t["customer"], t["supplier"]
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full").select(
+        "c_custkey", "c_nationkey", "s_suppkey", "s_nationkey"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def join_semi(spark, t):
+    """J5: EXISTS — left semi join; right side only probes, never emits."""
+    c = t["customer"]
+    urgent = t["orders"].where(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(
+        urgent, c.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark, t):
+    """J6: NOT EXISTS — left anti join."""
+    c, o = t["customer"], t["orders"]
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, p.prio
+    FROM region
+    CROSS JOIN (SELECT DISTINCT o_orderpriority AS prio FROM orders) p
+    """,
+)
+def join_cross(spark, t):
+    """J7: small cross join (5 regions × 5 priorities)."""
+    prios = t["orders"].select(
+        F.col("o_orderpriority").alias("prio")
+    ).distinct()
+    return t["region"].select("r_name").crossJoin(prios)
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
+           a.p_retailprice AS price_a, b.p_retailprice AS price_b
+    FROM part a JOIN part b
+      ON a.p_brand <> b.p_brand
+     AND b.p_retailprice BETWEEN a.p_retailprice - 0.05 AND a.p_retailprice + 0.05
+     AND a.p_partkey < b.p_partkey
+    WHERE a.p_size = 1
+    """,
+)
+def join_theta_range(spark, t):
+    """J8: non-equi (theta) self-join — cross-brand parts priced within ±0.05.
+
+    Planner picks BroadcastNestedLoopJoin (one side filtered small).
+    At 100 TB the rewrite is J10's trick: bucket p_retailprice into
+    0.05-wide bins, equi-join on bin±1, re-filter exactly.
+    """
+    p = t["part"]
+    a = p.where(F.col("p_size") == 1).alias("a")
+    b = p.alias("b")
+    cond = (
+        (F.col("a.p_brand") != F.col("b.p_brand"))
+        & F.col("b.p_retailprice").between(
+            F.col("a.p_retailprice") - 0.05, F.col("a.p_retailprice") + 0.05
+        )
+        & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+    )
+    return a.join(b, cond).select(
+        F.col("a.p_partkey").alias("pk_a"),
+        F.col("b.p_partkey").alias("pk_b"),
+        F.col("a.p_retailprice").alias("price_a"),
+        F.col("b.p_retailprice").alias("price_b"),
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), signups AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'
+    ), ranked AS (
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+             s.ts AS signup_ts,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY s.ts DESC, s.event_id DESC
+             ) AS rn
+      FROM purchases p JOIN signups s
+        ON p.user_id = s.user_id AND s.ts <= p.ts
+    )
+    SELECT purchase_id, user_id, purchase_ts, signup_ts
+    FROM ranked WHERE rn = 1
+    """,
+)
+def join_asof(spark, t):
+    """J9: as-of join — latest signup at-or-before each purchase, per user.
+
+    Spark has no native ASOF; this is the range-join + per-left-row
+    argmax pattern (row_number over signup ts DESC, tie-broken by
+    event_id DESC to be fully deterministic — same semantics as
+    DuckDB's ASOF JOIN with an explicit tie-break).  At scale the
+    range join should be bucketed by time (see join_interval);
+    partitioning is per purchase event so the window never skews.
+    """
+    e = t["events"]
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    s = e.where(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user_id"),
+        F.col("ts").alias("signup_ts"),
+        F.col("event_id").alias("s_event_id"),
+    )
+    joined = p.join(
+        s,
+        (p.user_id == s.s_user_id) & (s.signup_ts <= p.purchase_ts),
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("signup_ts").desc(), F.col("s_event_id").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("purchase_id", "user_id", "purchase_ts", "signup_ts")
+    )
+
+
+@query(
+    "join_interval",
+    oracle="""
+    SELECT s.event_id AS signup_id, s.user_id,
+           e.event_id AS event_id, e.event_type, e.ts
+    FROM events s JOIN events e
+      ON s.user_id = e.user_id
+     AND e.ts > s.ts
+     AND e.ts <= s.ts + INTERVAL 1 HOUR
+    WHERE s.event_type = 'signup' AND e.event_type <> 'signup'
+    """,
+)
+def join_interval(spark, t):
+    """J10: interval join — activity within 1h after each signup.
+
+    Expressed as an equi-join on user_id plus a range conjunct, so the
+    planner uses a hash join on user_id with the time predicate as a
+    post-join filter — NOT a BNLJ.  At 100 TB, additionally bucket
+    both sides by hour so the range conjunct prunes buckets
+    (bucket equi-join on (user_id, hour±1), exact re-filter after).
+    """
+    e = t["events"]
+    s = e.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("s_ts"),
+    )
+    x = e.where(F.col("event_type") != "signup").select(
+        F.col("user_id").alias("x_user_id"),
+        F.col("event_id").alias("event_id"),
+        "event_type",
+        "ts",
+    )
+    return (
+        s.join(
+            x,
+            (s.user_id == x.x_user_id)
+            & (x.ts > s.s_ts)
+            & (x.ts <= s.s_ts + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("signup_id", "user_id", "event_id", "event_type", "ts")
+    )

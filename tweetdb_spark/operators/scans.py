@@ -1,0 +1,113 @@
+"""Scan / source / sink operators (SURVEY.md §2.1, S1–S3, S6).
+
+S4/S5 (streaming source, foreachBatch JDBC-style sink) live in
+``tweetdb_spark/streaming``.
+
+100 TB posture: these operators are where read efficiency is decided —
+column pruning and predicate pushdown must reach the parquet reader
+(verified in tests/test_plans.py via ``explain``: ``ReadSchema`` shows
+only the projected columns, ``PushedFilters`` the predicates).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from tweetdb_spark.registry import query
+from tweetdb_spark.schemas import PROPS_JSON
+
+
+@query(
+    "scan_parquet",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
+    FROM lineitem
+    """,
+)
+def scan_parquet(spark, t):
+    """S1: projection-only scan.
+
+    Catalyst's ColumnPruning pushes the 4-column projection into the
+    parquet reader — at 100 TB this is the difference between reading
+    4 columns' row-groups and all 11.
+    """
+    return t["lineitem"].select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+
+
+@query(
+    "scan_pruned",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+    FROM lineitem
+    WHERE l_quantity < 5 AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+    """,
+)
+def scan_pruned(spark, t):
+    """S2: scan with pushed filter + column pruning.
+
+    Both predicates are parquet-pushable (min/max row-group skipping);
+    note l_quantity is *not* in the output — pruning and pushdown are
+    independent.
+    """
+    return (
+        t["lineitem"]
+        .where((F.col("l_quantity") < 5) & (F.col("l_shipdate") >= F.lit("2000-01-01")))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+    )
+
+
+@query(
+    "ingest_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           event_type
+    FROM events
+    """,
+)
+def ingest_json(spark, t):
+    """S3: parse the nested-JSON payload column into typed fields.
+
+    The tweet-object ingestion analog: the reference pipeline parsed
+    each streamed JSON document into typed relational columns; here
+    ``from_json`` with an explicit StructType does it vectorized
+    JVM-side (never schema inference in the hot path).
+    """
+    return t["events"].select(
+        "event_id",
+        F.from_json(F.col("props"), PROPS_JSON).getField("k").alias("k"),
+        "event_type",
+    )
+
+
+@query(
+    "sink_parquet_part",
+    oracle="""
+    SELECT event_type, count(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def sink_parquet_part(spark, t):
+    """S6: partitioned parquet write + read-back verification.
+
+    Writes events partitioned by event_type (the layout a 100 TB store
+    wants: partition pruning on the dominant filter column), reads the
+    written copy back, and aggregates it — the oracle aggregates the
+    *original*, so the hash check proves the round-trip is lossless.
+    """
+    out = os.path.join(tempfile.gettempdir(), "tweetdb_spark_sink_parquet_part")
+    (
+        t["events"]
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -1,0 +1,122 @@
+"""Sort / limit / top-k / set operators (SURVEY.md §2.6, O1–O5).
+
+Note: the driver's value-hash is order-insensitive, so sorts are
+verified by row *content*; the ordering itself is exercised in
+tests/test_operators.py where order matters (head() assertions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tweetdb_spark.registry import query
+
+
+@query(
+    "sort_multicol",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, s_acctbal
+    FROM supplier
+    ORDER BY s_nationkey ASC NULLS FIRST, s_acctbal DESC, s_suppkey
+    """,
+)
+def sort_multicol(spark, t):
+    """O1: global multi-column sort, mixed direction, NULLS FIRST.
+
+    Range-partitioned sample-based global sort (Exchange rangepartitioning)
+    — Spark samples keys to build balanced ranges, so the sort scales
+    without a single-reducer bottleneck.
+    """
+    return (
+        t["supplier"]
+        .select("s_suppkey", "s_nationkey", "s_acctbal")
+        .orderBy(
+            F.col("s_nationkey").asc_nulls_first(),
+            F.col("s_acctbal").desc(),
+            F.col("s_suppkey"),
+        )
+    )
+
+
+@query(
+    "topk_global",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def topk_global(spark, t):
+    """O2: global top-10 by totalprice.
+
+    Plans as TakeOrderedAndProject: per-partition top-10 → driver
+    merge of k×partitions rows — no global sort, no full shuffle.
+    Tie-break on o_orderkey makes the result set deterministic.
+    """
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "setop_union",
+    oracle="""
+    SELECT nationkey, name, kind FROM (
+      SELECT c_nationkey AS nationkey, c_name AS name, 'cust' AS kind FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nationkey, s_name AS name, 'supp' AS kind FROM supplier
+    )
+    """,
+)
+def setop_union(spark, t):
+    """O3: UNION ALL of name/key pairs from two tables (schema-aligned)."""
+    c = t["customer"].select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_name").alias("name"),
+        F.lit("cust").alias("kind"),
+    )
+    s = t["supplier"].select(
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_name").alias("name"),
+        F.lit("supp").alias("kind"),
+    )
+    return c.unionAll(s)
+
+
+@query(
+    "setop_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def setop_intersect(spark, t):
+    """O4: nations having both customers and suppliers (INTERSECT = distinct)."""
+    c = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+    s = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "setop_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def setop_except(spark, t):
+    """O5: nation keys with customers but no suppliers.
+
+    ``subtract`` is Spark's EXCEPT DISTINCT — any key present on the
+    supplier side is removed entirely (``exceptAll`` would be bag
+    difference, which is NOT the SQL EXCEPT semantics).
+    """
+    c = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+    s = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)

@@ -1,0 +1,170 @@
+"""Window-function operators (SURVEY.md §2.5, W1–W5).
+
+Determinism rule: every window ORDER BY carries a unique tie-break
+column (orderkey / partkey / event_id) — rank functions and frames
+are only hash-comparable when the ordering is total.
+
+Scale note: a window shuffles on its partition key once; all five
+operators here partition on a high-cardinality key (custkey, brand,
+user_id) or pre-aggregate to tiny cardinality first (W4), so no
+single partition concentrates the data.  W1 additionally benefits
+from InferWindowGroupLimit (Spark ≥3.5): the rank filter is pushed
+below the shuffle as a per-partition top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tweetdb_spark.registry import query
+
+
+@query(
+    "win_rank_topk",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def win_rank_topk(spark, t):
+    """W1: top-3 orders per customer by totalprice (per-group top-k)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t["orders"]
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "win_rank_dense",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           percent_rank() OVER w AS prnk,
+           ntile(4) OVER w AS quartile
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+    """,
+)
+def win_rank_dense(spark, t):
+    """W2: rank / dense_rank / percent_rank / ntile over a total order.
+
+    percent_rank is (rank-1)/(n-1): an exact small-integer division,
+    bit-identical across engines — no rounding needed.
+    """
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return t["part"].select(
+        "p_partkey",
+        "p_brand",
+        "p_retailprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1000000.0 AS gap_sec,
+           epoch_us(lead(ts) OVER w) - epoch_us(ts) AS lead_gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark, t):
+    """W3: per-user inter-event gap (sessionization precursor).
+
+    Gap computed on integer epoch-µs then divided by 1e6 — exact in
+    both engines (no float timestamp arithmetic).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return t["events"].select(
+        "event_id",
+        "user_id",
+        "ts",
+        ((us - F.unix_micros(F.lag("ts").over(w))) / 1000000.0).alias("gap_sec"),
+        (F.unix_micros(F.lead("ts").over(w)) - us).alias("lead_gap_us"),
+    )
+
+
+@query(
+    "win_frame_rows",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS d,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT d, revenue,
+           ROUND(AVG(revenue) OVER (
+             ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+           ), 2) AS ma7
+    FROM daily
+    """,
+)
+def win_frame_rows(spark, t):
+    """W4: 7-row centered moving average of daily revenue.
+
+    Pre-aggregates to one row per day (tiny) before the unpartitioned
+    window — the global window only ever sees ~365×years rows, so the
+    single-partition window stage is safe at any input scale.
+    """
+    daily = (
+        t["orders"]
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    return daily.select(
+        "d", "revenue", F.round(F.avg("revenue").over(w), 2).alias("ma7")
+    )
+
+
+@query(
+    "win_frame_range",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS cum_spend
+    FROM orders
+    """,
+)
+def win_frame_range(spark, t):
+    """W5: running cumulative spend per customer (unbounded-preceding frame)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("cum_spend"),
+    )

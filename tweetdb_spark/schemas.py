@@ -1,0 +1,139 @@
+"""Explicit StructTypes for every fixture table (FIXTURES.md).
+
+The engine never schema-infers in the hot path: parquet is
+self-describing, but these declarations are the contract we validate
+against (tests/test_catalog.py) and the schema used for streaming
+sources (``spark.readStream.schema(...)`` requires one up front).
+
+``EVENTS_RAW`` is the on-disk shape under
+``spark.sql.legacy.parquet.nanosAsLong=true`` (ts: long nanoseconds);
+``EVENTS`` is the post-shim shape the rest of the engine sees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def _s(*fields: tuple) -> StructType:
+    return StructType([StructField(n, t, True) for n, t in fields])
+
+
+REGION = _s(("r_regionkey", IntegerType()), ("r_name", StringType()))
+
+NATION = _s(
+    ("n_nationkey", IntegerType()),
+    ("n_name", StringType()),
+    ("n_regionkey", IntegerType()),
+)
+
+CUSTOMER = _s(
+    ("c_custkey", LongType()),
+    ("c_name", StringType()),
+    ("c_nationkey", IntegerType()),
+    ("c_acctbal", DoubleType()),
+    ("c_mktsegment", StringType()),
+)
+
+SUPPLIER = _s(
+    ("s_suppkey", LongType()),
+    ("s_name", StringType()),
+    ("s_nationkey", IntegerType()),
+    ("s_acctbal", DoubleType()),
+)
+
+PART = _s(
+    ("p_partkey", LongType()),
+    ("p_name", StringType()),
+    ("p_brand", StringType()),
+    ("p_type", StringType()),
+    ("p_size", IntegerType()),
+    ("p_retailprice", DoubleType()),
+)
+
+ORDERS = _s(
+    ("o_orderkey", LongType()),
+    ("o_custkey", LongType()),
+    ("o_orderstatus", StringType()),
+    ("o_totalprice", DoubleType()),
+    ("o_orderdate", TimestampType()),
+    ("o_orderpriority", StringType()),
+)
+
+LINEITEM = _s(
+    ("l_orderkey", LongType()),
+    ("l_partkey", LongType()),
+    ("l_suppkey", LongType()),
+    ("l_linenumber", IntegerType()),
+    ("l_quantity", DoubleType()),
+    ("l_extendedprice", DoubleType()),
+    ("l_discount", DoubleType()),
+    ("l_tax", DoubleType()),
+    ("l_returnflag", StringType()),
+    ("l_linestatus", StringType()),
+    ("l_shipdate", TimestampType()),
+)
+
+# On-disk events under nanosAsLong: ts is raw int64 nanoseconds.
+EVENTS_RAW = _s(
+    ("event_id", LongType()),
+    ("ts", LongType()),
+    ("user_id", LongType()),
+    ("event_type", StringType()),
+    ("value", DoubleType()),
+    ("props", StringType()),
+)
+
+# Post-shim events: ts restored to TimestampType at µs precision
+# (matches what DuckDB reads natively from the same file).
+EVENTS = _s(
+    ("event_id", LongType()),
+    ("ts", TimestampType()),
+    ("user_id", LongType()),
+    ("event_type", StringType()),
+    ("value", DoubleType()),
+    ("props", StringType()),
+)
+
+DOCUMENTS = _s(
+    ("doc_id", LongType()),
+    ("text", StringType()),
+    ("lang", StringType()),
+    ("source", StringType()),
+    ("n_chars", LongType()),
+)
+
+EMBEDDINGS = _s(
+    ("vec_id", LongType()),
+    ("embedding", ArrayType(FloatType())),
+    ("label", IntegerType()),
+)
+
+# The typed shape of events.props (the nested-JSON ingestion analog of
+# the reference's tweet payload parsing).
+PROPS_JSON = StructType([StructField("k", IntegerType(), True)])
+
+TABLE_SCHEMAS: dict[str, StructType] = {
+    "region": REGION,
+    "nation": NATION,
+    "customer": CUSTOMER,
+    "supplier": SUPPLIER,
+    "part": PART,
+    "orders": ORDERS,
+    "lineitem": LINEITEM,
+    "events": EVENTS,
+    "documents": DOCUMENTS,
+    "embeddings": EMBEDDINGS,
+}
+
+TABLE_NAMES = list(TABLE_SCHEMAS)

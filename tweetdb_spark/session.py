@@ -1,0 +1,81 @@
+"""SparkSession factory.
+
+Every load-bearing config in one place:
+
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — the fixture
+  ``events.parquet`` stores ``ts`` as TIMESTAMP(NANOS), which Spark
+  4.1.2 refuses to read by default ([PARQUET_TYPE_ILLEGAL]).  With
+  this flag it reads as LongType nanoseconds; catalog.py restores a
+  proper TimestampType via integer division (see catalog.EVENTS_TS_SHIM).
+- ``spark.sql.session.timeZone=UTC`` — determinism: the DuckDB oracle
+  reads parquet timestamps as naive-UTC; Spark must render the same
+  wall-clock values.
+- AQE on (runtime coalesce / skew-join handling — the 100 TB posture;
+  at fixture scale it mostly coalesces tiny shuffle partitions).
+- Arrow on for any pandas interchange (vectorized UDF path).
+
+These SQL confs are runtime-settable, so :func:`configure` is also
+applied defensively to externally-provided sessions (the driver
+passes its own SparkSession to ``entry``/``queries`` callables).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs (safe to apply to a live session).
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # Read parquet TIMESTAMP(isAdjustedToUTC=false) as TimestampType,
+    # not TIMESTAMP_NTZ — keeps one timestamp type across the engine
+    # (and unix_millis etc. require it).  Session tz is pinned UTC, so
+    # wall-clock values equal the DuckDB oracle's naive reads.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Partial aggregation pushdown below distinct aggregates etc.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # A conf may be locked down in exotic deployments; every
+            # consumer that hard-requires one (catalog.py for the nanos
+            # flag) fails loudly on its own.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "tweetdb-spark", cpus: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    local[N] for tests/bench; on a real cluster the same confs apply
+    unchanged — AQE sizes shuffles at runtime, so the static
+    ``shuffle.partitions`` is only an upper bound for the initial plan.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("TWEETDB_SHUFFLE_PARTITIONS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("TWEETDB_DRIVER_MEM", "8g"))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return configure(builder.getOrCreate())
