@@ -1,0 +1,66 @@
+"""Benchmark runner — BASELINE.md headline workload.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing = wall clock of the *second* execution per query (warm plans,
+matching BASELINE.md's methodology); value = sum of warm per-query
+times.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# name -> registry key (shapes per BASELINE.md "Config")
+HEADLINE = {
+    "q1_pricing_summary": "agg_grouped",
+    "q3_top_orders": "q3_top_orders",
+    "q5_region_revenue": "join_multiway",
+    "window_rank": "win_rank_topk",
+    "events_sessionize": "events_sessionize",
+    "events_tumbling": "events_tumbling",
+    "json_extract": "fn_map_json",
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import tweetdb_spark
+    from tweetdb_spark.session import get_spark
+
+    tweetdb_spark.load_all_operators()
+    spark = get_spark("tweetdb-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    times: dict[str, float] = {}
+    for name, key in HEADLINE.items():
+        fn = tweetdb_spark.QUERIES[key]
+        fn(spark, sf_dir).collect()  # warm-up run (plan + JIT)
+        t0 = time.time()
+        fn(spark, sf_dir).collect()
+        times[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_warm_total",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -197,7 +197,7 @@ def fn_array(spark, t):
     oracle="""
     SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
            count(*) AS cnt,
-           ROUND(AVG(value), 2) AS avg_value
+           FLOOR(ROUND(SUM(value), 2) * 100 / count(*)) / 100 AS avg_value
     FROM events
     GROUP BY 1
     """,
@@ -214,7 +214,8 @@ def fn_map_json(spark, t):
         .groupBy((k % 10).alias("k_bucket"))
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.avg("value"), 2).alias("avg_value"),
+            # rounded-sum/count: see events_sliding note (stable mean)
+            (F.floor(F.round(F.sum("value"), 2) * 100 / F.count("*")) / 100).alias("avg_value"),
         )
     )
 

@@ -1,0 +1,165 @@
+"""Events-stream batch analytics (batch analogs of §2.8 streaming ops
++ BASELINE.md headline shapes).
+
+These are the hash-checked batch twins of the Structured Streaming
+operators: identical grouping/window semantics executed on the bounded
+events table, so the streaming results (rows-only checks) have an
+oracle-verified reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tweetdb_spark.registry import query
+
+
+@query(
+    "events_tumbling",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+           event_type,
+           count(*) AS cnt,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling(spark, t):
+    """Hourly tumbling counts per event_type (ST1's batch twin).
+
+    Batch uses date_trunc; the streaming version uses
+    window(ts, '1 hour') — same bucket boundaries (UTC-aligned).
+    """
+    return (
+        t["events"]
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "events_sliding",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL 15 MINUTE, ts)
+                - (k * INTERVAL 15 MINUTE) AS TIMESTAMP) AS window_start,
+           count(*) AS cnt,
+           FLOOR(ROUND(SUM(value), 2) * 100 / count(*)) / 100 AS avg_value
+    FROM events, (SELECT unnest(range(0, 4)) AS k)
+    GROUP BY 1
+    """,
+)
+def events_sliding(spark, t):
+    """1h windows sliding every 15min (ST2's batch twin).
+
+    Spark's window(ts, '1h', '15m') assigns each row to the 4
+    overlapping windows whose starts are the row's 15-min bucket minus
+    k×15min (k∈0..3); the oracle reproduces exactly that fan-out.
+    """
+    w = F.window("ts", "1 hour", "15 minutes")
+    return (
+        t["events"]
+        .groupBy(w.alias("w"))
+        .agg(
+            F.count("*").alias("cnt"),
+            # mean via rounded-sum/count: identical operands on both
+            # engines → bit-identical (raw avg of ~2-decimal values
+            # lands on half-cent boundaries where fp noise flips the
+            # rounding; see SURVEY.md §5 discipline)
+            (F.floor(F.round(F.sum("value"), 2) * 100 / F.count("*")) / 100).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "cnt", "avg_value")
+    )
+
+
+@query(
+    "events_session_batch",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                  > 1800 * 1000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_no
+      FROM gaps
+    )
+    SELECT user_id, session_no,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+           count(*) AS n_events
+    FROM sess
+    GROUP BY user_id, session_no
+    """,
+)
+def events_session_batch(spark, t):
+    """Sessionization, 30-min inactivity gap (ST3's batch twin).
+
+    The classic lag→gap-flag→cumulative-sum pattern: one shuffle on
+    user_id shared by both windows and the final group-by (Catalyst
+    reuses the partitioning — a single Exchange in the plan).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        t["events"]
+        .withColumn("new_session", new_session)
+        .withColumn("session_no", F.sum("new_session").over(cum))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    SELECT user_id, count(*) AS n_purchases, ROUND(SUM(value), 2) AS total_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    ORDER BY total_value DESC, user_id
+    LIMIT 20
+    """,
+)
+def events_sessionize(spark, t):
+    """BASELINE.md headline: per-user purchase rollup, top-20 by value.
+
+    (The name matches the baseline's metric key; the *real* session
+    operator is events_session_batch above.)
+    """
+    return (
+        t["events"]
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy(F.col("total_value").desc(), F.col("user_id"))
+        .limit(20)
+    )

@@ -84,6 +84,50 @@ def join_multiway(spark, t):
 
 
 @query(
+    "q3_top_orders",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_orders(spark, t):
+    """TPC-H Q3 shape (BASELINE.md headline): 3-way join → agg → top-10.
+
+    customer is only a filter here — it participates as a broadcast
+    semi-ish probe; orders⋈lineitem is the single fact shuffle.  The
+    final top-10 is TakeOrderedAndProject over the aggregated rows.
+    """
+    c, o, li = t["customer"], t["orders"], t["lineitem"]
+    return (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .where(
+            (o.o_orderdate < F.lit("1998-03-15"))
+            & (li.l_shipdate > F.lit("1996-03-15"))
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
     "join_left_outer",
     oracle="""
     SELECT c_custkey, c_name, o_orderkey, o_totalprice

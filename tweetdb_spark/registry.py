@@ -64,6 +64,7 @@ def load_all_operators() -> None:
         aggregates,
         windows,
         sortsetops,
+        events,
     )
     from tweetdb_spark.functions import scalar, udfs  # noqa: F401
     from tweetdb_spark.llm import dedup, similarity, text  # noqa: F401
