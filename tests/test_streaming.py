@@ -1,0 +1,123 @@
+"""Streaming-operator semantics at sf0.001 (SURVEY.md §5.4).
+
+Strategy: every streaming op is checked against its deterministic
+batch twin — micro-batched execution through a real state store must
+converge to the same answer the batch plan computes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def q(registry, spark):
+    def run(name):
+        return registry.QUERIES[name](spark, SF_DIR)
+
+    return run
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_stream_tumbling_equals_batch_twin(q):
+    stream = _rows(q("stream_tumbling"), "hour_start", "event_type", "cnt", "sum_value")
+    batch = _rows(q("events_tumbling"), "hour_start", "event_type", "cnt", "sum_value")
+    assert stream == batch
+
+
+def test_stream_sliding_equals_batch_twin(q):
+    stream = _rows(q("stream_sliding"), "window_start", "cnt", "avg_value")
+    batch = _rows(q("events_sliding"), "window_start", "cnt", "avg_value")
+    assert stream == batch
+
+
+def test_stream_dedup_removes_doubled_feed(q, tables):
+    n_events = tables["events"].count()
+    assert q("stream_dedup").count() == n_events
+
+
+def test_stream_stateful_equals_batch_totals(q, tables):
+    from pyspark.sql import functions as F
+
+    batch = _rows(
+        tables["events"]
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ),
+        "user_id",
+        "n_purchases",
+    )
+    stream = _rows(q("stream_stateful"), "user_id", "n_purchases")
+    assert stream == batch
+
+
+def test_stream_session_subset_of_batch_sessions(q):
+    """Append mode emits only watermark-closed sessions → the emitted
+    set must be a subset of the batch sessionization, keyed by
+    (user, start), and non-trivially large."""
+    stream = {
+        (r.user_id, r.session_start): r.n_events
+        for r in q("stream_session").collect()
+    }
+    batch = {
+        (r.user_id, r.session_start): r.n_events
+        for r in q("events_session_batch").collect()
+    }
+    assert stream, "no sessions emitted"
+    missing = {k: v for k, v in stream.items() if batch.get(k) != v}
+    assert not missing, f"sessions disagree with batch twin: {list(missing)[:5]}"
+    # watermark holds back only the tail of the stream
+    assert len(stream) > 0.8 * len(batch)
+
+
+def test_stream_watermark_late_emits_closed_windows(q, tables):
+    from pyspark.sql import functions as F
+
+    out = {r.hour_start: r.cnt for r in q("stream_watermark_late").collect()}
+    batch = {
+        r.hour_start: r.cnt
+        for r in tables["events"]
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert out, "no windows emitted"
+    for k, v in out.items():
+        assert batch[k] == v, f"window {k}: stream={v} batch={batch[k]}"
+
+
+def test_sink_jdbc_batch_idempotent_totals(q, tables):
+    from pyspark.sql import functions as F
+
+    sunk = _rows(q("sink_jdbc_batch"), "user_id", "n_purchases", "total_value")
+    batch = _rows(
+        tables["events"]
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ),
+        "user_id",
+        "n_purchases",
+        "total_value",
+    )
+    assert sunk == batch
+
+
+def test_join_stream_static_matches_batch_join(q, tables):
+    from pyspark.sql import functions as F
+
+    cust = tables["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    batch_n = tables["events"].join(cust, "user_id").count()
+    assert q("join_stream_static").count() == batch_n

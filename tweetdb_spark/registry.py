@@ -28,12 +28,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
+class Tables(dict):
+    """Fixture-table dict + the sf_dir it was loaded from (used by
+    streaming operators to stage file sources)."""
+
+    sf_dir: str = ""
+
+
 def query(name: str, oracle: Optional[str] = None):
     """Register an operator under ``name`` with an optional DuckDB oracle."""
 
     def deco(fn: Callable[[SparkSession, dict], DataFrame]):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            t = load_tables(spark, sf_dir)
+            t = Tables(load_tables(spark, sf_dir))
+            t.sf_dir = sf_dir
             return fn(spark, t)
 
         wrapped.__name__ = f"query_{name}"

@@ -1,5 +1,268 @@
-"""Structured Streaming operators (SURVEY.md §2.8) — filled in Phase 4.
+"""Structured Streaming operators (SURVEY.md §2.8: S4, S5, ST1–ST6, J11).
 
-Placeholder module so the registry import graph is stable; streaming
-keys register here as they are implemented.
+Every key here is a *driver-runnable* streaming query: the callable
+stages the stream, runs it to completion with an availableNow trigger,
+and returns the materialized result DataFrame.  All are rows-only
+checks by nature (the driver omits them from the oracle hash); each
+stateful shape has an oracle-hash-checked batch twin in
+``tweetdb_spark/operators/events.py``:
+
+  stream_tumbling  ↔ events_tumbling
+  stream_sliding   ↔ events_sliding
+  stream_session   ↔ events_session_batch
+  stream_dedup     ↔ (exact input row count — dedup of a doubled feed)
+
+Scale posture: state stores are keyed by (window×type / user);
+watermarks bound state size — without one, a 100 TB stream's window
+state grows forever.  Every stateful query below carries a watermark
+except the complete-mode demos, which are bounded-cardinality by
+construction (hour×5 types).
 """
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from tweetdb_spark.registry import query
+from tweetdb_spark.streaming.sources import read_events_stream, run_to_memory
+
+
+@query("source_stream_file", oracle=None)
+def source_stream_file(spark, t):
+    """S4: streaming file source, explicit schema, filter pass-through.
+
+    The ingestion analog of the reference's stream listener: unbounded
+    JSON in, typed rows out, predicate applied per micro-batch.
+    """
+    s = read_events_stream(spark, _sf_dir(t))
+    out = s.where(F.col("event_type") != "error").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    return run_to_memory(out, "append")
+
+
+@query("stream_tumbling", oracle=None)
+def stream_tumbling(spark, t):
+    """ST1: 1-hour tumbling counts per event_type (complete mode).
+
+    Same buckets as the hash-checked events_tumbling batch twin.
+    """
+    s = read_events_stream(spark, _sf_dir(t))
+    agg = (
+        s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "cnt", "sum_value")
+    )
+    return run_to_memory(agg, "complete")
+
+
+@query("stream_sliding", oracle=None)
+def stream_sliding(spark, t):
+    """ST2: 1h windows sliding 15min, avg(value) (complete mode)."""
+    s = read_events_stream(spark, _sf_dir(t))
+    agg = (
+        s.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("cnt"),
+            (F.floor(F.round(F.sum("value"), 2) * 100 / F.count("*")) / 100).alias(
+                "avg_value"
+            ),
+        )
+        .select(F.col("w.start").alias("window_start"), "cnt", "avg_value")
+    )
+    return run_to_memory(agg, "complete")
+
+
+@query("stream_session", oracle=None)
+def stream_session(spark, t):
+    """ST3: session windows (30-min gap) per user, watermarked append.
+
+    ``session_window`` merges adjacent state as rows arrive; append
+    mode emits a session only once the watermark passes its close —
+    exactly the semantics the batch twin (events_session_batch)
+    reproduces with lag/cumsum.
+    """
+    s = read_events_stream(spark, _sf_dir(t), files_per_trigger=5)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_to_memory(agg, "append")
+
+
+@query("stream_watermark_late", oracle=None)
+def stream_watermark_late(spark, t):
+    """ST4: 10-min watermark, tumbling hourly counts, append mode.
+
+    Append emits a window only after the watermark passes window.end +
+    delay; state for closed windows is evicted — the mechanism that
+    keeps streaming state bounded at 100 TB/day rates.
+    """
+    s = read_events_stream(spark, _sf_dir(t), files_per_trigger=5)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("hour_start"), "cnt")
+    )
+    return run_to_memory(agg, "append")
+
+
+@query("stream_dedup", oracle=None)
+def stream_dedup(spark, t):
+    """ST5: exactly-once id dedup under watermark (tweet-id analog).
+
+    The input is the staged feed UNIONed with itself (every event
+    twice); ``dropDuplicatesWithinWatermark`` must emit each event_id
+    exactly once while evicting ids older than the watermark.
+    """
+    s = read_events_stream(spark, _sf_dir(t), files_per_trigger=5)
+    doubled = s.unionAll(s)
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+    return run_to_memory(deduped, "append")
+
+
+@query("stream_stateful", oracle=None)
+def stream_stateful(spark, t):
+    """ST6: arbitrary stateful op — running per-user purchase totals.
+
+    ``applyInPandasWithState``: per-user state (count, total) persists
+    across micro-batches in the state store; each batch emits the
+    updated totals.  The returned table keeps the *latest* row per
+    user (max count), equal to the batch groupBy on the same feed.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    s = read_events_stream(spark, _sf_dir(t), files_per_trigger=5)
+    purchases = s.where(F.col("event_type") == "purchase").select(
+        "user_id", "value"
+    )
+
+    def update_totals(key, pdfs, state: GroupState):
+        cnt, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((cnt, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_purchases": [cnt], "total_value": [round(total, 2)]}
+        )
+
+    out = purchases.groupBy("user_id").applyInPandasWithState(
+        update_totals,
+        outputStructType="user_id long, n_purchases long, total_value double",
+        stateStructType="cnt long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    mem = run_to_memory(out, "update")
+    # latest state per user = the row with the max running count
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_purchases").desc())
+    return (
+        mem.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_purchases", "total_value")
+    )
+
+
+@query("join_stream_static", oracle=None)
+def join_stream_static(spark, t):
+    """J11: streaming events ⋈ static customer dim.
+
+    The static side is planned per micro-batch (broadcast at this
+    size); stream-static joins need no watermark — no state is kept.
+    """
+    s = read_events_stream(spark, _sf_dir(t))
+    cust = t["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    joined = s.join(cust, "user_id").select(
+        "event_id", "user_id", "event_type", "c_name", "c_mktsegment"
+    )
+    return run_to_memory(joined, "append")
+
+
+@query("sink_jdbc_batch", oracle=None)
+def sink_jdbc_batch(spark, t):
+    """S5: foreachBatch idempotent upsert sink (BASELINE.json's
+    "Structured Streaming + JDBC sink" shape).
+
+    Each micro-batch upserts into a SQLite table keyed by event_id
+    (INSERT OR REPLACE), with the batchId recorded — re-delivered
+    batches overwrite to the same state, giving exactly-once results
+    over at-least-once delivery.  SQLite stands in for the JDBC
+    target (no JDBC driver jar in this environment); on a cluster the
+    body becomes ``batch_df.write.jdbc(...)`` with the same
+    batchId-idempotence contract, executed JVM-side.
+    """
+    import sqlite3
+    import tempfile
+    import uuid as _uuid
+
+    db_path = f"{tempfile.gettempdir()}/tweetdb_sink_{_uuid.uuid4().hex[:8]}.db"
+    init = sqlite3.connect(db_path)
+    init.execute(
+        "CREATE TABLE IF NOT EXISTS purchase_totals ("
+        "user_id INTEGER PRIMARY KEY, n INTEGER, total REAL, batch_id INTEGER)"
+    )
+    init.commit()
+    init.close()
+
+    s = read_events_stream(spark, _sf_dir(t), files_per_trigger=10)
+    per_user = (
+        s.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+    def upsert(batch_df, batch_id: int) -> None:
+        rows = [
+            (int(r.user_id), int(r.n), float(r.total), int(batch_id))
+            for r in batch_df.collect()
+        ]
+        con = sqlite3.connect(db_path)
+        con.executemany(
+            "INSERT OR REPLACE INTO purchase_totals VALUES (?, ?, ?, ?)", rows
+        )
+        con.commit()
+        con.close()
+
+    import os as _os
+
+    ckpt = f"{tempfile.gettempdir()}/tweetdb_ckpt_sink_{_uuid.uuid4().hex[:8]}"
+    q = (
+        per_user.writeStream.outputMode("complete")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    con = sqlite3.connect(db_path)
+    data = con.execute(
+        "SELECT user_id, n, total FROM purchase_totals ORDER BY user_id"
+    ).fetchall()
+    con.close()
+    return spark.createDataFrame(
+        data, "user_id long, n_purchases long, total_value double"
+    )
+
+
+def _sf_dir(t) -> str:
+    """sf_dir travels on the Tables object (registry.Tables.sf_dir)."""
+    return t.sf_dir

@@ -1,0 +1,125 @@
+"""Streaming source staging + query runner (SURVEY.md §2.8 scaffolding).
+
+The reference consumed an unbounded JSON stream (tweet objects over a
+long-poll socket).  With no network in this environment, the same
+Structured Streaming semantics are exercised through the file source:
+the bounded ``events`` table is exported once per scale factor as a
+sequence of time-ordered JSON files (one per day), and every streaming
+operator reads them with an explicit schema through
+``spark.readStream`` — identical engine machinery (micro-batches,
+watermarks, state stores, sinks) to a Kafka/socket source.
+
+Timestamp fidelity: ``ts`` is exported as **unix microseconds
+(int64)**, not a formatted string — JSON timestamp formats truncate
+to millis, which would break parity with the batch twins.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from tweetdb_spark.catalog import load_tables
+
+# JSON wire schema (ts_us = unix microseconds, exact).
+EVENTS_WIRE = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stage_events_json(spark: SparkSession, sf_dir: str) -> str:
+    """Export events as day-partitioned JSON files (idempotent per sf)."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), f"tweetdb_stream_src_{tag}")
+    marker = os.path.join(out, "_STAGED")
+    if os.path.exists(marker):
+        return out
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    wire = events.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        F.dayofmonth("ts").alias("day"),
+    )
+    days = [r.day for r in wire.select("day").distinct().orderBy("day").collect()]
+    os.makedirs(out, exist_ok=True)
+    # One file per day, written in time order (file source picks them
+    # up in modification-time order → watermarks advance realistically).
+    for d in days:
+        pdf = (
+            wire.where(F.col("day") == d)
+            .drop("day")
+            .orderBy("ts_us")
+            .toPandas()
+        )
+        pdf.to_json(
+            os.path.join(out, f"day-{d:02d}.json"), orient="records", lines=True
+        )
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, files_per_trigger: int | None = None
+) -> DataFrame:
+    """``readStream`` over the staged files, restoring the engine's
+    canonical events shape (ts: TimestampType µs)."""
+    src = stage_events_json(spark, sf_dir)
+    reader = spark.readStream.schema(EVENTS_WIRE)
+    if files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(files_per_trigger))
+    raw = reader.json(src)
+    return raw.select(
+        "event_id",
+        F.timestamp_micros("ts_us").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def run_to_memory(
+    df: DataFrame, mode: str = "append", files_per_trigger_hint: str = ""
+) -> DataFrame:
+    """Run a streaming frame to completion into an in-memory table.
+
+    availableNow trigger: processes everything currently staged in
+    micro-batches, then stops — deterministic, and the same code path
+    (IncrementalExecution, state store, watermark advancement) as a
+    live continuous stream.  Returns the sink table as a DataFrame.
+    """
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"tweetdb_ckpt_{name}")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
