@@ -1,0 +1,115 @@
+"""LLM-pipeline operator semantics (dedup tiers, ANN, multimodal).
+
+The oracle hash checks prove value parity; these assert the
+*relationships between* operators — the approximate tiers must agree
+with their exact ground-truth twins.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def q(registry, spark):
+    def run(name):
+        return registry.QUERIES[name](spark, SF_DIR)
+
+    return run
+
+
+def test_ann_ivf_recall_vs_exact(q):
+    """IVF probing 8/16 cells must recover most of the exact top-10."""
+    exact = [r.vec_id for r in q("sim_topk_cosine").collect()]
+    approx = {r.vec_id for r in q("sim_ann_ivf").collect()}
+    recall = len(set(exact) & approx) / len(exact)
+    assert recall >= 0.5, f"recall@10 = {recall} (exact={exact}, approx={approx})"
+
+
+def test_minhash_lsh_finds_jaccard_pairs(q):
+    """LSH candidates (dist ≤ 0.2 ⇒ jaccard ≥ 0.8) must cover most
+    exact token-set Jaccard ≥ 0.8 pairs."""
+    exact = {(r.doc_a, r.doc_b) for r in q("dedup_near_jaccard").collect()}
+    lsh = {(r.doc_a, r.doc_b) for r in q("dedup_minhash_lsh").collect()}
+    assert exact, "ground-truth pair set is empty"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.8, f"LSH recall = {recall}"
+
+
+def test_simhash_pairs_are_discriminative(q, spark, tables):
+    """SimHash must *rank* similarity: candidate pairs more similar
+    than random pairs, and hamming-0 pairs nearly identical.
+
+    (On this fixture the 31-word shared vocabulary makes even random
+    pairs overlap heavily — tf-cosine ≈ 0.62 — so the invariant is the
+    ordering, not an absolute threshold.)
+    """
+    import random
+    from collections import Counter
+
+    rows = q("dedup_simhash").collect()
+    assert rows, "no simhash candidates"
+    docs = {
+        r.doc_id: Counter(r.text.split(" "))
+        for r in tables["documents"].select("doc_id", "text").collect()
+    }
+
+    def tf_cosine(a, b):
+        ca, cb = docs[a], docs[b]
+        num = sum(ca[k] * cb[k] for k in ca)
+        da = sum(v * v for v in ca.values()) ** 0.5
+        db = sum(v * v for v in cb.values()) ** 0.5
+        return num / (da * db)
+
+    cand = [tf_cosine(r.doc_a, r.doc_b) for r in rows]
+    mean_cand = sum(cand) / len(cand)
+
+    random.seed(7)
+    ids = list(docs)
+    rnd = [tf_cosine(*random.sample(ids, 2)) for _ in range(300)]
+    mean_rnd = sum(rnd) / len(rnd)
+    assert mean_cand > mean_rnd + 0.05, (mean_cand, mean_rnd)
+
+    exact = [tf_cosine(r.doc_a, r.doc_b) for r in rows if r.hamming == 0]
+    if exact:
+        assert sum(exact) / len(exact) >= 0.9
+
+
+def test_fingerprint_unique_on_unique_corpus(q, tables):
+    """The fixture corpus has no exact dupes → every fingerprint group
+    should have n_docs == 1 (and as many groups as docs)."""
+    rows = q("doc_fingerprint").collect()
+    assert sum(r.n_docs for r in rows) == tables["documents"].count()
+
+
+def test_multimodal_decode_stub_invariants(q):
+    rows = q("multimodal_decode_stub").collect()
+    for r in rows:
+        assert 16 <= r.width < 80 and 16 <= r.height < 80
+        assert 1 <= r.n_frames <= 7
+        assert r.resized_w == r.width // 2
+        assert list(r.frame_idx) == list(range(0, r.n_frames, 2))
+
+
+def test_multimodal_decode_real_path_is_gated():
+    """decode_image must fail loudly (NotImplementedError), never
+    silently fall back, when codec libs are absent."""
+    from tweetdb_spark.llm.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_quality_ratios_bounded(q):
+    for r in q("text_quality").collect():
+        assert 0 < r.distinct_ratio <= 1
+        assert 0 <= r.stopword_ratio <= 1
+        assert r.quality_pass in (0, 1)
+
+
+def test_lang_id_deterministic_and_total(q, tables):
+    rows = q("text_lang_id").collect()
+    assert len(rows) == tables["documents"].count()
+    assert all(r.pred_lang in {"en", "de", "es", "fr", "zh", "und"} for r in rows)

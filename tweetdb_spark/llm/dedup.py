@@ -89,6 +89,232 @@ def dedup_near_jaccard(spark, t):
     )
 
 
+# Portable token hash (same construction as text.doc_fingerprint;
+# pure integer arithmetic so Spark SQL and DuckDB agree exactly).
+_SPARK_TOKHASH = (
+    "aggregate(sequence(1, length(token)), cast(0 as bigint), "
+    "(acc, i) -> acc + ascii(substring(token, i, 1)) * ((i * 2654435761L) % 2147483647)) "
+    "% 2147483647"
+)
+_DUCK_TOKHASH = (
+    "list_sum(list_transform(range(1, length(token) + 1), "
+    "i -> ascii(substr(token, CAST(i AS INT), 1)) * ((i * 2654435761) % 2147483647))) "
+    "% 2147483647"
+)
+
+_HAMMING_MAX = 3
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY doc_id, token
+    ), th AS (
+      SELECT token, {_DUCK_TOKHASH} AS h FROM (SELECT DISTINCT token FROM tf)
+    ), bits AS (
+      SELECT tf.doc_id, b.b,
+             SUM(CASE WHEN (th.h >> CAST(b.b AS INT)) & 1 = 1
+                      THEN tf.cnt ELSE -tf.cnt END) AS s
+      FROM tf JOIN th USING (token)
+      CROSS JOIN (SELECT unnest(range(0, 32)) AS b) b
+      GROUP BY tf.doc_id, b.b
+    ), fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, simhash, j, (simhash >> CAST(8 * j AS INT)) & 255 AS band
+      FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS j) bands
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM banded a JOIN banded b
+        ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= {_HAMMING_MAX}
+    """,
+)
+def dedup_simhash(spark, t):
+    """SimHash near-dup detection with banded LSH candidate generation.
+
+    32-bit SimHash: each token's portable hash votes ±tf on every bit;
+    the fingerprint is the sign vector.  Candidates come from an
+    *equi-join on (band_index, 8-bit band)* — the 100 TB-scalable move
+    (shuffle keyed on band buckets, never all-pairs) — then the exact
+    Hamming filter (bit_count(xor) ≤ {3}) runs only on collisions.
+    A true near-dup differs in few bits, so by pigeonhole it shares at
+    least one of the 4 bands.
+    """
+    tok = t["documents"].select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
+    th = (
+        tf.select("token")
+        .distinct()
+        .withColumn("h", F.expr(_SPARK_TOKHASH))
+    )
+    bits = (
+        tf.join(F.broadcast(th), "token")
+        .crossJoin(F.broadcast(spark.range(32).select(F.col("id").alias("b"))))
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                # pyspark's shiftright() only takes a literal shift, so
+                # the column-shift goes through SQL expr
+                F.when(
+                    F.expr("shiftright(h, cast(b as int)) & 1") == 1, F.col("cnt")
+                ).otherwise(-F.col("cnt"))
+            ).alias("s")
+        )
+    )
+    fp = bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0,
+                F.expr("shiftleft(cast(1 as bigint), cast(b as int))"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("simhash")
+    )
+    bands = fp.crossJoin(
+        F.broadcast(spark.range(4).select(F.col("id").alias("j")))
+    ).select(
+        "doc_id",
+        "simhash",
+        "j",
+        F.expr("shiftright(simhash, cast(8 * j as int)) & 255").alias("band"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).where(F.col("hamming") <= _HAMMING_MAX)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, length(text) - 1),
+               i -> substr(text, CAST(i AS INT), 3))) AS g
+      FROM documents WHERE lang = 'en'
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                 / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6)
+             AS ngram_jaccard
+    FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+          / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.7
+    """,
+)
+def dedup_ngram_jaccard(spark, t):
+    """Character-3-gram Jaccard near-dup (token-order-sensitive-ish
+    complement to the token-set Jaccard of dedup_near_jaccard).
+
+    Character shingles catch token reorderings and small edits that
+    token sets miss.  Scoped to one language partition — exactly how
+    the quadratic ground-truth pass stays affordable at scale (run
+    per-shard, validate the MinHash/SimHash approximations against it).
+    """
+    grams = (
+        t["documents"]
+        .where(F.col("lang") == "en")
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, length(text) - 2), "
+                    "i -> substring(text, i, 3))"
+                )
+            ).alias("g"),
+        )
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.g"), F.col("b.g")))
+    union = F.size(F.col("a.g")) + F.size(F.col("b.g")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(jac >= 0.7)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("ngram_jaccard"),
+        )
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id,
+             embedding,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (a.norm * b.norm), 6) AS cos_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / (a.norm * b.norm) >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark, t):
+    """Embedding-cosine near-dup pairs (semantic dedup tier).
+
+    All-pairs here (ground truth at fixture scale); the 100 TB path is
+    sim_ann_ivf's coarse quantizer: compare only within a cell and its
+    neighbors.  τ=0.35 sits in the top tail of this corpus's cosine
+    distribution (99.9th pctile ≈ 0.377).
+    """
+    from tweetdb_spark.llm.similarity import dot, with_norm
+
+    n = with_norm(t["embeddings"]).select("vec_id", "embedding", "norm")
+    a, b = n.alias("a"), n.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(cos >= 0.35)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+
+
 @query("dedup_minhash_lsh", oracle=None)  # approx candidates → rows-only
 def dedup_minhash_lsh(spark, t):
     """L3: MinHash+LSH near-dup candidates — the 100 TB path for L2.

@@ -1,0 +1,143 @@
+"""Multimodal-column operators (north star: image/audio/video as
+opaque binary columns with typed metadata).
+
+The pattern for 100 TB multimodal stores:
+  - payloads live in a ``binary`` column (or object-store URIs),
+    metadata in typed sibling columns;
+  - decode / feature-extract / resize / frame-sample run as
+    Arrow-batched ``mapInPandas`` stages — Python touches each batch
+    once, schema declared up front, no driver involvement;
+  - partitioning carries over from the scan (no shuffle: decode is a
+    narrow map).
+
+No image/audio codec libraries exist in this environment, so the
+codec call itself is STUBBED: :func:`decode_image` raises
+``NotImplementedError`` unless Pillow is importable, and the
+*registered operators* use :func:`fake_decode` — a deterministic
+byte-arithmetic stand-in — so the Spark-side plumbing (binary schema,
+Arrow batch shape, UDF signature, partition behavior) is real and
+oracle-checkable end-to-end.  The fixture payload is the documents'
+utf-8 bytes standing in for encoded media.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from tweetdb_spark.registry import query
+
+DECODED_SCHEMA = (
+    "doc_id long, n_bytes long, width int, height int, n_frames int, "
+    "resized_w int, resized_h int, frame_idx array<int>"
+)
+
+
+def decode_image(payload: bytes):
+    """Real codec path — requires an image library (not provisioned).
+
+    On a production cluster this body is ``PIL.Image.open(io.BytesIO(
+    payload))`` (or pyav for video); the surrounding mapInPandas
+    plumbing is unchanged.
+    """
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env has no codecs
+        raise NotImplementedError(
+            "image codec not available in this environment; "
+            "operators use fake_decode() instead"
+        ) from exc
+    raise NotImplementedError("wire PIL decode here when codecs are provisioned")
+
+
+def fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in decoder: (width, height, n_frames) from
+    the leading bytes.  Exists so the full pipeline is testable and
+    oracle-checkable without codec libraries."""
+    width = payload[0] % 64 + 16 if payload else 16
+    height = payload[1] % 64 + 16 if len(payload) > 1 else 16
+    n_frames = len(payload) % 7 + 1
+    return width, height, n_frames
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5,
+           'application/octet-stream' AS media_type
+    FROM documents
+    """,
+)
+def multimodal_meta(spark, t):
+    """Typed metadata over an opaque binary payload column.
+
+    ``encode(text)`` materializes the binary column; length and
+    content hash are computed JVM-side (no Python) — the manifest
+    columns every multimodal table carries next to its payload.
+    """
+    payload = F.encode("text", "utf-8")
+    return t["documents"].select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.md5(payload).alias("payload_md5"),
+        F.lit("application/octet-stream").alias("media_type"),
+    )
+
+
+@query(
+    "multimodal_decode_stub",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             ascii(substr(text, 1, 1)) % 64 + 16 AS width,
+             ascii(substr(text, 2, 1)) % 64 + 16 AS height,
+             octet_length(encode(text)) % 7 + 1 AS n_frames
+      FROM documents
+    )
+    SELECT doc_id, n_bytes, width, height, n_frames,
+           width // 2 AS resized_w,
+           height // 2 AS resized_h,
+           CAST(range(0, n_frames, 2) AS INTEGER[]) AS frame_idx
+    FROM d
+    """,
+)
+def multimodal_decode_stub(spark, t):
+    """Decode → resize → frame-sample pipeline over binary payloads.
+
+    ``mapInPandas``: each Arrow batch of (doc_id, payload) rows is
+    decoded in Python, emitting typed media columns + a frame-sample
+    index array (every 2nd frame).  The decoder is the deterministic
+    stub (see module docstring); swap :func:`fake_decode` for
+    :func:`decode_image` when codecs exist — schema and plumbing are
+    the production shape either way.
+    """
+    src = t["documents"].select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                width, height, n_frames = fake_decode(raw)
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_bytes": len(raw),
+                        "width": width,
+                        "height": height,
+                        "n_frames": n_frames,
+                        "resized_w": width // 2,
+                        "resized_h": height // 2,
+                        "frame_idx": list(range(0, n_frames, 2)),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(decode_batches, DECODED_SCHEMA)

@@ -128,6 +128,52 @@ def sim_pairwise_label(spark, t):
     )
 
 
+@query("sim_ann_ivf", oracle=None)  # approx (probes 8/16 cells) → rows-only
+def sim_ann_ivf(spark, t):
+    """ANN top-10 via an IVF coarse quantizer — the 100 TB path for L4.
+
+    KMeans (k=16, fixed seed) partitions the vector space into cells;
+    the query probes only its 8 nearest centroids and re-ranks
+    exactly within them.  At scale: cells become the *physical*
+    partitioning of the vector table (write partitioned by cell_id →
+    a probe reads 8/16ths of the data, pruned at the parquet level);
+    centroids are a tiny broadcast model.  Recall vs the exact
+    brute-force twin (sim_topk_cosine) is asserted in tests.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = t["embeddings"].withColumn("vec", array_to_vector("embedding"))
+    model = KMeans(k=16, seed=42, featuresCol="vec", predictionCol="cell").fit(e)
+    assigned = model.transform(e)
+
+    q_row = t["embeddings"].where(F.col("vec_id") == 0).select("embedding").first()
+    qv = np.asarray(q_row.embedding, dtype="float64")
+    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    # probe the 8 centroids nearest the query (driver-side: 16×64 floats)
+    probe = np.argsort(((centers - qv) ** 2).sum(axis=1))[:8].tolist()
+
+    q = t["embeddings"].where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    scored = (
+        assigned.where(F.col("cell").isin(probe) & (F.col("vec_id") != 0))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            "cell",
+            F.round(
+                dot(F.col("embedding"), F.col("qv"))
+                / (l2_norm(F.col("embedding")) * l2_norm(F.col("qv"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(10)
+
+
 @query(
     "multimodal_norm",
     oracle=f"""

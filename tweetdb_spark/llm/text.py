@@ -138,6 +138,211 @@ def text_sentiment_lexicon(spark, t):
     )
 
 
+# Portable position-weighted hash: identical integer arithmetic in
+# Spark SQL and DuckDB (no engine hash functions, which differ).
+# h(s) = (Σ_i ascii(s[i]) · ((i·2654435761) mod p)) mod p,  p = 2³¹−1
+# Magnitudes: per-term ≤ 127·p ≈ 2.7e11, doc sum ≤ ~1.6e14 — exact in int64.
+_SPARK_WHASH = (
+    "aggregate(sequence(1, length({s})), cast(0 as bigint), "
+    "(acc, i) -> acc + ascii(substring({s}, i, 1)) * ((i * 2654435761L) % 2147483647)) "
+    "% 2147483647"
+)
+_DUCK_WHASH = (
+    "list_sum(list_transform(range(1, length({s}) + 1), "
+    "i -> ascii(substr({s}, CAST(i AS INT), 1)) * ((i * 2654435761) % 2147483647))) "
+    "% 2147483647"
+)
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, {_DUCK_WHASH.format(s='text')} AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint, MIN(doc_id) AS keep_doc_id, count(*) AS n_docs
+    FROM fp GROUP BY fingerprint
+    """,
+)
+def doc_fingerprint(spark, t):
+    """Document fingerprinting via a position-weighted rolling hash.
+
+    Engine-portable (pure integer arithmetic — no murmur/xxhash, which
+    differ across engines), order-sensitive (anagram docs get distinct
+    prints, unlike a bag-of-words hash), and O(len) per doc inside
+    whole-stage codegen.  Grouping by fingerprint is the content-
+    addressed dedup key; at 100 TB the fingerprint is what you
+    shuffle, never the text.
+    """
+    fp = F.expr(_SPARK_WHASH.format(s="text"))
+    return (
+        t["documents"]
+        .select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_docs"))
+    )
+
+
+# Per-language token profiles (engine constants).  The fixture corpus
+# shares one vocabulary across langs, so this demonstrates the
+# *mechanism* (profile-overlap argmax); with real text the profiles
+# would be learned character n-grams.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "fast", "slow", "big", "small"],
+    "de": ["der", "die", "das", "und", "schnell"],
+    "es": ["el", "la", "los", "rapido", "lento"],
+    "fr": ["le", "la", "les", "vite", "lent"],
+    "zh": ["de5", "he2", "kuai4", "man4"],
+}
+
+_PROFILE_VALUES = ", ".join(
+    f"('{w}', '{lang}')" for lang, ws in LANG_PROFILES.items() for w in ws
+)
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH profile(token, plang) AS (VALUES {_PROFILE_VALUES}),
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), scores AS (
+      SELECT tok.doc_id, profile.plang, count(*) AS score
+      FROM tok JOIN profile USING (token)
+      GROUP BY tok.doc_id, profile.plang
+    ), ranked AS (
+      SELECT doc_id, plang, score,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, plang
+             ) AS rn
+      FROM scores
+    )
+    SELECT d.doc_id,
+           COALESCE(r.plang, 'und') AS pred_lang,
+           COALESCE(r.score, 0) AS score
+    FROM documents d LEFT JOIN ranked r ON d.doc_id = r.doc_id AND r.rn = 1
+    """,
+)
+def text_lang_id(spark, t):
+    """Language-ID by profile-token overlap (n-gram heuristic shape).
+
+    Tokens ⋈ broadcast profile → per-(doc, lang) hit counts → argmax
+    with a deterministic tie-break; docs matching no profile get
+    'und'.  The profile table is the tweet-era keyword-list pattern;
+    swap in learned character-n-gram profiles for real corpora.
+    """
+    profile = F.broadcast(
+        spark.createDataFrame(
+            [(w, lang) for lang, ws in LANG_PROFILES.items() for w in ws],
+            "token string, plang string",
+        )
+    )
+    tok = t["documents"].select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    scores = tok.join(profile, "token").groupBy("doc_id", "plang").agg(
+        F.count("*").alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("plang"))
+    best = scores.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        t["documents"]
+        .select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("plang"), F.lit("und")).alias("pred_lang"),
+            F.coalesce(F.col("score"), F.lit(0)).alias("score"),
+        )
+    )
+
+
+_STOPWORDS = ["the", "a", "of", "and", "to"]
+_STOP_IN = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), stats AS (
+      SELECT doc_id,
+             count(*) AS n_tokens,
+             count(DISTINCT token) AS n_distinct,
+             CAST(SUM(CASE WHEN token IN ({_STOP_IN}) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_stop
+      FROM tok GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           s.n_tokens,
+           CAST(s.n_distinct AS DOUBLE) / s.n_tokens AS distinct_ratio,
+           CAST(s.n_stop AS DOUBLE) / s.n_tokens AS stopword_ratio,
+           CAST(d.n_chars - s.n_tokens + 1 AS DOUBLE) / s.n_tokens AS avg_token_len,
+           CASE WHEN s.n_tokens BETWEEN 20 AND 1000
+                 AND CAST(s.n_distinct AS DOUBLE) / s.n_tokens > 0.2
+                THEN 1 ELSE 0 END AS quality_pass
+    FROM documents d JOIN stats s USING (doc_id)
+    """,
+)
+def text_quality(spark, t):
+    """Quality scoring: length / diversity / stopword-ratio gates.
+
+    The pre-training filter primitive (Gopher/C4-style rules): every
+    ratio is an exact int/int division (identical operands both
+    engines — no rounding discipline needed), and the final gate is a
+    boolean conjunction of range checks.
+    """
+    tok = t["documents"].select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    stats = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct"),
+        F.sum(F.when(F.col("token").isin(_STOPWORDS), 1).otherwise(0)).alias("n_stop"),
+    )
+    d = t["documents"]
+    nt = F.col("n_tokens")
+    distinct_ratio = F.col("n_distinct").cast("double") / nt
+    return d.join(stats, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        distinct_ratio.alias("distinct_ratio"),
+        (F.col("n_stop").cast("double") / nt).alias("stopword_ratio"),
+        ((F.col("n_chars") - nt + 1).cast("double") / nt).alias("avg_token_len"),
+        F.when(nt.between(20, 1000) & (distinct_ratio > 0.2), 1)
+        .otherwise(0)
+        .alias("quality_pass"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+             AS bpe_ish_tokens,
+           CAST(CEIL(n_chars / 4.0) AS BIGINT) AS est_llm_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark, t):
+    """Token counting: whitespace, BPE-ish regex, and the chars/4
+    LLM-budget heuristic — the three counts a data pipeline reports.
+    """
+    return t["documents"].select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(
+            # idx=0 = whole match (the pattern has no capture groups)
+            F.regexp_extract_all("text", F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0)
+        ).alias("bpe_ish_tokens"),
+        F.ceil(F.col("n_chars") / 4.0).alias("est_llm_tokens"),
+    )
+
+
 @query(
     "text_stats",
     oracle="""

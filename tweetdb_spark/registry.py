@@ -75,7 +75,7 @@ def load_all_operators() -> None:
         events,
     )
     from tweetdb_spark.functions import scalar, udfs  # noqa: F401
-    from tweetdb_spark.llm import dedup, similarity, text  # noqa: F401
+    from tweetdb_spark.llm import dedup, multimodal, similarity, text  # noqa: F401
     from tweetdb_spark.streaming import queries as streaming_queries  # noqa: F401
 
     _LOADED = True
