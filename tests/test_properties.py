@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis) for the engine's portable
+primitives — the pieces whose correctness is a *formula parity* claim
+across Python / Spark SQL / DuckDB rather than a fixture result.
+"""
+
+from __future__ import annotations
+
+import random
+import string
+
+import duckdb
+import pytest
+from hypothesis import given, settings, strategies as st
+
+ASCII = string.ascii_letters + string.digits + " .,;:-_!?/#"
+
+
+def whash_py(s: str) -> int:
+    """Python reference of the position-weighted portable hash
+    (llm/text.py _SPARK_WHASH / _DUCK_WHASH)."""
+    p = 2147483647
+    return sum(ord(c) * ((i * 2654435761) % p) for i, c in enumerate(s, 1)) % p
+
+
+@given(st.text(alphabet=ASCII, min_size=1, max_size=80))
+@settings(max_examples=60, deadline=None)
+def test_portable_hash_python_vs_duckdb(s):
+    from tweetdb_spark.llm.text import _DUCK_WHASH
+
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {_DUCK_WHASH.format(s='s')} FROM (SELECT ? AS s)", [s]
+    ).fetchone()[0]
+    assert got == whash_py(s), s
+
+
+def test_portable_hash_spark_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    from tweetdb_spark.llm.text import _SPARK_WHASH
+
+    rng = random.Random(42)
+    samples = [
+        "".join(rng.choice(ASCII) for _ in range(rng.randint(1, 120)))
+        for _ in range(80)
+    ] + ["a", " ", "zz" * 60]
+    df = spark.createDataFrame([(s,) for s in samples], "text string")
+    got = {
+        r.text: r.h
+        for r in df.select("text", F.expr(_SPARK_WHASH.format(s="text")).alias("h")).collect()
+    }
+    for s in samples:
+        assert got[s] == whash_py(s), s
+
+
+def test_dot_and_norm_match_numpy(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tweetdb_spark.llm.similarity import dot, l2_norm
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((40, 16)).astype("float32")
+    rows = [(i, vecs[i].tolist(), vecs[(i + 1) % 40].tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, "i int, a array<float>, b array<float>")
+    out = df.select(
+        "i",
+        dot(F.col("a"), F.col("b")).alias("d"),
+        l2_norm(F.col("a")).alias("n"),
+    ).collect()
+    for r in out:
+        a = vecs[r.i].astype("float64")
+        b = vecs[(r.i + 1) % 40].astype("float64")
+        assert abs(r.d - float(a @ b)) < 1e-9
+        assert abs(r.n - float(np.sqrt(a @ a))) < 1e-9
+
+
+@given(st.binary(min_size=0, max_size=256))
+@settings(max_examples=100, deadline=None)
+def test_fake_decode_total_and_bounded(payload):
+    from tweetdb_spark.llm.multimodal import fake_decode
+
+    w, h, n = fake_decode(payload)
+    assert 16 <= w < 80 and 16 <= h < 80
+    assert 1 <= n <= 7
+
+
+@given(
+    st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=1, max_size=20),
+    st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=1, max_size=20),
+)
+@settings(max_examples=80, deadline=None)
+def test_jaccard_formula_symmetric_and_bounded(xs, ys):
+    """|A∩B| / (|A|+|B|−|A∩B|) — the exact formula both engines run
+    (dedup.py): symmetric, in [0,1], and 1 iff equal sets."""
+    a, b = set(xs), set(ys)
+    inter = len(a & b)
+    jac = inter / (len(a) + len(b) - inter)
+    jac_rev = inter / (len(b) + len(a) - inter)
+    assert jac == jac_rev
+    assert 0.0 <= jac <= 1.0
+    assert (jac == 1.0) == (a == b)

@@ -303,6 +303,44 @@ def join_asof(spark, t):
 
 
 @query(
+    "join_skew_salted",
+    oracle="""
+    SELECT e.event_id, e.event_type, d.type_desc
+    FROM events e
+    JOIN (SELECT DISTINCT event_type, 'type:' || event_type AS type_desc
+          FROM events) d
+      ON e.event_type = d.event_type
+    """,
+)
+def join_skew_salted(spark, t):
+    """Salted join — the manual skew-mitigation pattern, with a
+    correctness proof.
+
+    Joining a fact on a 5-value key (event_type) concentrates each key
+    in one reducer.  The salted rewrite: fact side gets a
+    deterministic salt (event_id % 16), the dim side is exploded ×16,
+    and the join key becomes (key, salt) — 80 evenly-sized partitions
+    instead of 5 hot ones.  Results are provably identical to the
+    plain join (the oracle IS the plain join).  At 100 TB this is the
+    fallback when AQE skew-split can't help (e.g. skewed *broadcast*
+    misses or stateful streaming joins).
+    """
+    nsalt = 16
+    e = t["events"].withColumn("salt", (F.col("event_id") % nsalt).cast("int"))
+    d = (
+        t["events"]
+        .select("event_type")
+        .distinct()
+        .withColumn("type_desc", F.concat(F.lit("type:"), F.col("event_type")))
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(nsalt - 1))))
+        .withColumn("salt", F.col("salt").cast("int"))
+    )
+    return e.join(d, ["event_type", "salt"]).select(
+        "event_id", "event_type", "type_desc"
+    )
+
+
+@query(
     "join_interval",
     oracle="""
     SELECT s.event_id AS signup_id, s.user_id,
