@@ -43,10 +43,12 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name, key in HEADLINE.items():
-        fn = tweetdb_spark.QUERIES[key]
-        fn(spark, sf_dir).collect()  # warm-up run (plan + JIT)
+        # BASELINE.md methodology: plan built once, wall clock of
+        # collect() on the second execution (plans + JIT warm)
+        df = tweetdb_spark.QUERIES[key](spark, sf_dir)
+        df.collect()
         t0 = time.time()
-        fn(spark, sf_dir).collect()
+        df.collect()
         times[name] = round(time.time() - t0, 3)
 
     print(

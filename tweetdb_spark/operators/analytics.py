@@ -1,0 +1,195 @@
+"""Statistical / reshaping analytics operators (beyond the SURVEY §2
+minimum): moment statistics, exact percentiles, pivot/unpivot,
+positional explode, edit-distance.
+
+These round out "a user of the reference could run every query they
+run today": the SQL surface an analyst expects from the backing
+RDBMS, executed Spark-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tweetdb_spark.registry import query
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+           ROUND(var_samp(l_quantity), 4) AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(covar_samp(l_discount, l_tax), 6) AS cov_disc_tax,
+           ROUND(skewness(l_extendedprice), 4) AS skew_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark, t):
+    """Moment statistics: stddev/variance/correlation/covariance/skew.
+
+    All single-pass two-phase aggregates (partial moments combine
+    map-side).  Rounded to absorb cross-engine accumulation-order
+    noise in the higher moments.
+    """
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("cov_disc_tax"),
+        F.round(F.skewness("l_extendedprice"), 4).alias("skew_price"),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.95), 4) AS p95,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_percentile(spark, t):
+    """Exact interpolated percentiles per group (p50/p95/p99).
+
+    Spark ``percentile`` and DuckDB ``quantile_cont`` share the linear
+    interpolation definition.  Exact percentile needs the group's
+    values together (sort-based); the 100 TB default is
+    ``approx_percentile`` (t-digest-style sketch, map-side mergeable)
+    — same API shape, declared separately below.
+    """
+    return t["events"].groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@query("agg_approx_percentile", oracle=None)  # sketch-based → rows-only
+def agg_approx_percentile(spark, t):
+    """Approximate percentiles — the sketch twin of agg_percentile
+    (fixed-size state, no per-group sort; the scale path)."""
+    return t["events"].groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+        F.approx_percentile("value", F.lit(0.95), F.lit(10000)).alias("p95_approx"),
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "pivot_wide",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS error,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS signup,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view
+    FROM events
+    GROUP BY 1
+    """,
+)
+def pivot_wide(spark, t):
+    """PIVOT: daily event counts, one column per event_type.
+
+    The pivot value list is explicit — with it, Spark skips the extra
+    distinct-values job and plans a single two-phase aggregate with
+    one output column per (value × agg).  Never pivot on an unbounded
+    column at scale; the value list IS the schema.
+    """
+    return (
+        t["events"]
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+@query(
+    "unpivot_long",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, amount
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'price' AS metric, l_extendedprice AS amount
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    )
+    """,
+)
+def unpivot_long(spark, t):
+    """UNPIVOT/melt: wide measure columns → (metric, amount) rows.
+
+    ``unpivot`` is a Generate-style expansion (no shuffle); the oracle
+    is the equivalent UNION ALL, which is also the portable SQL form.
+    """
+    return t["lineitem"].unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "amount",
+    ).withColumn(
+        "metric",
+        F.when(F.col("metric") == "l_extendedprice", "price")
+        .when(F.col("metric") == "l_discount", "discount")
+        .otherwise("tax"),
+    )
+
+
+@query(
+    "fn_posexplode",
+    oracle="""
+    SELECT doc_id,
+           CAST(unnest(range(0, len(string_split(text, ' ')))) AS INTEGER) AS pos,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents
+    """,
+)
+def fn_posexplode(spark, t):
+    """posexplode: token with 0-based ordinal (DuckDB: zipped unnests)."""
+    return t["documents"].select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+
+
+@query(
+    "fn_levenshtein",
+    oracle="""
+    SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
+           levenshtein(a.s_name, b.s_name) AS edit_dist
+    FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 2
+    """,
+)
+def fn_levenshtein(spark, t):
+    """Edit-distance fuzzy matching — entity-resolution primitive.
+
+    All-pairs on a dim-sized table; at scale, block first (e.g. on a
+    name-prefix or phonetic key) and run the exact distance only
+    within blocks — same candidate-then-verify shape as the dedup
+    ladder.
+    """
+    s = t["supplier"].select("s_suppkey", "s_name")
+    a, b = s.alias("a"), s.alias("b")
+    dist = F.levenshtein(F.col("a.s_name"), F.col("b.s_name"))
+    return (
+        a.join(b, F.col("a.s_suppkey") < F.col("b.s_suppkey"))
+        .where(dist <= 2)
+        .select(
+            F.col("a.s_suppkey").alias("supp_a"),
+            F.col("b.s_suppkey").alias("supp_b"),
+            dist.alias("edit_dist"),
+        )
+    )
