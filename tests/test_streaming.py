@@ -113,6 +113,34 @@ def test_sink_jdbc_batch_idempotent_totals(q, tables):
     assert sunk == batch
 
 
+def test_tweet_pipeline_stream_matches_batch_counts(q, tables):
+    from pyspark.sql import functions as F
+
+    stream = {r.event_type: r.n_events for r in q("tweet_pipeline_stream").collect()}
+    batch = {
+        r.event_type: r.n
+        for r in tables["events"]
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert stream == batch
+
+
+def test_tweet_pipeline_normalize_dedups_doubled_feed(q, tables):
+    """The doubled feed must collapse to fixture cardinality: total
+    n_uses across (lang, tag) == total tokens in documents, once."""
+    from pyspark.sql import functions as F
+
+    total_uses = sum(r.n_uses for r in q("tweet_pipeline_normalize").collect())
+    n_tokens = (
+        tables["documents"]
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .count()
+    )
+    assert total_uses == n_tokens
+
+
 def test_join_stream_static_matches_batch_join(q, tables):
     from pyspark.sql import functions as F
 

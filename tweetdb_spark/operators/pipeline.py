@@ -1,0 +1,163 @@
+"""The reference pipeline end-to-end (batch + streaming).
+
+The reference (starkshift/tweetdb) is a tweet ingestion pipeline:
+consume a stream of nested JSON tweet objects, dedup by primary key,
+normalize nested entities into child tables, persist relationally.
+This module reproduces that *whole pipeline* as single operators:
+
+  raw JSON (nested: scalar fields, a user struct, an array-of-structs
+  entities payload)
+    → explicit-schema ``from_json`` parse (never inference)
+    → ``dropDuplicates`` on the tweet id  (PK dedup)
+    → ``explode`` of the entities array   (child-table normalization)
+    → aggregate / persist
+
+Because the environment has no Twitter feed, the tweet documents are
+*synthesized deterministically inside the query* from the documents
+fixture (to_json of a nested struct), then parsed back — so the
+parse→dedup→normalize path is exercised against a JSON wire format
+exactly shaped like the tweet payload, and the DuckDB oracle computes
+the same logical result directly from the fixture (proving the JSON
+round-trip is lossless).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from tweetdb_spark.registry import query
+
+# The tweet wire schema: nested user struct + array-of-structs entities
+# (the public v1.1 tweet-object shape, reduced to fixture columns).
+TWEET_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField(
+            "user",
+            StructType(
+                [
+                    StructField("uid", LongType()),
+                    StructField("lang", StringType()),
+                ]
+            ),
+        ),
+        StructField("text", StringType()),
+        StructField(
+            "entities",
+            StructType(
+                [
+                    StructField(
+                        "hashtags",
+                        ArrayType(
+                            StructType(
+                                [
+                                    StructField("tag", StringType()),
+                                    StructField("pos", IntegerType()),
+                                ]
+                            )
+                        ),
+                    )
+                ]
+            ),
+        ),
+    ]
+)
+
+def synth_tweets(documents):
+    """documents → one raw JSON tweet string per row (deterministic).
+
+    (Built inside the function: Column construction requires an active
+    SparkContext, so no expressions at import time.)
+    """
+    tweet = F.to_json(
+        F.struct(
+            F.col("doc_id").alias("id"),
+            F.struct(
+                (F.col("doc_id") % 100).alias("uid"),
+                F.col("lang").alias("lang"),
+            ).alias("user"),
+            F.col("text").alias("text"),
+            F.struct(
+                F.expr(
+                    "transform(split(text, ' '), (w, i) -> struct(w AS tag, i AS pos))"
+                ).alias("hashtags")
+            ).alias("entities"),
+        )
+    )
+    return documents.select(tweet.alias("raw"))
+
+
+@query(
+    "tweet_pipeline_normalize",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tag
+      FROM documents
+    )
+    SELECT lang, tag,
+           count(*) AS n_uses,
+           count(DISTINCT doc_id % 100) AS n_users,
+           MIN(doc_id) AS first_tweet_id
+    FROM tok
+    GROUP BY lang, tag
+    """,
+)
+def tweet_pipeline_normalize(spark, t):
+    """The full reference pipeline, batch form.
+
+    synthesize JSON → parse with explicit nested schema → PK dedup on
+    a deliberately doubled feed → explode entities.hashtags → hashtag
+    rollup (the entity child-table + its top-tags query in one plan).
+    The oracle computes the same result straight from the fixture, so
+    the hash check proves the JSON round-trip, the dedup, and the
+    normalization are all lossless.
+    """
+    raw = synth_tweets(t["documents"])
+    doubled = raw.unionAll(raw)  # at-least-once delivery simulation
+    parsed = doubled.select(
+        F.from_json("raw", TWEET_SCHEMA).alias("tw")
+    ).select("tw.*")
+    deduped = parsed.dropDuplicates(["id"])  # PK dedup on tweet id
+    tags = deduped.select(
+        F.col("id"),
+        F.col("user.uid").alias("uid"),
+        F.col("user.lang").alias("lang"),
+        F.explode("entities.hashtags").alias("h"),
+    )
+    return tags.groupBy("lang", F.col("h.tag").alias("tag")).agg(
+        F.count("*").alias("n_uses"),
+        F.countDistinct("uid").alias("n_users"),
+        F.min("id").alias("first_tweet_id"),
+    )
+
+
+@query("tweet_pipeline_stream", oracle=None)
+def tweet_pipeline_stream(spark, t):
+    """The full reference pipeline, streaming form (BASELINE.json's
+    'Structured Streaming + JDBC sink' architecture).
+
+    The staged events feed plays the raw stream; each micro-batch is
+    parsed, watermark-deduped on event_id (the tweet-id dedup), and
+    normalized; the per-type rollup lands in the sink in update mode.
+    Equal to the batch groupBy on the same feed (asserted in tests).
+    """
+    from tweetdb_spark.streaming.sources import read_events_stream, run_to_memory
+
+    s = read_events_stream(spark, t.sf_dir, files_per_trigger=5)
+    deduped = (
+        s.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    rollup = deduped.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.approx_count_distinct("user_id").alias("n_users_approx"),
+    )
+    return run_to_memory(rollup, "complete")

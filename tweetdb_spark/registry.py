@@ -74,6 +74,7 @@ def load_all_operators() -> None:
         sortsetops,
         events,
         analytics,
+        pipeline,
     )
     from tweetdb_spark.functions import scalar, udfs  # noqa: F401
     from tweetdb_spark.llm import dedup, multimodal, similarity, text  # noqa: F401
