@@ -106,6 +106,41 @@ def test_bucketed_join_has_no_shuffle(spark, tables):
     assert n_bucketed == n_plain
 
 
+def test_dynamic_partition_pruning(spark, tables):
+    """A partitioned fact joined to a filtered dim must plan a
+    dynamicpruning subquery on the partition column — at 100 TB this
+    skips whole partitions based on the dim filter's runtime result."""
+    out = os.path.join(tempfile.gettempdir(), "tweetdb_dpp_fact")
+    (
+        tables["events"]
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
+    fact = spark.read.parquet(out)
+    from pyspark.sql import functions as F
+
+    dim = (
+        tables["events"]
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("event_type") == "purchase")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false"
+    )
+    try:
+        joined = fact.join(dim, "event_type")
+        plan = _plan(joined)
+        assert "dynamicpruning" in plan.lower() or "PartitionFilters" in plan, plan[:800]
+        assert joined.count() == tables["events"].where(
+            F.col("event_type") == "purchase"
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_aqe_coalesces_shuffle_partitions(spark, tables):
     """With AQE on, a tiny grouped agg must not execute 32 shuffle
     partitions — runtime coalescing is what makes a static
