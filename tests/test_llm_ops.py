@@ -77,6 +77,59 @@ def test_simhash_pairs_are_discriminative(q, spark, tables):
         assert sum(exact) / len(exact) >= 0.9
 
 
+def test_cluster_resolution_converges_on_long_chains(spark):
+    """Regression: a 59-hop path graph must collapse to ONE component.
+
+    Plain min-label propagation moves one hop per round, so a fixed
+    iteration cap silently mislabels long chains (found by a verify
+    probe); the pointer-doubling step makes convergence logarithmic.
+    """
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(59)], "u long, v long")
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = spark.range(60).select(
+        F.col("id").alias("doc_id"), F.col("id").alias("component_id")
+    )
+    iterations = 0
+    for _ in range(64):
+        iterations += 1
+        nm = (
+            labels.join(sym, labels.doc_id == sym.u)
+            .groupBy(F.col("v").alias("doc_id"))
+            .agg(F.min("component_id").alias("nmin"))
+        )
+        parent = labels.select(
+            F.col("doc_id").alias("p_id"), F.col("component_id").alias("grand")
+        )
+        nl = (
+            labels.join(nm, "doc_id", "left")
+            .join(parent, labels.component_id == parent.p_id, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce("nmin", F.col("component_id")),
+                    F.coalesce("grand", F.col("component_id")),
+                ).alias("component_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nl.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.component_id") != F.col("o.component_id"))
+            .count()
+        )
+        labels = nl
+        if changed == 0:
+            break
+    assert labels.select("component_id").distinct().count() == 1
+    assert iterations <= 10, f"doubling should be logarithmic, took {iterations}"
+
+
 def test_fingerprint_unique_on_unique_corpus(q, tables):
     """The fixture corpus has no exact dupes → every fingerprint group
     should have n_docs == 1 (and as many groups as docs)."""

@@ -141,6 +141,54 @@ def test_tweet_pipeline_normalize_dedups_doubled_feed(q, tables):
     assert total_uses == n_tokens
 
 
+def test_checkpoint_restart_is_exactly_once(spark, tables):
+    """Restarting a stream on the same checkpoint must process each
+    input file exactly once: second availableNow run with no new files
+    appends nothing; new files append only their own rows."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from tweetdb_spark.streaming.sources import read_events_stream, stage_events_json
+
+    src_full = stage_events_json(spark, SF_DIR)
+    files = sorted(f for f in os.listdir(src_full) if f.endswith(".json"))
+    work = tempfile.mkdtemp(prefix="tweetdb_recovery_")
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    half = len(files) // 2
+    for f in files[:half]:
+        shutil.copy(os.path.join(src_full, f), src)
+
+    out = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+
+    def run_once():
+        from tweetdb_spark.streaming.sources import EVENTS_WIRE
+
+        s = spark.readStream.schema(EVENTS_WIRE).json(src)
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).count()
+
+    n1 = run_once()
+    n2 = run_once()  # restart, no new input → nothing reprocessed
+    assert n1 == n2, f"restart duplicated rows: {n1} -> {n2}"
+    for f in files[half:]:
+        shutil.copy(os.path.join(src_full, f), src)
+    n3 = run_once()  # restart with new files → only the delta lands
+    assert n3 == tables["events"].count(), (n1, n3)
+
+
 def test_join_stream_static_matches_batch_join(q, tables):
     from pyspark.sql import functions as F
 

@@ -9,6 +9,7 @@ oracle SQL on the same sf_dir, then compare
 Usage:
     python tools/check.py                  # all keys @ sf0.01
     python tools/check.py agg_grouped ...  # subset
+    python tools/check.py --vanilla        # driver-sim: plain SparkSession
     SF_DIR=/root/testdata/sf0.001 python tools/check.py
 """
 
@@ -63,13 +64,25 @@ def rows_multiset(cols, rows):
 
 def main() -> int:
     import __spark_entry__ as e
-    from tweetdb_spark.session import get_spark
 
     sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    only = {a for a in args if not a.startswith("--")}
     qs, oracles = e.queries(), e.oracle_sql()
 
-    spark = get_spark("tweetdb-check")
+    if vanilla:
+        # driver simulation: a plain session with none of the engine's
+        # confs — catalog.configure must make it work anyway
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName(
+            "tweetdb-check-vanilla"
+        ).getOrCreate()
+    else:
+        from tweetdb_spark.session import get_spark
+
+        spark = get_spark("tweetdb-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

@@ -315,6 +315,156 @@ def dedup_embedding_cosine(spark, t):
     )
 
 
+@query(
+    "dedup_cluster_resolve",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY doc_id, token
+    ), th AS (
+      SELECT token, {_DUCK_TOKHASH} AS h FROM (SELECT DISTINCT token FROM tf)
+    ), bits AS (
+      SELECT tf.doc_id, b.b,
+             SUM(CASE WHEN (th.h >> CAST(b.b AS INT)) & 1 = 1
+                      THEN tf.cnt ELSE -tf.cnt END) AS s
+      FROM tf JOIN th USING (token)
+      CROSS JOIN (SELECT unnest(range(0, 32)) AS b) b
+      GROUP BY tf.doc_id, b.b
+    ), fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    ), edges AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM fp a JOIN fp b
+        ON a.doc_id < b.doc_id
+       AND bit_count(xor(a.simhash, b.simhash)) <= 1
+    ), sym AS (
+      SELECT u, v FROM edges UNION SELECT v, u FROM edges
+    ), reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT u, v FROM sym
+        UNION
+        SELECT r.src, s.v FROM r JOIN sym s ON r.dst = s.u
+      )
+      SELECT src, dst FROM r
+    ), labels AS (
+      SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(MIN(reach.dst), d.doc_id)) AS component_id
+      FROM documents d LEFT JOIN reach ON reach.src = d.doc_id
+      GROUP BY d.doc_id
+    )
+    SELECT component_id,
+           count(*) AS n_docs,
+           MIN(doc_id) AS keep_doc_id
+    FROM labels GROUP BY component_id
+    """,
+)
+def dedup_cluster_resolve(spark, t):
+    """Near-dup *cluster* resolution: connected components over the
+    hamming ≤ 1 simhash pair graph, canonical keeper per component.
+
+    Pairwise dedup is not enough — a≈b and b≈c must collapse to one
+    cluster even when a,c aren't a pair.  Components are computed by
+    iterative min-label propagation (each round every node takes the
+    min label in its neighborhood; driver loop = bounded control flow
+    only, all data stays distributed).  Converges in graph-diameter
+    rounds with an early-stop check.  At 100 TB use the same loop
+    with per-round checkpointing (cut lineage) or the large/small-star
+    algorithm; the oracle is an exact recursive-CTE transitive
+    closure, which proves the propagation's fixpoint.
+    """
+    from pyspark.sql import Window
+
+    tok = t["documents"].select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
+    th = tf.select("token").distinct().withColumn("h", F.expr(_SPARK_TOKHASH))
+    bits = (
+        tf.join(F.broadcast(th), "token")
+        .crossJoin(F.broadcast(spark.range(32).select(F.col("id").alias("b"))))
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr("shiftright(h, cast(b as int)) & 1") == 1, F.col("cnt")
+                ).otherwise(-F.col("cnt"))
+            ).alias("s")
+        )
+    )
+    fp = bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0,
+                F.expr("shiftleft(cast(1 as bigint), cast(b as int))"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("simhash")
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    edges = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))) <= 1
+        )
+        .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+    )
+    sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.localCheckpoint(eager=True)  # cut lineage before iterating
+
+    labels = t["documents"].select(
+        "doc_id", F.col("doc_id").alias("component_id")
+    )
+    # Min-label propagation + pointer doubling.  Plain propagation
+    # moves a label one hop per round (a d-hop chain needs d rounds —
+    # a fixed iteration cap silently returns WRONG components, caught
+    # by a 59-hop probe during verification).  The doubling step
+    # (label := label-of-label) halves remaining distance, so
+    # convergence is O(log diameter); the loop still runs to an
+    # observed fixpoint and fails loudly if the cap is ever hit.
+    for i in range(64):
+        neighbor_min = (
+            labels.join(sym, labels.doc_id == sym.u)
+            .groupBy(F.col("v").alias("doc_id"))
+            .agg(F.min("component_id").alias("nmin"))
+        )
+        parent = labels.select(
+            F.col("doc_id").alias("p_id"), F.col("component_id").alias("grand")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .join(parent, labels.component_id == parent.p_id, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce("nmin", F.col("component_id")),
+                    F.coalesce("grand", F.col("component_id")),
+                ).alias("component_id"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.component_id") != F.col("o.component_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:  # pragma: no cover - 2^64 diameter is impossible
+        raise RuntimeError("connected components did not converge")
+    return labels.groupBy("component_id").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
+
+
 @query("dedup_minhash_lsh", oracle=None)  # approx candidates → rows-only
 def dedup_minhash_lsh(spark, t):
     """L3: MinHash+LSH near-dup candidates — the 100 TB path for L2.
