@@ -84,6 +84,50 @@ def ingest_json(spark, t):
 
 
 @query(
+    "source_custom_python",
+    oracle="""
+    WITH feed AS (
+      SELECT i AS id,
+             i % 100 AS user_id,
+             (['en','de','es','fr','zh'])[CAST(i % 5 AS INT) + 1] AS lang,
+             (i * 2654435761) % 1000 / 10.0 AS score
+      FROM range(0, 2000) t(i)
+    )
+    SELECT lang,
+           count(*) AS n_tweets,
+           count(DISTINCT user_id) AS n_users,
+           ROUND(SUM(score), 2) AS sum_score
+    FROM feed GROUP BY lang
+    """,
+)
+def source_custom_python(spark, t):
+    """Custom connector via the Spark 4 Python DataSource API.
+
+    ``spark.read.format("tweetgen")`` — the engine's stand-in for the
+    reference's bespoke network source (sources/tweetgen.py).  Reads
+    are partition-parallel (8 input partitions here); the generator is
+    deterministic, so the DuckDB oracle reproduces the identical feed
+    from range() arithmetic and the hash check covers the whole
+    connector path: partition planning → per-partition iterator →
+    schema projection → aggregation.
+    """
+    from tweetdb_spark.sources.tweetgen import register
+
+    register(spark)
+    feed = (
+        spark.read.format("tweetgen")
+        .option("rows", 2000)
+        .option("partitions", 8)
+        .load()
+    )
+    return feed.groupBy("lang").agg(
+        F.count("*").alias("n_tweets"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("score"), 2).alias("sum_score"),
+    )
+
+
+@query(
     "sink_parquet_part",
     oracle="""
     SELECT event_type, count(*) AS cnt, ROUND(SUM(value), 2) AS sum_value

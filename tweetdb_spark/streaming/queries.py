@@ -179,6 +179,92 @@ def stream_stateful(spark, t):
     )
 
 
+def _has_protobuf() -> bool:
+    """transformWithStateInPandas speaks protobuf to its state server;
+    the package isn't provisioned in every environment (and this repo
+    installs nothing), so the modern-API variant registers only where
+    the dependency exists.  applyInPandasWithState (stream_stateful)
+    covers ST6 unconditionally."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _register_tws() -> None:
+    if not _has_protobuf():
+        return
+
+    @query("stream_stateful_tws", oracle=None)
+    def stream_stateful_tws(spark, t):
+        return _stream_stateful_tws_impl(spark, t)
+
+
+def _stream_stateful_tws_impl(spark, t):
+    """ST6 (modern form): transformWithStateInPandas (Spark 4).
+
+    Same running per-user purchase totals as stream_stateful, using
+    the typed-state StatefulProcessor API (ValueState handle instead
+    of a raw tuple) — the API Spark is moving arbitrary stateful
+    processing onto.  Emits updated totals per micro-batch; the
+    returned frame keeps the final row per user.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.state = handle.getValueState(
+                "totals", "cnt long, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            cnt, total = (
+                self.state.get() if self.state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                cnt += len(pdf)
+                total += float(pdf["value"].sum())
+            self.state.update((cnt, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_purchases": [cnt],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    s = read_events_stream(spark, _sf_dir(t), files_per_trigger=5)
+    purchases = s.where(F.col("event_type") == "purchase").select(
+        "user_id", "value"
+    )
+    out = purchases.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType="user_id long, n_purchases long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    mem = run_to_memory(out, "update")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_purchases").desc())
+    return (
+        mem.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_purchases", "total_value")
+    )
+
+
+_register_tws()
+
+
 @query("join_stream_static", oracle=None)
 def join_stream_static(spark, t):
     """J11: streaming events ⋈ static customer dim.
