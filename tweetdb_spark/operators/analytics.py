@@ -82,6 +82,45 @@ def agg_approx_percentile(spark, t):
     )
 
 
+@query(
+    "agg_mode",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source
+    ), ranked AS (
+      SELECT lang, source, n,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY n DESC, source
+             ) AS rn
+      FROM counts
+    )
+    SELECT lang, source AS mode_source, n AS mode_count
+    FROM ranked WHERE rn = 1
+    """,
+)
+def agg_mode(spark, t):
+    """Deterministic MODE: most frequent source per language.
+
+    Built as count → per-group argmax with an explicit tie-break
+    (alphabetical) instead of the builtin ``mode()``, whose tie
+    behavior is engine-dependent — determinism is part of the
+    operator contract here.
+    """
+    from pyspark.sql.window import Window
+
+    counts = t["documents"].groupBy("lang", "source").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("source"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "lang",
+            F.col("source").alias("mode_source"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 

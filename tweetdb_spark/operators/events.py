@@ -136,6 +136,74 @@ def events_session_batch(spark, t):
 
 
 @query(
+    "events_resample_ffill",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS t0,
+             CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS t1
+      FROM events WHERE event_type = 'purchase'
+    ), grid AS (
+      SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour_start
+      FROM bounds
+    ), hourly AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+             ROUND(SUM(value), 2) AS revenue
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    )
+    SELECT g.hour_start,
+           h.revenue,
+           COALESCE(h.revenue,
+                    LAST_VALUE(h.revenue IGNORE NULLS) OVER (
+                      ORDER BY g.hour_start
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    )) AS revenue_ffill,
+           CASE WHEN h.revenue IS NULL THEN 1 ELSE 0 END AS was_gap
+    FROM grid g LEFT JOIN hourly h USING (hour_start)
+    """,
+)
+def events_resample_ffill(spark, t):
+    """Time-series resample to an hourly grid + forward-fill.
+
+    The gap-filling primitive (pandas ``resample().ffill()`` shape):
+    a dense hour grid is generated with ``sequence`` + explode (the
+    bounds come from a 1-row broadcast aggregate — no driver collect),
+    left-joined to the sparse hourly aggregate, and gaps take the last
+    non-null prior value via ``last(ignorenulls=True)`` over a
+    preceding-rows frame.  The grid is bounded (hours between min and
+    max), so the unpartitioned window is safe at any input scale; for
+    per-entity resampling, partition the window by the entity key.
+    """
+    p = t["events"].where(F.col("event_type") == "purchase")
+    bounds = p.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start")
+    )
+    hourly = p.groupBy(F.date_trunc("hour", "ts").alias("hour_start")).agg(
+        F.round(F.sum("value"), 2).alias("revenue")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("hour_start").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        grid.join(hourly, "hour_start", "left")
+        .select(
+            "hour_start",
+            "revenue",
+            F.coalesce(
+                "revenue", F.last("revenue", ignorenulls=True).over(w)
+            ).alias("revenue_ffill"),
+            F.when(F.col("revenue").isNull(), 1).otherwise(0).alias("was_gap"),
+        )
+    )
+
+
+@query(
     "events_sessionize",
     oracle="""
     SELECT user_id, count(*) AS n_purchases, ROUND(SUM(value), 2) AS total_value

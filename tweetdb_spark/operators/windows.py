@@ -111,6 +111,46 @@ def win_lag_lead(spark, t):
 
 
 @query(
+    "win_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+)
+def win_first_last(spark, t):
+    """first_value / last_value / nth_value over a full-partition frame.
+
+    The frame must be explicitly UNBOUNDED FOLLOWING for last/nth:
+    the default frame ends at CURRENT ROW, which silently turns
+    last_value into "current value" — a classic window footgun, pinned
+    identically on both engines here.
+    """
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+@query(
     "win_frame_rows",
     oracle="""
     WITH daily AS (
