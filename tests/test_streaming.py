@@ -141,6 +141,31 @@ def test_tweet_pipeline_normalize_dedups_doubled_feed(q, tables):
     assert total_uses == n_tokens
 
 
+def test_custom_stream_source_drains_full_feed(q, spark):
+    """The offset-tracked tweetgen stream (4 micro-batches of 250)
+    must aggregate to exactly what the batch read of the same
+    generator produces."""
+    from pyspark.sql import functions as F
+
+    from tweetdb_spark.sources.tweetgen import register
+
+    register(spark)
+    batch = (
+        spark.read.format("tweetgen")
+        .option("rows", 1000)
+        .option("partitions", 4)
+        .load()
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_tweets"),
+            F.round(F.sum("score"), 2).alias("sum_score"),
+        )
+    )
+    b = sorted(map(tuple, batch.collect()))
+    s = sorted(map(tuple, q("source_stream_custom").collect()))
+    assert s == b
+
+
 def test_checkpoint_restart_is_exactly_once(spark, tables):
     """Restarting a stream on the same checkpoint must process each
     input file exactly once: second availableNow run with no new files

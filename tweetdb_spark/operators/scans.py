@@ -84,6 +84,71 @@ def ingest_json(spark, t):
 
 
 @query(
+    "ingest_json_corrupt",
+    oracle="""
+    WITH feed AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 10 = 0 THEN substr(props, 1, 3)
+                  ELSE props END AS raw
+      FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN json_valid(raw) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_valid,
+           CAST(SUM(CASE WHEN json_valid(raw) THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_corrupt,
+           CAST(SUM(CASE WHEN json_valid(raw)
+                    THEN CAST(json_extract_string(raw, '$.k') AS INTEGER)
+                    ELSE 0 END) AS BIGINT) AS sum_k
+    FROM feed GROUP BY event_type
+    """,
+)
+def ingest_json_corrupt(spark, t):
+    """Corrupt-record handling on the JSON ingest path.
+
+    Every 10th payload is deliberately truncated; PERMISSIVE
+    ``from_json`` with ``columnNameOfCorruptRecord`` quarantines bad
+    rows into a side column instead of failing the pipeline — the
+    data-quality triage every real feed needs (the FAILFAST mode is
+    the same parse with mode=FAILFAST).  Valid/corrupt tallies and the
+    valid-only aggregate are hash-checked against DuckDB's
+    ``json_valid``.
+    """
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("k", IntegerType(), True),
+            StructField("_corrupt", StringType(), True),
+        ]
+    )
+    raw = t["events"].select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_id") % 10 == 0, F.substring("props", 1, 3)
+        ).otherwise(F.col("props")).alias("raw"),
+    )
+    parsed = raw.select(
+        "event_type",
+        F.from_json(
+            "raw",
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("p"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.sum(F.when(F.col("p._corrupt").isNull(), 1).otherwise(0)).alias("n_valid"),
+        F.sum(F.when(F.col("p._corrupt").isNotNull(), 1).otherwise(0)).alias(
+            "n_corrupt"
+        ),
+        F.sum(
+            F.when(F.col("p._corrupt").isNull(), F.col("p.k")).otherwise(0)
+        ).alias("sum_k"),
+    )
+
+
+@query(
     "source_custom_python",
     oracle="""
     WITH feed AS (

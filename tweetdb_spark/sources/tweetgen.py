@@ -15,7 +15,12 @@ body for socket reads; partition planning and schema stay identical.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 LANGS = ["en", "de", "es", "fr", "zh"]
 SCHEMA = "id bigint, user_id bigint, lang string, score double"
@@ -55,6 +60,52 @@ class TweetGenReader(DataSourceReader):
             yield gen_row(i)
 
 
+class TweetGenStreamReader(DataSourceStreamReader):
+    """Offset-tracked streaming variant — the tweepy-Stream analog.
+
+    Offsets are plain row indices: ``initialOffset`` starts at 0,
+    ``latestOffset`` advances by ``batch_rows`` per micro-batch up to
+    ``rows`` (so a run processes the feed in rate-limited chunks, like
+    a long-poll connection draining), ``partitions(start, end)``
+    splits each batch's index range, and ``commit`` is the ack.  A
+    network connector would map offsets to since_id/checkpoint tokens;
+    everything else is identical.
+    """
+
+    def __init__(self, options) -> None:
+        self.n_rows = int(options.get("rows", 1000))
+        self.n_parts = int(options.get("partitions", 4))
+        self.batch_rows = int(options.get("batchRows", 250))
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def latestOffset(self) -> dict:
+        # In a live source this asks the feed "what's new"; the
+        # generator exposes the next rate-limited chunk each time.
+        if not hasattr(self, "_cur"):
+            self._cur = 0
+        self._cur = min(self.n_rows, self._cur + self.batch_rows)
+        return {"offset": self._cur}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["offset"], end["offset"]
+        if hi <= lo:
+            return [_Partition(lo, lo)]
+        step = max(1, (hi - lo) // self.n_parts)
+        bounds = list(range(lo, hi, step)) + [hi]
+        return [
+            _Partition(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)
+        ]
+
+    def read(self, partition: _Partition):
+        for i in range(partition.start, partition.end):
+            yield gen_row(i)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are deterministic; nothing to ack
+
+
 class TweetGenDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -65,6 +116,9 @@ class TweetGenDataSource(DataSource):
 
     def reader(self, schema) -> TweetGenReader:
         return TweetGenReader(self.options)
+
+    def streamReader(self, schema) -> TweetGenStreamReader:
+        return TweetGenStreamReader(self.options)
 
 
 def register(spark) -> None:
