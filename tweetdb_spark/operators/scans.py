@@ -114,13 +114,12 @@ def ingest_json_corrupt(spark, t):
     valid-only aggregate are hash-checked against DuckDB's
     ``json_valid``.
     """
-    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+    from pyspark.sql.types import StringType, StructField, StructType
 
+    # one source of truth for the payload shape: PROPS_JSON + the
+    # quarantine column
     schema = StructType(
-        [
-            StructField("k", IntegerType(), True),
-            StructField("_corrupt", StringType(), True),
-        ]
+        list(PROPS_JSON.fields) + [StructField("_corrupt", StringType(), True)]
     )
     raw = t["events"].select(
         "event_id",

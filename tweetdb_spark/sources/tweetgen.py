@@ -41,69 +41,67 @@ class _Partition(InputPartition):
         self.start, self.end = start, end
 
 
+def _split_range(lo: int, hi: int, n_parts: int) -> list[_Partition]:
+    """Split [lo, hi) into ≤ n_parts contiguous partitions; always at
+    least one (possibly empty) — the DataSource API rejects []."""
+    if hi <= lo:
+        return [_Partition(lo, lo)]
+    step = max(1, (hi - lo) // n_parts)
+    bounds = list(range(lo, hi, step)) + [hi]
+    return [_Partition(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)]
+
+
+def _read_range(partition: _Partition):
+    for i in range(partition.start, partition.end):
+        yield gen_row(i)
+
+
 class TweetGenReader(DataSourceReader):
     def __init__(self, options) -> None:
         self.n_rows = int(options.get("rows", 1000))
         self.n_parts = int(options.get("partitions", 8))
 
     def partitions(self):
-        if self.n_rows <= 0:
-            return [_Partition(0, 0)]  # one empty partition, never zero
-        step = max(1, self.n_rows // self.n_parts)
-        bounds = list(range(0, self.n_rows, step)) + [self.n_rows]
-        return [
-            _Partition(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)
-        ]
+        return _split_range(0, max(0, self.n_rows), self.n_parts)
 
     def read(self, partition: _Partition):
-        for i in range(partition.start, partition.end):
-            yield gen_row(i)
+        return _read_range(partition)
 
 
 class TweetGenStreamReader(DataSourceStreamReader):
     """Offset-tracked streaming variant — the tweepy-Stream analog.
 
     Offsets are plain row indices: ``initialOffset`` starts at 0,
-    ``latestOffset`` advances by ``batch_rows`` per micro-batch up to
-    ``rows`` (so a run processes the feed in rate-limited chunks, like
-    a long-poll connection draining), ``partitions(start, end)``
-    splits each batch's index range, and ``commit`` is the ack.  A
-    network connector would map offsets to since_id/checkpoint tokens;
-    everything else is identical.
+    ``latestOffset`` reports everything currently available (the full
+    generator — a live feed would report its current head),
+    ``partitions(start, end)`` splits the batch's index range, and
+    ``commit`` is the ack.  Restart-safe by construction: the reader
+    keeps NO progress state of its own, so after a crash Spark plans
+    exactly (checkpointed offset → latest) — per-instance counters
+    here would regress below the committed offset on restart and
+    replay rows (a bug caught in review).  A network connector maps
+    offsets to since_id/checkpoint tokens; everything else is
+    identical.
     """
 
     def __init__(self, options) -> None:
         self.n_rows = int(options.get("rows", 1000))
         self.n_parts = int(options.get("partitions", 4))
-        self.batch_rows = int(options.get("batchRows", 250))
 
     def initialOffset(self) -> dict:
         return {"offset": 0}
 
     def latestOffset(self) -> dict:
-        # In a live source this asks the feed "what's new"; the
-        # generator exposes the next rate-limited chunk each time.
-        if not hasattr(self, "_cur"):
-            self._cur = 0
-        self._cur = min(self.n_rows, self._cur + self.batch_rows)
-        return {"offset": self._cur}
+        return {"offset": max(0, self.n_rows)}
 
     def partitions(self, start: dict, end: dict):
-        lo, hi = start["offset"], end["offset"]
-        if hi <= lo:
-            return [_Partition(lo, lo)]
-        step = max(1, (hi - lo) // self.n_parts)
-        bounds = list(range(lo, hi, step)) + [hi]
-        return [
-            _Partition(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)
-        ]
+        return _split_range(start["offset"], end["offset"], self.n_parts)
 
     def read(self, partition: _Partition):
-        for i in range(partition.start, partition.end):
-            yield gen_row(i)
+        return _read_range(partition)
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are deterministic; nothing to ack
+        pass  # offsets are deterministic row indices; nothing to ack
 
 
 class TweetGenDataSource(DataSource):

@@ -185,9 +185,9 @@ def source_stream_custom(spark, t):
     read through ``spark.readStream`` with real offset tracking
     (initialOffset → latestOffset → partitions → commit per
     micro-batch) — the engine's stand-in for the reference's tweepy
-    long-poll stream.  availableNow drains the feed in rate-limited
-    batches (batchRows per trigger); pytest asserts the drained rows
-    equal the batch read of the same generator.
+    long-poll stream.  The reader is stateless (restart-safe: Spark
+    plans checkpointed-offset → latest); pytest asserts the drained
+    rows equal the batch read of the same generator.
     """
     from tweetdb_spark.sources.tweetgen import register
 
@@ -196,31 +196,13 @@ def source_stream_custom(spark, t):
         spark.readStream.format("tweetgen")
         .option("rows", 1000)
         .option("partitions", 4)
-        .option("batchRows", 250)
         .load()
     )
     agg = feed.groupBy("lang").agg(
         F.count("*").alias("n_tweets"),
         F.round(F.sum("score"), 2).alias("sum_score"),
     )
-    # availableNow would snapshot only the FIRST latestOffset (250
-    # rows); processAllAvailable keeps triggering micro-batches while
-    # the source's offset advances — the actual long-poll drain shape.
-    import tempfile
-    import uuid
-
-    name = f"mem_{uuid.uuid4().hex[:12]}"
-    ckpt = f"{tempfile.gettempdir()}/tweetdb_ckpt_{name}"
-    sq = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    sq.processAllAvailable()
-    sq.stop()
-    return spark.table(name)
+    return run_to_memory(agg, "complete", drain="all_available")
 
 
 def _has_protobuf() -> bool:

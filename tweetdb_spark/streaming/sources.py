@@ -102,24 +102,31 @@ def read_events_stream(
 
 
 def run_to_memory(
-    df: DataFrame, mode: str = "append", files_per_trigger_hint: str = ""
+    df: DataFrame, mode: str = "append", drain: str = "available_now"
 ) -> DataFrame:
     """Run a streaming frame to completion into an in-memory table.
 
-    availableNow trigger: processes everything currently staged in
-    micro-batches, then stops — deterministic, and the same code path
-    (IncrementalExecution, state store, watermark advancement) as a
-    live continuous stream.  Returns the sink table as a DataFrame.
+    drain="available_now": availableNow trigger — processes everything
+    available at query start in micro-batches, then stops.
+    drain="all_available": default trigger + processAllAvailable —
+    keeps firing micro-batches while the source reports new offsets
+    (needed when the source's availability itself advances over time).
+    Both run the real IncrementalExecution / state-store / watermark
+    machinery; returns the sink table as a DataFrame.
     """
     name = f"mem_{uuid.uuid4().hex[:12]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"tweetdb_ckpt_{name}")
-    q = (
+    writer = (
         df.writeStream.format("memory")
         .queryName(name)
         .outputMode(mode)
         .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    if drain == "available_now":
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        q = writer.start()
+        q.processAllAvailable()
+        q.stop()
     return df.sparkSession.table(name)
