@@ -121,6 +121,73 @@ def agg_mode(spark, t):
     )
 
 
+@query(
+    "merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             FLOOR(o_totalprice * 1.1 * 100 + 0.5) / 100 AS o_totalprice, 2 AS version
+      FROM orders WHERE o_orderkey % 7 = 0
+    ), base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 1 AS version
+      FROM orders
+    ), unioned AS (
+      SELECT * FROM base UNION ALL SELECT * FROM updates
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY o_orderkey ORDER BY version DESC
+             ) AS rn
+      FROM unioned
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, version
+    FROM ranked WHERE rn = 1
+    """,
+)
+def merge_upsert(spark, t):
+    """MERGE/upsert semantics on plain parquet (SCD-1 latest-wins).
+
+    Without a transactional table format, upsert = union(base, changes)
+    → per-key latest by version via window rank — the standard
+    snapshot-merge.  One shuffle on the merge key; at 100 TB, write
+    the result partitioned/bucketed by the key so the next merge
+    co-locates, and promote to Delta/Iceberg MERGE INTO when a
+    transactional format is available (same logical semantics).
+    Changes here are synthesized deterministically (every 7th order
+    re-priced at +10%) so the result is oracle-checkable.
+    """
+    from pyspark.sql.window import Window
+
+    base = t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(1).alias("version"),
+    )
+    updates = (
+        t["orders"]
+        .where(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            # explicit half-up via floor: round() diverges cross-engine on
+            # exact half-cents (decimal-string vs binary rounding)
+            (F.floor(F.col("o_totalprice") * 1.1 * 100 + 0.5) / 100).alias(
+                "o_totalprice"
+            ),
+            F.lit(2).alias("version"),
+        )
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
+    return (
+        base.unionAll(updates)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 

@@ -341,6 +341,65 @@ def join_skew_salted(spark, t):
 
 
 @query(
+    "join_interval_bucketed",
+    oracle="""
+    SELECT s.event_id AS signup_id, s.user_id,
+           e.event_id AS event_id, e.event_type, e.ts
+    FROM events s JOIN events e
+      ON s.user_id = e.user_id
+     AND e.ts > s.ts
+     AND e.ts <= s.ts + INTERVAL 1 HOUR
+    WHERE s.event_type = 'signup' AND e.event_type <> 'signup'
+    """,
+)
+def join_interval_bucketed(spark, t):
+    """The 100 TB rewrite of join_interval, proven exact.
+
+    Pure range joins degrade to per-key scans; the scalable form
+    buckets both sides by hour and equi-joins on
+    (user_id, hour_bucket) with the probe side exploded to the two
+    candidate buckets its 1-hour window can touch, then re-applies the
+    exact range predicate.  The shuffle key gains the time dimension
+    (finer partitioning, bounded probe width).  The ORACLE IS THE
+    NAIVE INTERVAL JOIN — the hash check proves the rewrite returns
+    byte-identical results.
+    """
+    e = t["events"]
+    hour = lambda c: F.floor(F.unix_micros(F.col(c)) / (3600 * 1_000_000))  # noqa: E731
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            "user_id",
+            F.col("ts").alias("s_ts"),
+        )
+        # a (s_ts, s_ts+1h] window spans the signup's own hour bucket
+        # and the next one
+        .withColumn("b", F.explode(F.array(hour("s_ts"), hour("s_ts") + 1)))
+    )
+    x = (
+        e.where(F.col("event_type") != "signup")
+        .select(
+            F.col("user_id").alias("x_user_id"),
+            F.col("event_id").alias("event_id"),
+            "event_type",
+            "ts",
+        )
+        .withColumn("b", hour("ts"))
+    )
+    return (
+        s.join(x, (s.user_id == x.x_user_id) & (s.b == x.b))
+        .where(
+            (F.col("ts") > F.col("s_ts"))
+            & (F.col("ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        # no distinct needed: the event side has exactly one bucket, so
+        # each (signup, event) pair joins at most once
+        .select("signup_id", "user_id", "event_id", "event_type", "ts")
+    )
+
+
+@query(
     "join_interval",
     oracle="""
     SELECT s.event_id AS signup_id, s.user_id,
