@@ -101,6 +101,36 @@ def test_grouping_sets_matches_union_of_groupbys(q, spark, tables):
     assert q("agg_grouping_sets").count() == n_lang + n_src + 1
 
 
+def test_resample_ffill_leading_gap_stays_null(spark):
+    """Hours before the first observation have nothing to forward-fill
+    — revenue_ffill must stay NULL there, then fill after the first
+    value (crafted data; operator functions take (spark, tables))."""
+    import datetime as dt
+
+    from tweetdb_spark.operators import events as E
+
+    rows = [
+        # first purchase at 12:00; grid is built from purchases only,
+        # so craft one earlier purchase-hour gap by spreading values
+        (1, dt.datetime(2024, 1, 1, 12, 5), 7, "purchase", 10.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 15, 5), 7, "purchase", 20.0, "{}"),
+    ]
+    crafted = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {
+        r.hour_start.hour: (r.revenue, r.revenue_ffill, r.was_gap)
+        for r in E.events_resample_ffill(spark, {"events": crafted}).collect()
+    }
+    assert set(out) == {12, 13, 14, 15}
+    assert out[12] == (10.0, 10.0, 0)
+    assert out[13] == (None, 10.0, 1)   # gap carries 12:00's value
+    assert out[14] == (None, 10.0, 1)
+    assert out[15] == (20.0, 20.0, 0)
+
+
 def test_same_result_across_runs(q):
     """Determinism: two executions of a rank query give identical rows."""
     a = sorted(map(tuple, q("win_rank_dense").collect()))

@@ -86,6 +86,28 @@ def test_fake_decode_total_and_bounded(payload):
 
 
 @given(
+    st.integers(min_value=0, max_value=10_000),
+    st.integers(min_value=0, max_value=10_000),
+    st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=200, deadline=None)
+def test_split_range_partitions_cover_exactly(lo, hi, n_parts):
+    """The connector's range splitter must tile [lo, hi) exactly:
+    contiguous, non-overlapping, never an empty list."""
+    from tweetdb_spark.sources.tweetgen import _split_range
+
+    parts = _split_range(lo, hi, n_parts)
+    assert parts, "empty partition list (DataSource API rejects it)"
+    if hi <= lo:
+        assert all(p.start == p.end for p in parts)
+        return
+    assert parts[0].start == lo and parts[-1].end == hi
+    for a, b in zip(parts, parts[1:]):
+        assert a.end == b.start
+    assert sum(p.end - p.start for p in parts) == hi - lo
+
+
+@given(
     st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=1, max_size=20),
     st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=1, max_size=20),
 )
