@@ -11,11 +11,17 @@ this module only adapts the engine's registry to the contract.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-import tweetdb_spark
+# the engine package lives next to this file; make the import robust
+# to a driver that loads this module from a different working dir
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import tweetdb_spark  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -89,6 +89,65 @@ def multimodal_meta(spark, t):
 
 
 @query(
+    "multimodal_features",
+    oracle="""
+    WITH bytes AS (
+      SELECT doc_id,
+             ascii(substr(text, CAST(i AS INT), 1)) // 32 AS bucket
+      FROM documents, LATERAL unnest(range(1, length(text) + 1)) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS f0,
+           CAST(SUM(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(SUM(CASE WHEN bucket = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+           CAST(SUM(CASE WHEN bucket = 3 THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+           CAST(SUM(CASE WHEN bucket >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS f_hi,
+           count(*) AS n_bytes
+    FROM bytes GROUP BY doc_id
+    """,
+)
+def multimodal_features(spark, t):
+    """Feature extraction over binary payloads (byte-histogram stub).
+
+    The feature-extract stage of the multimodal pipeline as an
+    Arrow-batched ``mapInPandas``: each payload reduces to a fixed-dim
+    feature vector (here a 5-bin byte histogram; a real extractor
+    returns CLIP/codec features from the same signature).  Fixed-width
+    typed output columns — the shape a downstream embedding table
+    ingests.  Deterministic, so fully oracle-checked.
+    """
+    src = t["documents"].select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                hist = [0, 0, 0, 0, 0]
+                for b in raw:
+                    hist[min(b // 32, 4)] += 1
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "f0": hist[0],
+                        "f1": hist[1],
+                        "f2": hist[2],
+                        "f3": hist[3],
+                        "f_hi": hist[4],
+                        "n_bytes": len(raw),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        featurize,
+        "doc_id long, f0 long, f1 long, f2 long, f3 long, f_hi long, n_bytes long",
+    )
+
+
+@query(
     "multimodal_decode_stub",
     oracle="""
     WITH d AS (
