@@ -101,6 +101,26 @@ def test_grouping_sets_matches_union_of_groupbys(q, spark, tables):
     assert q("agg_grouping_sets").count() == n_lang + n_src + 1
 
 
+def test_udtf_handles_null_text(spark):
+    """TokenizeUDTF must yield nothing for NULL input, not crash
+    (the fixture corpus has no nulls, so this branch needs a crafted
+    row)."""
+    from tweetdb_spark.functions.udfs import TokenizeUDTF
+
+    spark.udtf.register("tokenize_nulltest", TokenizeUDTF)
+    spark.createDataFrame(
+        [(1, "a b"), (2, None)], "doc_id long, text string"
+    ).createOrReplaceTempView("nulldocs")
+    rows = spark.sql(
+        "SELECT d.doc_id, tk.token, tk.pos "
+        "FROM nulldocs d, LATERAL tokenize_nulltest(d.text) tk"
+    ).collect()
+    assert sorted((r.doc_id, r.token, r.pos) for r in rows) == [
+        (1, "a", 1),
+        (1, "b", 2),
+    ]
+
+
 def test_resample_ffill_leading_gap_stays_null(spark):
     """Hours before the first observation have nothing to forward-fill
     — revenue_ffill must stay NULL there, then fill after the first
