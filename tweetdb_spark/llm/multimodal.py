@@ -29,6 +29,17 @@ from pyspark.sql import functions as F
 
 from tweetdb_spark.registry import query
 
+def _ascii_sane(col: str):
+    """Replace non-printable-ASCII codepoints with '?' so the synthetic
+    payload's bytes equal its codepoints on any corpus — keeps the
+    byte-level UDFs and the character-level DuckDB oracles equivalent
+    (real opaque payloads skip this; their oracle is bytes-only
+    metadata as in multimodal_meta)."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(col, "[^ -~]", "?")
+
+
 DECODED_SCHEMA = (
     "doc_id long, n_bytes long, width int, height int, n_frames int, "
     "resized_w int, resized_h int, frame_idx array<int>"
@@ -91,10 +102,15 @@ def multimodal_meta(spark, t):
 @query(
     "multimodal_features",
     oracle="""
-    WITH bytes AS (
+    WITH sane AS (
+      -- ASCII-sanitize so codepoints == bytes on any corpus (the Spark
+      -- side applies the identical replacement before encoding)
+      SELECT doc_id, regexp_replace(text, '[^ -~]', '?', 'g') AS text
+      FROM documents
+    ), bytes AS (
       SELECT doc_id,
              ascii(substr(text, CAST(i AS INT), 1)) // 32 AS bucket
-      FROM documents, LATERAL unnest(range(1, length(text) + 1)) AS t(i)
+      FROM sane, LATERAL unnest(range(1, length(text) + 1)) AS t(i)
     )
     SELECT doc_id,
            CAST(SUM(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS f0,
@@ -117,7 +133,7 @@ def multimodal_features(spark, t):
     ingests.  Deterministic, so fully oracle-checked.
     """
     src = t["documents"].select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
+        "doc_id", F.encode(_ascii_sane("text"), "utf-8").alias("payload")
     )
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -150,13 +166,16 @@ def multimodal_features(spark, t):
 @query(
     "multimodal_decode_stub",
     oracle="""
-    WITH d AS (
+    WITH sane AS (
+      SELECT doc_id, regexp_replace(text, '[^ -~]', '?', 'g') AS text
+      FROM documents
+    ), d AS (
       SELECT doc_id,
              octet_length(encode(text)) AS n_bytes,
              ascii(substr(text, 1, 1)) % 64 + 16 AS width,
              ascii(substr(text, 2, 1)) % 64 + 16 AS height,
              octet_length(encode(text)) % 7 + 1 AS n_frames
-      FROM documents
+      FROM sane
     )
     SELECT doc_id, n_bytes, width, height, n_frames,
            width // 2 AS resized_w,
@@ -176,7 +195,7 @@ def multimodal_decode_stub(spark, t):
     the production shape either way.
     """
     src = t["documents"].select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
+        "doc_id", F.encode(_ascii_sane("text"), "utf-8").alias("payload")
     )
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

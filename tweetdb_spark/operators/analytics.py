@@ -22,7 +22,12 @@ from tweetdb_spark.registry import query
            ROUND(var_samp(l_quantity), 4) AS var_qty,
            ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
            ROUND(covar_samp(l_discount, l_tax), 6) AS cov_disc_tax,
-           ROUND(skewness(l_extendedprice), 4) AS skew_price
+           -- DuckDB skewness() is bias-corrected SAMPLE skewness; Spark's
+           -- is POPULATION (m3/m2^1.5) — undo the correction factor
+           -- sqrt(n(n-1))/(n-2) so both sides compute the same statistic
+           ROUND(skewness(l_extendedprice)
+                 * (count(*) - 2) / sqrt(count(*) * (count(*) - 1.0)), 4)
+             AS skew_price
     FROM lineitem
     GROUP BY l_returnflag
     """,

@@ -326,7 +326,9 @@ def join_skew_salted(spark, t):
     misses or stateful streaming joins).
     """
     nsalt = 16
-    e = t["events"].withColumn("salt", (F.col("event_id") % nsalt).cast("int"))
+    # pmod, not %: Spark's % returns negative remainders for negative
+    # keys, which would silently drop rows (no dim salt < 0)
+    e = t["events"].withColumn("salt", F.pmod(F.col("event_id"), F.lit(nsalt)).cast("int"))
     d = (
         t["events"]
         .select("event_type")
@@ -340,9 +342,10 @@ def join_skew_salted(spark, t):
     )
 
 
-@query(
-    "join_interval_bucketed",
-    oracle="""
+# The naive interval-join SQL — shared verbatim by join_interval (its
+# own oracle) and join_interval_bucketed (whose correctness proof is
+# that the rewrite hash-matches THIS query).
+_INTERVAL_ORACLE = """
     SELECT s.event_id AS signup_id, s.user_id,
            e.event_id AS event_id, e.event_type, e.ts
     FROM events s JOIN events e
@@ -350,7 +353,12 @@ def join_skew_salted(spark, t):
      AND e.ts > s.ts
      AND e.ts <= s.ts + INTERVAL 1 HOUR
     WHERE s.event_type = 'signup' AND e.event_type <> 'signup'
-    """,
+    """
+
+
+@query(
+    "join_interval_bucketed",
+    oracle=_INTERVAL_ORACLE,
 )
 def join_interval_bucketed(spark, t):
     """The 100 TB rewrite of join_interval, proven exact.
@@ -401,15 +409,7 @@ def join_interval_bucketed(spark, t):
 
 @query(
     "join_interval",
-    oracle="""
-    SELECT s.event_id AS signup_id, s.user_id,
-           e.event_id AS event_id, e.event_type, e.ts
-    FROM events s JOIN events e
-      ON s.user_id = e.user_id
-     AND e.ts > s.ts
-     AND e.ts <= s.ts + INTERVAL 1 HOUR
-    WHERE s.event_type = 'signup' AND e.event_type <> 'signup'
-    """,
+    oracle=_INTERVAL_ORACLE,
 )
 def join_interval(spark, t):
     """J10: interval join — activity within 1h after each signup.

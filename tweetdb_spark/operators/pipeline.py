@@ -146,7 +146,7 @@ def tweet_pipeline_stream(spark, t):
 
     The staged events feed plays the raw stream; each micro-batch is
     parsed, watermark-deduped on event_id (the tweet-id dedup), and
-    normalized; the per-type rollup lands in the sink in update mode.
+    normalized; the per-type rollup lands in the sink in complete mode.
     Equal to the batch groupBy on the same feed (asserted in tests).
     """
     from tweetdb_spark.streaming.sources import read_events_stream, run_to_memory
