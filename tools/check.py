@@ -70,6 +70,11 @@ def main() -> int:
     vanilla = "--vanilla" in args
     only = {a for a in args if not a.startswith("--")}
     qs, oracles = e.queries(), e.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd key must fail loudly, not report "0 pass, 0 fail"
+        print(f"unknown query keys: {sorted(unknown)}")
+        return 2
 
     if vanilla:
         # driver simulation: a plain session with none of the engine's

@@ -39,10 +39,15 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-# (session-id, sf_dir) -> table dict; plan construction is pure
-# metadata, so reuse across query calls saves ~10 py4j/catalog round
-# trips per invocation (material in per-query benchmarks).
-_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+# (session-id, sf_dir) -> (session-ref, full table dict); plan
+# construction is pure metadata, so reuse across query calls saves ~10
+# py4j/catalog round trips per invocation (material in per-query
+# benchmarks).  The session object itself is kept in the value so its
+# id() can never be recycled for a different live session while the
+# cache entry exists.  ONLY full loads are cached — caching a subset
+# would poison later full-load calls (a names=['events'] staging call
+# must not leave a 1-table dict behind for registry queries).
+_CACHE: dict[tuple[int, str], tuple[SparkSession, dict[str, DataFrame]]] = {}
 # session-id -> sf_dir whose views are currently registered (temp
 # views are session-global, so a session alternating between sf_dirs
 # must re-register or spark.sql() queries would read stale views).
@@ -59,13 +64,16 @@ def load_tables(spark: SparkSession, sf_dir: str,
     (the driver's) can read events.
     """
     sid = id(spark._jsparkSession)
-    cached = _CACHE.get((sid, sf_dir))
-    if cached is not None and (names is None or all(n in cached for n in names)):
+    entry = _CACHE.get((sid, sf_dir))
+    if entry is not None:
+        cached = entry[1]
         if _VIEWS_FOR.get(sid) != sf_dir:
             for name, df in cached.items():
                 df.createOrReplaceTempView(name)
             _VIEWS_FOR[sid] = sf_dir
-        return cached
+        if names is None:
+            return cached
+        return {n: cached[n] for n in names}
     configure(spark)
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         raise RuntimeError(
@@ -77,6 +85,7 @@ def load_tables(spark: SparkSession, sf_dir: str,
         df = read_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
-    _CACHE[(sid, sf_dir)] = out
-    _VIEWS_FOR[sid] = sf_dir
+    if names is None:  # cache only complete loads
+        _CACHE[(sid, sf_dir)] = (spark, out)
+        _VIEWS_FOR[sid] = sf_dir
     return out

@@ -105,6 +105,42 @@ _DUCK_TOKHASH = (
 _HAMMING_MAX = 3
 
 
+def _simhash_fingerprints(spark, t):
+    """(doc_id, simhash) for every document — the 32-bit tf-weighted
+    bit-vote fingerprint.  Single implementation shared by
+    dedup_simhash and dedup_cluster_resolve so the Spark pipeline can
+    never drift from the (identical) oracle SQL both embed."""
+    tok = t["documents"].select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
+    th = tf.select("token").distinct().withColumn("h", F.expr(_SPARK_TOKHASH))
+    bits = (
+        tf.join(F.broadcast(th), "token")
+        .crossJoin(F.broadcast(spark.range(32).select(F.col("id").alias("b"))))
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                # pyspark's shiftright() only takes a literal shift, so
+                # the column-shift goes through SQL expr
+                F.when(
+                    F.expr("shiftright(h, cast(b as int)) & 1") == 1, F.col("cnt")
+                ).otherwise(-F.col("cnt"))
+            ).alias("s")
+        )
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0,
+                F.expr("shiftleft(cast(1 as bigint), cast(b as int))"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("simhash")
+    )
+
+
 @query(
     "dedup_simhash",
     oracle=f"""
@@ -151,39 +187,7 @@ def dedup_simhash(spark, t):
     A true near-dup differs in few bits, so by pigeonhole it shares at
     least one of the 4 bands.
     """
-    tok = t["documents"].select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
-    )
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
-    th = (
-        tf.select("token")
-        .distinct()
-        .withColumn("h", F.expr(_SPARK_TOKHASH))
-    )
-    bits = (
-        tf.join(F.broadcast(th), "token")
-        .crossJoin(F.broadcast(spark.range(32).select(F.col("id").alias("b"))))
-        .groupBy("doc_id", "b")
-        .agg(
-            F.sum(
-                # pyspark's shiftright() only takes a literal shift, so
-                # the column-shift goes through SQL expr
-                F.when(
-                    F.expr("shiftright(h, cast(b as int)) & 1") == 1, F.col("cnt")
-                ).otherwise(-F.col("cnt"))
-            ).alias("s")
-        )
-    )
-    fp = bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("s") > 0,
-                F.expr("shiftleft(cast(1 as bigint), cast(b as int))"),
-            ).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("simhash")
-    )
+    fp = _simhash_fingerprints(spark, t)
     bands = fp.crossJoin(
         F.broadcast(spark.range(4).select(F.col("id").alias("j")))
     ).select(
@@ -378,33 +382,7 @@ def dedup_cluster_resolve(spark, t):
     """
     from pyspark.sql import Window
 
-    tok = t["documents"].select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
-    )
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
-    th = tf.select("token").distinct().withColumn("h", F.expr(_SPARK_TOKHASH))
-    bits = (
-        tf.join(F.broadcast(th), "token")
-        .crossJoin(F.broadcast(spark.range(32).select(F.col("id").alias("b"))))
-        .groupBy("doc_id", "b")
-        .agg(
-            F.sum(
-                F.when(
-                    F.expr("shiftright(h, cast(b as int)) & 1") == 1, F.col("cnt")
-                ).otherwise(-F.col("cnt"))
-            ).alias("s")
-        )
-    )
-    fp = bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("s") > 0,
-                F.expr("shiftleft(cast(1 as bigint), cast(b as int))"),
-            ).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("simhash")
-    )
+    fp = _simhash_fingerprints(spark, t)
     a, b = fp.alias("a"), fp.alias("b")
     edges = (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))

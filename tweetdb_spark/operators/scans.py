@@ -207,7 +207,13 @@ def sink_parquet_part(spark, t):
     written copy back, and aggregates it — the oracle aggregates the
     *original*, so the hash check proves the round-trip is lossless.
     """
-    out = os.path.join(tempfile.gettempdir(), "tweetdb_spark_sink_parquet_part")
+    # unique path per call: a shared fixed dir races when two processes
+    # (pytest + check.py) overwrite/read it concurrently
+    import uuid as _uuid
+
+    out = os.path.join(
+        tempfile.gettempdir(), f"tweetdb_sink_part_{_uuid.uuid4().hex[:8]}"
+    )
     (
         t["events"]
         .write.mode("overwrite")

@@ -134,6 +134,20 @@ def stream_dedup(spark, t):
     return run_to_memory(deduped, "append")
 
 
+def _latest_totals_per_user(mem):
+    """Update-mode sinks hold one row per (user, micro-batch); the
+    final answer is the row with the max running count per user.
+    Shared by both ST6 variants so their semantics cannot diverge."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_purchases").desc())
+    return (
+        mem.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_purchases", "total_value")
+    )
+
+
 @query("stream_stateful", oracle=None)
 def stream_stateful(spark, t):
     """ST6: arbitrary stateful op — running per-user purchase totals.
@@ -168,15 +182,7 @@ def stream_stateful(spark, t):
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     mem = run_to_memory(out, "update")
-    # latest state per user = the row with the max running count
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("user_id").orderBy(F.col("n_purchases").desc())
-    return (
-        mem.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("user_id", "n_purchases", "total_value")
-    )
+    return _latest_totals_per_user(mem)
 
 
 @query("source_stream_custom", oracle=None)
@@ -278,14 +284,7 @@ def _stream_stateful_tws_impl(spark, t):
         timeMode="None",
     )
     mem = run_to_memory(out, "update")
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("user_id").orderBy(F.col("n_purchases").desc())
-    return (
-        mem.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("user_id", "n_purchases", "total_value")
-    )
+    return _latest_totals_per_user(mem)
 
 
 _register_tws()

@@ -60,11 +60,14 @@ def stage_events_json(spark: SparkSession, sf_dir: str) -> str:
         "event_type",
         "value",
         "props",
-        F.dayofmonth("ts").alias("day"),
+        # full date, not dayofmonth: a multi-month fixture would merge
+        # e.g. Jan-05 and Feb-05 into one file, breaking the
+        # time-ordered-file contract watermark tests rely on
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
     )
     days = [r.day for r in wire.select("day").distinct().orderBy("day").collect()]
     os.makedirs(out, exist_ok=True)
-    # One file per day, written in time order (file source picks them
+    # One file per date, written in time order (file source picks them
     # up in modification-time order → watermarks advance realistically).
     for d in days:
         pdf = (
@@ -74,7 +77,7 @@ def stage_events_json(spark: SparkSession, sf_dir: str) -> str:
             .toPandas()
         )
         pdf.to_json(
-            os.path.join(out, f"day-{d:02d}.json"), orient="records", lines=True
+            os.path.join(out, f"day-{d}.json"), orient="records", lines=True
         )
     with open(marker, "w") as fh:
         fh.write("ok")
@@ -113,6 +116,12 @@ def run_to_memory(
     (needed when the source's availability itself advances over time).
     Both run the real IncrementalExecution / state-store / watermark
     machinery; returns the sink table as a DataFrame.
+
+    Lifetime contract: each call registers a uniquely-named in-memory
+    table (holding the result for the session's lifetime) and a /tmp
+    checkpoint dir; callers that loop many streams in one long session
+    should dropTempView / clean ckpt dirs when done — test/driver
+    usage (bounded calls per process) does not need to.
     """
     name = f"mem_{uuid.uuid4().hex[:12]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"tweetdb_ckpt_{name}")
