@@ -130,6 +130,18 @@ def test_cluster_resolution_converges_on_long_chains(spark):
     assert iterations <= 10, f"doubling should be logarithmic, took {iterations}"
 
 
+def test_semantic_blocked_recall_vs_exact(q):
+    """Cell-blocked semantic dedup: every emitted pair must be real
+    (exact cosine filter ⇒ zero false positives) and recall vs the
+    all-pairs twin must stay high with 2-cell probing."""
+    exact = {(r.vec_a, r.vec_b) for r in q("dedup_embedding_cosine").collect()}
+    blocked = {(r.vec_a, r.vec_b) for r in q("dedup_semantic_blocked").collect()}
+    assert not blocked - exact, "blocked emitted a pair the exact twin lacks"
+    if exact:
+        recall = len(exact & blocked) / len(exact)
+        assert recall >= 0.6, f"recall {recall}"
+
+
 def test_fingerprint_unique_on_unique_corpus(q, tables):
     """The fixture corpus has no exact dupes → every fingerprint group
     should have n_docs == 1 (and as many groups as docs)."""

@@ -297,9 +297,9 @@ def dedup_embedding_cosine(spark, t):
     """Embedding-cosine near-dup pairs (semantic dedup tier).
 
     All-pairs here (ground truth at fixture scale); the 100 TB path is
-    sim_ann_ivf's coarse quantizer: compare only within a cell and its
-    neighbors.  τ=0.35 sits in the top tail of this corpus's cosine
-    distribution (99.9th pctile ≈ 0.377).
+    dedup_semantic_blocked below (KMeans cells + 2-probe blocking,
+    exact filter on candidates only).  τ=0.35 sits in the top tail of
+    this corpus's cosine distribution (99.9th pctile ≈ 0.377).
     """
     from tweetdb_spark.llm.similarity import dot, with_norm
 
@@ -440,6 +440,81 @@ def dedup_cluster_resolve(spark, t):
     return labels.groupBy("component_id").agg(
         F.count("*").alias("n_docs"),
         F.min("doc_id").alias("keep_doc_id"),
+    )
+
+
+@query("dedup_semantic_blocked", oracle=None)  # cell-blocked ≈ → rows-only
+def dedup_semantic_blocked(spark, t):
+    """Cell-blocked semantic near-dup — the 100 TB path for
+    dedup_embedding_cosine, executable (not just prose in SCALE.md).
+
+    A KMeans coarse quantizer assigns every vector a cell; candidate
+    pairs are generated by an *equi-join on cell id* (plus each
+    vector's second-nearest cell, so border pairs split across two
+    cells still collide), then the exact cosine ≥ τ filter runs only
+    on candidates.  Complexity drops from N²/2 to Σ|cell|² — with C
+    balanced cells that's a C× reduction, and the cell id doubles as
+    the table's physical partitioning at scale.  Approximate (a pair
+    split across non-adjacent cells is missed) → rows-only; recall vs
+    the exact all-pairs twin is measured in tests.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.window import Window
+
+    from tweetdb_spark.llm.similarity import dot, with_norm
+
+    e = t["embeddings"].withColumn("vec", array_to_vector("embedding"))
+    model = KMeans(k=8, seed=42, featuresCol="vec", predictionCol="cell").fit(e)
+    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+
+    # each vector blocks into its own cell AND its 2nd-nearest cell
+    # (computed JVM-side against the broadcast centroid table)
+    cent = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cell_id int, centroid array<double>",
+    )
+    assigned = model.transform(e).select("vec_id", "embedding", "cell")
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("centroid"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ranked = (
+        assigned.crossJoin(F.broadcast(cent))
+        .withColumn("d2", dist2)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("d2", "cell_id")
+            ),
+        )
+        .where(F.col("rk") <= 2)
+        .select("vec_id", "embedding", F.col("cell_id").alias("block"))
+    )
+    n = with_norm(ranked.select("vec_id", "embedding", "block"))
+    a, b = n.alias("a"), n.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cos >= 0.35)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .distinct()  # a pair can collide in both of its shared blocks
     )
 
 
