@@ -141,6 +141,39 @@ def test_dynamic_partition_pruning(spark, tables):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_rocksdb_state_store_matches_default(spark):
+    """The streaming state store SCALE.md names for 100 TB (RocksDB,
+    bundled with Spark 4) must produce the same windowed aggregation
+    as the default HDFS-backed provider."""
+    from pyspark.sql import functions as F
+
+    from tweetdb_spark.streaming.sources import read_events_stream, run_to_memory
+
+    def run():
+        s = read_events_stream(spark, SF_DIR, files_per_trigger=10)
+        agg = (
+            s.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+            .agg(F.count("*").alias("cnt"))
+            .select(F.col("w.start").alias("ws"), "event_type", "cnt")
+        )
+        return sorted(map(tuple, run_to_memory(agg, "append").collect()))
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = run()
+    prev = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = run()
+    finally:
+        spark.conf.set(key, prev)
+    assert rocks == default
+    assert rocks, "no windows emitted"
+
+
 def test_aqe_coalesces_shuffle_partitions(spark, tables):
     """With AQE on, a tiny grouped agg must not execute 32 shuffle
     partitions — runtime coalescing is what makes a static

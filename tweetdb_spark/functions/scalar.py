@@ -18,7 +18,6 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from tweetdb_spark.registry import query
-from tweetdb_spark.schemas import PROPS_JSON
 
 
 @query(

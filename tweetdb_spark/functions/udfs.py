@@ -115,12 +115,15 @@ def udaf_pandas_agg(spark, t):
                 acc += xd * xd
             norms.append(acc**0.5)
         s = pd.Series(norms)
+        mean = sum(norms) / len(norms)
         return pd.DataFrame(
             {
                 "label": [pdf["label"].iloc[0]],
                 "n": [len(s)],
                 "max_norm": [s.max()],
-                "mean_norm": [round(sum(norms) / len(norms), 2)],
+                # half-away-from-zero like DuckDB ROUND — Python's
+                # round() is half-to-even and diverges on exact ties
+                "mean_norm": [int(mean * 100 + 0.5) / 100],
             }
         )
 

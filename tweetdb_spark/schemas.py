@@ -2,12 +2,10 @@
 
 The engine never schema-infers in the hot path: parquet is
 self-describing, but these declarations are the contract we validate
-against (tests/test_catalog.py) and the schema used for streaming
-sources (``spark.readStream.schema(...)`` requires one up front).
-
-``EVENTS_RAW`` is the on-disk shape under
-``spark.sql.legacy.parquet.nanosAsLong=true`` (ts: long nanoseconds);
-``EVENTS`` is the post-shim shape the rest of the engine sees.
+against (tests/test_catalog.py).  ``EVENTS`` is the post-shim shape
+the rest of the engine sees (catalog.py restores ts from int64
+nanoseconds); the streaming JSON wire schema lives next to its source
+in streaming/sources.py (EVENTS_WIRE).
 """
 
 from __future__ import annotations
@@ -82,16 +80,6 @@ LINEITEM = _s(
     ("l_returnflag", StringType()),
     ("l_linestatus", StringType()),
     ("l_shipdate", TimestampType()),
-)
-
-# On-disk events under nanosAsLong: ts is raw int64 nanoseconds.
-EVENTS_RAW = _s(
-    ("event_id", LongType()),
-    ("ts", LongType()),
-    ("user_id", LongType()),
-    ("event_type", StringType()),
-    ("value", DoubleType()),
-    ("props", StringType()),
 )
 
 # Post-shim events: ts restored to TimestampType at µs precision
