@@ -344,6 +344,88 @@ def text_token_count(spark, t):
 
 
 @query(
+    "corpus_curate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), stats AS (
+      SELECT doc_id, count(*) AS n_tokens, count(DISTINCT token) AS n_distinct
+      FROM tok GROUP BY doc_id
+    ), keepers AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents GROUP BY sha256(lower(trim(text)))
+    ), curated AS (
+      SELECT d.doc_id, d.lang, d.n_chars,
+             CASE WHEN s.n_tokens BETWEEN 20 AND 1000
+                   AND CAST(s.n_distinct AS DOUBLE) / s.n_tokens > 0.2
+                   AND k.doc_id IS NOT NULL
+                  THEN 1 ELSE 0 END AS keep
+      FROM documents d
+      JOIN stats s USING (doc_id)
+      LEFT JOIN keepers k USING (doc_id)
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(SUM(keep) AS BIGINT) AS n_kept,
+           FLOOR(CAST(SUM(keep) AS DOUBLE) * 10000 / count(*)) / 10000
+             AS retention,
+           CAST(SUM(CASE WHEN keep = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars
+    FROM curated GROUP BY lang
+    """,
+)
+def corpus_curate(spark, t):
+    """The end-to-end curation query a training-data pipeline ships:
+    quality gates ∧ exact-dedup keep-set → per-language retention
+    report.
+
+    One plan composes the ladder: token stats (quality), the
+    normalized-hash keeper set (dedup L1, as a semi-joinable frame),
+    and the retention rollup.  At 100 TB this is the job that writes
+    the cleaned corpus — the `keep` flag becomes a partition filter on
+    the output write, and the report is its audit trail.  Retention is
+    floor-truncated at 4 decimals (exact division both sides).
+    """
+    d = t["documents"]
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    stats = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct"),
+    )
+    keepers = (
+        d.groupBy(F.sha2(F.lower(F.trim(F.col("text"))), 256))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .withColumn("is_keeper", F.lit(1))
+    )
+    quality = (F.col("n_tokens").between(20, 1000)) & (
+        F.col("n_distinct").cast("double") / F.col("n_tokens") > 0.2
+    )
+    curated = (
+        d.join(stats, "doc_id")
+        .join(keepers, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.when(quality & F.col("is_keeper").isNotNull(), 1)
+            .otherwise(0)
+            .alias("keep"),
+        )
+    )
+    return curated.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("keep").alias("n_kept"),
+        (F.floor(F.sum("keep").cast("double") * 10000 / F.count("*")) / 10000).alias(
+            "retention"
+        ),
+        F.sum(F.when(F.col("keep") == 1, F.col("n_chars")).otherwise(0)).alias(
+            "kept_chars"
+        ),
+    )
+
+
+@query(
     "text_stats",
     oracle="""
     SELECT lang, source,
