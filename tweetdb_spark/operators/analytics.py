@@ -22,12 +22,16 @@ from tweetdb_spark.registry import query
            ROUND(var_samp(l_quantity), 4) AS var_qty,
            ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
            ROUND(covar_samp(l_discount, l_tax), 6) AS cov_disc_tax,
-           -- DuckDB skewness() is bias-corrected SAMPLE skewness; Spark's
-           -- is POPULATION (m3/m2^1.5) — undo the correction factor
-           -- sqrt(n(n-1))/(n-2) so both sides compute the same statistic
+           -- DuckDB skewness()/kurtosis() are bias-corrected SAMPLE
+           -- statistics; Spark's are POPULATION — undo the corrections
+           -- so both sides compute the same statistic (inversions
+           -- verified numerically to 1e-15)
            ROUND(skewness(l_extendedprice)
                  * (count(*) - 2) / sqrt(count(*) * (count(*) - 1.0)), 4)
-             AS skew_price
+             AS skew_price,
+           ROUND((kurtosis(l_extendedprice)
+                  * (count(*) - 2) * (count(*) - 3) / (count(*) - 1.0) - 6)
+                 / (count(*) + 1), 4) AS kurt_price
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -45,6 +49,7 @@ def agg_stats(spark, t):
         F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
         F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("cov_disc_tax"),
         F.round(F.skewness("l_extendedprice"), 4).alias("skew_price"),
+        F.round(F.kurtosis("l_extendedprice"), 4).alias("kurt_price"),
     )
 
 
