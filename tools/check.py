@@ -10,7 +10,19 @@ Usage:
     python tools/check.py                  # all keys @ sf0.01
     python tools/check.py agg_grouped ...  # subset
     python tools/check.py --vanilla        # driver-sim: plain SparkSession
+    python tools/check.py --strict         # driver-sim canonicalizer (see below)
     SF_DIR=/root/testdata/sf0.001 python tools/check.py
+
+``--strict`` mirrors the DRIVER's pandas-based canonicalizer rather than
+this harness's value-equality one.  The driver materializes both sides as
+pandas frames and hashes a repr-sensitive view of the values, which is
+stricter than float equality in three ways observed in CORRECTNESS_r01:
+  (1) non-scalar cells (array/map/struct) crash pandas factorize
+      ("unhashable type: 'numpy.ndarray'") — strict mode fails loudly;
+  (2) dtype skew: DuckDB HUGEINT (e.g. window SUM of ints) lands as
+      float64 while Spark emits int64 → 1.0 != 1;
+  (3) -0.0 vs +0.0 are distinct in a repr hash though equal as floats.
+Every hash-checked key must pass BOTH modes before it ships.
 """
 
 from __future__ import annotations
@@ -62,12 +74,67 @@ def rows_multiset(cols, rows):
     return Counter(tuple(canon(r[i]) for i in order) for r in rows)
 
 
+class NonScalarCell(Exception):
+    """A cell the driver's pandas canonicalizer cannot factorize."""
+
+
+def strict_canon(v):
+    """Driver-mimic canonicalization: repr-sensitive, dtype-sensitive.
+
+    Unlike :func:`canon`, this keeps int distinct from float (1 != 1.0),
+    keeps -0.0 distinct from +0.0, keeps Decimal distinct from float
+    (Spark decimal columns arrive as object-dtype Decimal in pandas while
+    DuckDB decimals arrive as float64), and refuses non-scalar cells.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(v, (list, tuple, dict, set, np.ndarray)):
+        raise NonScalarCell(type(v).__name__)
+    if isinstance(v, np.generic):
+        v = v.item()
+    if v is None or v is pd.NaT:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<null>"  # pandas uses NaN for missing floats
+        return "f:" + repr(v)  # repr keeps -0.0 and float-vs-int distinct
+    if isinstance(v, bool):
+        return "b:" + repr(v)
+    if isinstance(v, int):
+        return "i:" + repr(v)
+    if isinstance(v, Decimal):
+        return "dec:" + str(v)
+    if isinstance(v, pd.Timestamp):
+        return "t:" + (v.tz_localize(None) if v.tzinfo else v).isoformat()
+    if isinstance(v, datetime):
+        return "t:" + v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return "t:" + datetime(v.year, v.month, v.day).isoformat()
+    if isinstance(v, str):
+        return "s:" + v
+    if isinstance(v, bytes):
+        return "y:" + v.hex()
+    return "o:" + repr(v)
+
+
+def strict_multiset(pdf):
+    """Multiset of strict-canonicalized rows of a pandas frame (cols
+    sorted by name, as the driver does before hashing)."""
+    cols = sorted(pdf.columns)
+    out = Counter()
+    for row in pdf[cols].itertuples(index=False, name=None):
+        out[tuple(strict_canon(v) for v in row)] += 1
+    return out
+
+
 def main() -> int:
     import __spark_entry__ as e
 
     sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
     args = sys.argv[1:]
     vanilla = "--vanilla" in args
+    strict = "--strict" in args
     only = {a for a in args if not a.startswith("--")}
     qs, oracles = e.queries(), e.oracle_sql()
     unknown = only - set(qs)
@@ -102,7 +169,11 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            if strict:
+                s_pdf = sdf.toPandas()
+                s_rows = list(s_pdf.itertuples(index=False, name=None))
+            else:
+                s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:
             print(f"FAIL {name}: spark error: {ex}")
             n_fail += 1
@@ -114,7 +185,11 @@ def main() -> int:
         try:
             res = con.execute(oracles[name])
             d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            if strict:
+                d_pdf = con.execute(oracles[name]).df()
+                d_rows = list(d_pdf.itertuples(index=False, name=None))
+            else:
+                d_rows = res.fetchall()
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}")
             n_fail += 1
@@ -125,7 +200,19 @@ def main() -> int:
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"schema spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
         if not problems:
-            sm, dm = rows_multiset(s_cols, s_rows), rows_multiset(d_cols, d_rows)
+            try:
+                if strict:
+                    sm, dm = strict_multiset(s_pdf), strict_multiset(d_pdf)
+                else:
+                    sm = rows_multiset(s_cols, s_rows)
+                    dm = rows_multiset(d_cols, d_rows)
+            except NonScalarCell as ex:
+                print(
+                    f"FAIL {name}: non-scalar cell ({ex}) — the driver's "
+                    f"pandas canonicalizer will crash on this output"
+                )
+                n_fail += 1
+                continue
             if sm != dm:
                 diff_s = sm - dm
                 diff_d = dm - sm
