@@ -215,7 +215,7 @@ def agg_grouping_sets(spark, t):
     "agg_collect",
     oracle="""
     SELECT user_id,
-           list_sort(array_agg(event_type)) AS types,
+           array_to_string(list_sort(array_agg(event_type)), '|') AS types,
            count(*) AS n
     FROM events
     GROUP BY user_id
@@ -226,9 +226,14 @@ def agg_collect(spark, t):
 
     ``array_sort(collect_list(...))`` — the sort makes the array a
     deterministic *value* (collect_list order is partition-dependent;
-    never hash-compare an unsorted collect).
+    never hash-compare an unsorted collect).  The array is then
+    serialized with ``concat_ws('|')`` so the output column is a plain
+    string: array cells crash the driver's pandas canonicalizer
+    (CORRECTNESS_r01 ``agg_collect.err``: "unhashable numpy.ndarray"),
+    and '|' never occurs in event_type values, so the encoding is
+    lossless.
     """
     return t["events"].groupBy("user_id").agg(
-        F.array_sort(F.collect_list("event_type")).alias("types"),
+        F.concat_ws("|", F.array_sort(F.collect_list("event_type"))).alias("types"),
         F.count("*").alias("n"),
     )

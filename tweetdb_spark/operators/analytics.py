@@ -18,20 +18,24 @@ from tweetdb_spark.registry import query
     "agg_stats",
     oracle="""
     SELECT l_returnflag,
-           ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
-           ROUND(var_samp(l_quantity), 4) AS var_qty,
-           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-           ROUND(covar_samp(l_discount, l_tax), 6) AS cov_disc_tax,
+           -- every ROUNDed moment gets "+ 0": a stat landing on zero
+           -- can round to -0.0 on one engine and +0.0 on the other
+           -- (equal as floats, distinct in the driver's repr hash —
+           -- r01 agg_stats fail); IEEE -0.0 + 0 = +0.0 on both
+           ROUND(stddev_samp(l_quantity), 4) + 0 AS sd_qty,
+           ROUND(var_samp(l_quantity), 4) + 0 AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 4) + 0 AS corr_qty_price,
+           ROUND(covar_samp(l_discount, l_tax), 6) + 0 AS cov_disc_tax,
            -- DuckDB skewness()/kurtosis() are bias-corrected SAMPLE
            -- statistics; Spark's are POPULATION — undo the corrections
            -- so both sides compute the same statistic (inversions
            -- verified numerically to 1e-15)
            ROUND(skewness(l_extendedprice)
                  * (count(*) - 2) / sqrt(count(*) * (count(*) - 1.0)), 4)
-             AS skew_price,
+             + 0 AS skew_price,
            ROUND((kurtosis(l_extendedprice)
                   * (count(*) - 2) * (count(*) - 3) / (count(*) - 1.0) - 6)
-                 / (count(*) + 1), 4) AS kurt_price
+                 / (count(*) + 1), 4) + 0 AS kurt_price
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -44,12 +48,12 @@ def agg_stats(spark, t):
     noise in the higher moments.
     """
     return t["lineitem"].groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
-        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("cov_disc_tax"),
-        F.round(F.skewness("l_extendedprice"), 4).alias("skew_price"),
-        F.round(F.kurtosis("l_extendedprice"), 4).alias("kurt_price"),
+        (F.round(F.stddev_samp("l_quantity"), 4) + 0).alias("sd_qty"),
+        (F.round(F.var_samp("l_quantity"), 4) + 0).alias("var_qty"),
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + 0).alias("corr_qty_price"),
+        (F.round(F.covar_samp("l_discount", "l_tax"), 6) + 0).alias("cov_disc_tax"),
+        (F.round(F.skewness("l_extendedprice"), 4) + 0).alias("skew_price"),
+        (F.round(F.kurtosis("l_extendedprice"), 4) + 0).alias("kurt_price"),
     )
 
 

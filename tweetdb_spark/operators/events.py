@@ -93,10 +93,13 @@ def events_sliding(spark, t):
       FROM events
     ), sess AS (
       SELECT user_id, ts, event_id,
-             SUM(new_session) OVER (
+             -- CAST: DuckDB's integer window SUM is HUGEINT, which
+             -- pandas materializes as float64 (1.0 != Spark's bigint 1
+             -- under the driver's dtype-sensitive hash, r01 fail)
+             CAST(SUM(new_session) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) AS session_no
+             ) AS BIGINT) AS session_no
       FROM gaps
     )
     SELECT user_id, session_no,
