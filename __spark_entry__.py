@@ -31,12 +31,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    tweetdb_spark.load_all_operators()
-    return dict(tweetdb_spark.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Insertion order is contract-significant: the driver grades the
+    first 50 keys, so the SURVEY §2 rows lead (registry.CONTRACT_ORDER)
+    and extras follow.
+    """
+    return tweetdb_spark.ordered_queries()[0]
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each hash-checkable query."""
-    tweetdb_spark.load_all_operators()
-    return dict(tweetdb_spark.ORACLES)
+    return tweetdb_spark.ordered_queries()[1]

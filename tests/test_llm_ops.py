@@ -155,7 +155,9 @@ def test_multimodal_decode_stub_invariants(q):
         assert 16 <= r.width < 80 and 16 <= r.height < 80
         assert 1 <= r.n_frames <= 7
         assert r.resized_w == r.width // 2
-        assert list(r.frame_idx) == list(range(0, r.n_frames, 2))
+        # frame_idx is '|'-serialized (scalar wire format; see
+        # DECODED_SCHEMA note in llm/multimodal.py)
+        assert r.frame_idx == "|".join(str(i) for i in range(0, r.n_frames, 2))
 
 
 def test_multimodal_decode_real_path_is_gated():
@@ -178,3 +180,17 @@ def test_lang_id_deterministic_and_total(q, tables):
     rows = q("text_lang_id").collect()
     assert len(rows) == tables["documents"].count()
     assert all(r.pred_lang in {"en", "de", "es", "fr", "zh", "und"} for r in rows)
+
+
+def test_pairwise_sampled_converges_to_exact(q):
+    """The stratified 50% sample's mean-cosine estimate must sit close
+    to the exact all-pairs statistic, for both the intra- and
+    inter-label groups (estimator convergence, not value parity —
+    value parity is the oracle hash check)."""
+    exact = {r.same_label: r for r in q("sim_pairwise_label").collect()}
+    sampled = {r.same_label: r for r in q("sim_pairwise_label_sampled").collect()}
+    assert set(sampled) == set(exact) == {0, 1}
+    for k in (0, 1):
+        assert abs(sampled[k].mean_cos - exact[k].mean_cos) < 0.05
+        # ~half the vectors per stratum -> ~quarter the pairs
+        assert 0.15 < sampled[k].n_pairs / exact[k].n_pairs < 0.35

@@ -24,6 +24,11 @@ Layout:
   streaming/    Structured Streaming operators (file source -> sinks)
 """
 
-from tweetdb_spark.registry import QUERIES, ORACLES, load_all_operators
+from tweetdb_spark.registry import (
+    QUERIES,
+    ORACLES,
+    load_all_operators,
+    ordered_queries,
+)
 
-__all__ = ["QUERIES", "ORACLES", "load_all_operators"]
+__all__ = ["QUERIES", "ORACLES", "load_all_operators", "ordered_queries"]

@@ -168,24 +168,36 @@ def fn_conditional(spark, t):
     SELECT vec_id,
            len(embedding) AS dim,
            embedding[1] AS first_val,
-           embedding[1:4] AS head4,
+           -- same left-fold order as Spark's aggregate() below:
+           -- (((0+e1)+e2)+e3)+e4 in double => bit-identical
+           CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+             + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE)
+             AS head4_sum,
            list_max(embedding) AS max_val,
            list_min(embedding) AS min_val
     FROM embeddings
     """,
 )
 def fn_array(spark, t):
-    """F6: array ops over the embedding column (size/element_at/slice/max).
+    """F6: array ops over the embedding column (size/element_at/slice/
+    array_max plus a higher-order ``aggregate`` fold).
 
-    Array columns stay columnar (Arrow) end-to-end; element access is
-    codegen'd, no Python.
+    Array columns stay columnar (Arrow) end-to-end; element access and
+    the fold are codegen'd, no Python.  The slice is reduced to a
+    scalar (left-fold sum) rather than returned as an array: array
+    cells crash the driver's pandas canonicalizer (r01 agg_collect),
+    and a fixed-order fold in double is bit-identical cross-engine.
     """
     e = F.col("embedding")
     return t["embeddings"].select(
         "vec_id",
         F.size(e).alias("dim"),
         F.element_at(e, 1).alias("first_val"),
-        F.slice(e, 1, 4).alias("head4"),
+        F.aggregate(
+            F.slice(e, 1, 4).cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("head4_sum"),
         F.array_max(e).alias("max_val"),
         F.array_min(e).alias("min_val"),
     )
@@ -223,7 +235,7 @@ def fn_map_json(spark, t):
     "fn_cast_decimal",
     oracle="""
     SELECT o_orderstatus,
-           SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total_dec,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_dec,
            ROUND(CAST(AVG(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
              AS avg_dec
     FROM orders
@@ -234,12 +246,18 @@ def fn_cast_decimal(spark, t):
     """F8: decimal money arithmetic — exact, order-insensitive sums.
 
     Decimal *sums* need no rounding discipline: fixed-point addition
-    is associative, so Spark and DuckDB agree bit-exactly.  AVG does:
-    Spark returns DECIMAL(16,6) (exact) while DuckDB returns DOUBLE,
-    so both sides round the mean to 2 via double.
+    is associative, so Spark and DuckDB agree exactly.  The exact sum
+    is then CAST to DOUBLE on both sides for the wire format: Spark
+    decimal arrives in pandas as object-dtype ``Decimal`` while DuckDB
+    decimal arrives as float64, which the driver's dtype-sensitive
+    hash treats as different values (same skew class as r01's HUGEINT
+    fail).  A 2-dp sum < 2^53/100 converts to double exactly, so no
+    precision is lost.  AVG: Spark returns DECIMAL(16,6) (exact) while
+    DuckDB returns DOUBLE, so both sides round the mean to 2 via
+    double.
     """
     dec = F.col("o_totalprice").cast("decimal(12,2)")
     return t["orders"].groupBy("o_orderstatus").agg(
-        F.sum(dec).alias("total_dec"),
+        F.sum(dec).cast("double").alias("total_dec"),
         F.round(F.avg(dec).cast("double"), 2).alias("avg_dec"),
     )

@@ -40,9 +40,12 @@ def _ascii_sane(col: str):
     return F.regexp_replace(col, "[^ -~]", "?")
 
 
+# frame_idx is serialized '|'-joined rather than array<int>: array cells
+# crash the driver's pandas canonicalizer (r01 agg_collect), and the
+# sampled indices are small ints so the encoding is lossless
 DECODED_SCHEMA = (
     "doc_id long, n_bytes long, width int, height int, n_frames int, "
-    "resized_w int, resized_h int, frame_idx array<int>"
+    "resized_w int, resized_h int, frame_idx string"
 )
 
 
@@ -180,7 +183,7 @@ def multimodal_features(spark, t):
     SELECT doc_id, n_bytes, width, height, n_frames,
            width // 2 AS resized_w,
            height // 2 AS resized_h,
-           CAST(range(0, n_frames, 2) AS INTEGER[]) AS frame_idx
+           array_to_string(range(0, n_frames, 2), '|') AS frame_idx
     FROM d
     """,
 )
@@ -213,7 +216,9 @@ def multimodal_decode_stub(spark, t):
                         "n_frames": n_frames,
                         "resized_w": width // 2,
                         "resized_h": height // 2,
-                        "frame_idx": list(range(0, n_frames, 2)),
+                        "frame_idx": "|".join(
+                            str(i) for i in range(0, n_frames, 2)
+                        ),
                     }
                 )
             yield pd.DataFrame(out)

@@ -147,10 +147,14 @@ _SPARK_WHASH = (
     "(acc, i) -> acc + ascii(substring({s}, i, 1)) * ((i * 2654435761L) % 2147483647)) "
     "% 2147483647"
 )
+# outer CAST: DuckDB's list_sum over big ints is HUGEINT, which pandas
+# materializes as float64 — the driver's dtype-sensitive hash would see
+# 561993910.0 != Spark's bigint 561993910 (same skew class as the r01
+# events_session_batch fail)
 _DUCK_WHASH = (
-    "list_sum(list_transform(range(1, length({s}) + 1), "
+    "CAST(list_sum(list_transform(range(1, length({s}) + 1), "
     "i -> ascii(substr({s}, CAST(i AS INT), 1)) * ((i * 2654435761) % 2147483647))) "
-    "% 2147483647"
+    "% 2147483647 AS BIGINT)"
 )
 
 
