@@ -82,3 +82,18 @@ def test_join_interval_is_not_nested_loop(q):
     # equi conjunct on user_id must make this a hash/SMJ join, not BNLJ
     plan = _plan(q("join_interval"))
     assert "NestedLoop" not in plan
+
+
+def test_join_theta_bucketed_is_not_nested_loop(q):
+    # the whole point of the rewrite: bin equi-join, not BNLJ
+    plan = _plan(q("join_theta_bucketed"))
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_levenshtein_blocked_is_equi_join(q):
+    # candidate generation must be the (slot, l, sub) equi-join;
+    # supp_a < supp_b and the distance check are post-join filters
+    plan = _plan(q("fn_levenshtein_blocked"))
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan

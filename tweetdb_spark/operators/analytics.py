@@ -284,22 +284,26 @@ def fn_posexplode(spark, t):
     )
 
 
-@query(
-    "fn_levenshtein",
-    oracle="""
+# All-pairs edit-distance SQL — shared by fn_levenshtein (its own
+# oracle) and fn_levenshtein_blocked (whose correctness proof is that
+# the segment-blocked rewrite hash-matches THIS query).
+_LEV_ORACLE = """
     SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
            levenshtein(a.s_name, b.s_name) AS edit_dist
     FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
     WHERE levenshtein(a.s_name, b.s_name) <= 2
-    """,
+    """
+
+
+@query(
+    "fn_levenshtein",
+    oracle=_LEV_ORACLE,
 )
 def fn_levenshtein(spark, t):
     """Edit-distance fuzzy matching — entity-resolution primitive.
 
-    All-pairs on a dim-sized table; at scale, block first (e.g. on a
-    name-prefix or phonetic key) and run the exact distance only
-    within blocks — same candidate-then-verify shape as the dedup
-    ladder.
+    All-pairs on a dim-sized table; kept as the ground-truth twin for
+    fn_levenshtein_blocked, the candidate-then-verify scale path.
     """
     s = t["supplier"].select("s_suppkey", "s_name")
     a, b = s.alias("a"), s.alias("b")
@@ -312,4 +316,89 @@ def fn_levenshtein(spark, t):
             F.col("b.s_suppkey").alias("supp_b"),
             dist.alias("edit_dist"),
         )
+    )
+
+
+# --- PassJoin-style segment blocking for edit distance <= 2 ------------
+#
+# Completeness (Li, Deng, Feng: "PassJoin", PVLDB 2011): partition a
+# string x into k+1 segments; any y with edit(x, y) <= k must contain
+# at least one segment of x EXACTLY, at a start position shifted by at
+# most k (<= k net indels can precede it).  So with k = 2 and 3
+# segments, emitting (slot, len(x), segment) for the partitioned side
+# and every length-matched substring at |shift| <= 2 for the probe
+# side makes the equi-join on (slot, l, sub) a provable superset of
+# all qualifying pairs; the exact distance then verifies candidates.
+#
+# Segment scheme for a partition length lp (1-indexed, even split with
+# the remainder spread left-to-right):
+#   len_i = lp div 3 + (1 if lp % 3 > i else 0)
+#   p_i   = 1 + i * (lp div 3) + least(i, lp % 3)
+_LEV_IDX_KEYS = """
+    transform(sequence(0, 2), i -> named_struct(
+      'slot', CAST(i AS INT),
+      'l', CAST(length(s_name) AS INT),
+      'sub', substring(s_name,
+               CAST(1 + i * (length(s_name) div 3)
+                    + least(i, length(s_name) % 3) AS INT),
+               CAST((length(s_name) div 3)
+                    + IF(length(s_name) % 3 > i, 1, 0) AS INT))))
+"""
+_LEV_PRB_KEYS = """
+    flatten(transform(
+      sequence(greatest(3, length(s_name) - 2), length(s_name) + 2), lp ->
+        flatten(transform(sequence(0, 2), i ->
+          transform(
+            filter(sequence(-2, 2), d ->
+              i * (lp div 3) + least(i, lp % 3) + d >= 0
+              AND i * (lp div 3) + least(i, lp % 3) + d
+                  + (lp div 3) + IF(lp % 3 > i, 1, 0) <= length(s_name)),
+            d -> named_struct(
+              'slot', CAST(i AS INT),
+              'l', CAST(lp AS INT),
+              'sub', substring(s_name,
+                       CAST(1 + i * (lp div 3) + least(i, lp % 3) + d AS INT),
+                       CAST((lp div 3) + IF(lp % 3 > i, 1, 0) AS INT))))))))
+"""
+
+
+@query(
+    "fn_levenshtein_blocked",
+    oracle=_LEV_ORACLE,
+)
+def fn_levenshtein_blocked(spark, t):
+    """The scale path for fn_levenshtein, proven exact.
+
+    Candidate-then-verify: segment blocking (see _LEV_IDX_KEYS note)
+    turns the all-pairs O(N^2) edit-distance join into an equi-join on
+    (slot, l, segment) — per string, 3 index keys and at most
+    3 slots x 5 lengths x 5 shifts = 75 probe keys, so the shuffle is
+    O(N) keys of ~6 chars, never the cross product.  Candidates are
+    deduped (equal substrings at different shifts collide) and
+    verified with the exact levenshtein filter.  THE ORACLE IS THE
+    ALL-PAIRS QUERY — the hash check proves the blocked rewrite
+    returns byte-identical results.  Same candidate-generation shape
+    as the dedup ladder (simhash bands / LSH buckets / IVF cells).
+    """
+    s = t["supplier"].select("s_suppkey", "s_name")
+    a = s.select(
+        F.col("s_suppkey").alias("supp_a"),
+        F.col("s_name").alias("name_a"),
+        F.explode(F.expr(_LEV_IDX_KEYS)).alias("k"),
+    ).select("supp_a", "name_a", "k.slot", "k.l", "k.sub")
+    b = s.select(
+        F.col("s_suppkey").alias("supp_b"),
+        F.col("s_name").alias("name_b"),
+        F.explode(F.expr(_LEV_PRB_KEYS)).alias("k"),
+    ).select("supp_b", "name_b", "k.slot", "k.l", "k.sub")
+    cand = (
+        a.join(b, ["slot", "l", "sub"])
+        .where(F.col("supp_a") < F.col("supp_b"))
+        .select("supp_a", "name_a", "supp_b", "name_b")
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        cand.where(dist <= 2)
+        .select("supp_a", "supp_b", dist.alias("edit_dist"))
     )

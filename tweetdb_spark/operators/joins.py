@@ -209,9 +209,11 @@ def join_cross(spark, t):
     return t["region"].select("r_name").crossJoin(prios)
 
 
-@query(
-    "join_theta_range",
-    oracle="""
+# The naive theta-range SQL — shared verbatim by join_theta_range (its
+# own oracle) and join_theta_bucketed (whose correctness proof is that
+# the bucketed rewrite hash-matches THIS query), mirroring the
+# join_interval / join_interval_bucketed pairing below.
+_THETA_ORACLE = """
     SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
            a.p_retailprice AS price_a, b.p_retailprice AS price_b
     FROM part a JOIN part b
@@ -219,14 +221,20 @@ def join_cross(spark, t):
      AND b.p_retailprice BETWEEN a.p_retailprice - 0.05 AND a.p_retailprice + 0.05
      AND a.p_partkey < b.p_partkey
     WHERE a.p_size = 1
-    """,
+    """
+
+
+@query(
+    "join_theta_range",
+    oracle=_THETA_ORACLE,
 )
 def join_theta_range(spark, t):
     """J8: non-equi (theta) self-join — cross-brand parts priced within ±0.05.
 
     Planner picks BroadcastNestedLoopJoin (one side filtered small).
-    At 100 TB the rewrite is J10's trick: bucket p_retailprice into
-    0.05-wide bins, equi-join on bin±1, re-filter exactly.
+    At 100 TB the rewrite is join_theta_bucketed below: bucket
+    p_retailprice into 0.05-wide bins, equi-join on bin with the probe
+    side exploded to bin±1, re-filter exactly.
     """
     p = t["part"]
     a = p.where(F.col("p_size") == 1).alias("a")
@@ -243,6 +251,63 @@ def join_theta_range(spark, t):
         F.col("b.p_partkey").alias("pk_b"),
         F.col("a.p_retailprice").alias("price_a"),
         F.col("b.p_retailprice").alias("price_b"),
+    )
+
+
+@query(
+    "join_theta_bucketed",
+    oracle=_THETA_ORACLE,
+)
+def join_theta_bucketed(spark, t):
+    """The 100 TB rewrite of join_theta_range, proven exact.
+
+    A BNLJ theta join is O(|A|·|B|); the scalable form makes the range
+    predicate an equi-join.  Prices are converted to exact integer
+    cents (ROUND(p*100) — bit-exact for 2-dp money in double) and
+    binned at the window radius (5 cents).  A ±5-cent window around
+    any price can only touch the price's own bin and its two
+    neighbours, so the probe side explodes to bin-1/bin/bin+1 and
+    equi-joins on the bin id; the original double-typed BETWEEN is
+    re-applied afterwards, so results are byte-identical to the naive
+    theta join — THE ORACLE IS THE NAIVE QUERY.  The build side keeps
+    exactly one bin, so no pair can join twice and no distinct is
+    needed.  Shuffle key = bin id: O(N) cents-wide partitions instead
+    of a nested loop.
+    """
+    p = t["part"]
+    cents = F.round(F.col("p_retailprice") * 100).cast("bigint")
+    a = (
+        p.where(F.col("p_size") == 1)
+        .select(
+            F.col("p_partkey").alias("pk_a"),
+            F.col("p_brand").alias("brand_a"),
+            F.col("p_retailprice").alias("price_a"),
+            F.floor(cents / 5).alias("bin_a"),
+        )
+        .withColumn(
+            "bin",
+            F.explode(
+                F.array(F.col("bin_a") - 1, F.col("bin_a"), F.col("bin_a") + 1)
+            ),
+        )
+        .drop("bin_a")
+    )
+    b = p.select(
+        F.col("p_partkey").alias("pk_b"),
+        F.col("p_brand").alias("brand_b"),
+        F.col("p_retailprice").alias("price_b"),
+        F.floor(cents / 5).alias("bin"),
+    )
+    return (
+        a.join(b, "bin")
+        .where(
+            (F.col("brand_a") != F.col("brand_b"))
+            & F.col("price_b").between(
+                F.col("price_a") - 0.05, F.col("price_a") + 0.05
+            )
+            & (F.col("pk_a") < F.col("pk_b"))
+        )
+        .select("pk_a", "pk_b", "price_a", "price_b")
     )
 
 
