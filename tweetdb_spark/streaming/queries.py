@@ -315,10 +315,15 @@ def sink_jdbc_batch(spark, t):
     Each micro-batch upserts into a SQLite table keyed by event_id
     (INSERT OR REPLACE), with the batchId recorded — re-delivered
     batches overwrite to the same state, giving exactly-once results
-    over at-least-once delivery.  SQLite stands in for the JDBC
-    target (no JDBC driver jar in this environment); on a cluster the
-    body becomes ``batch_df.write.jdbc(...)`` with the same
-    batchId-idempotence contract, executed JVM-side.
+    over at-least-once delivery.  Writes are partition-wise
+    (``foreachPartition``): each task opens its own connection and
+    writes only its slice — the connection topology of a real JDBC
+    sink — so no micro-batch is ever collected to the driver.  SQLite
+    stands in for the JDBC target (no JDBC driver jar in this
+    environment; WAL + busy_timeout make the concurrent per-partition
+    writers safe); on a cluster the body becomes
+    ``batch_df.write.jdbc(...)`` with the same batchId-idempotence
+    contract, executed JVM-side.
     """
     import sqlite3
     import tempfile
@@ -326,6 +331,7 @@ def sink_jdbc_batch(spark, t):
 
     db_path = f"{tempfile.gettempdir()}/tweetdb_sink_{_uuid.uuid4().hex[:8]}.db"
     init = sqlite3.connect(db_path)
+    init.execute("PRAGMA journal_mode=WAL")  # concurrent partition writers
     init.execute(
         "CREATE TABLE IF NOT EXISTS purchase_totals ("
         "user_id INTEGER PRIMARY KEY, n INTEGER, total REAL, batch_id INTEGER)"
@@ -341,16 +347,29 @@ def sink_jdbc_batch(spark, t):
     )
 
     def upsert(batch_df, batch_id: int) -> None:
-        rows = [
-            (int(r.user_id), int(r.n), float(r.total), int(batch_id))
-            for r in batch_df.collect()
-        ]
-        con = sqlite3.connect(db_path)
-        con.executemany(
-            "INSERT OR REPLACE INTO purchase_totals VALUES (?, ?, ?, ?)", rows
-        )
-        con.commit()
-        con.close()
+        bid = int(batch_id)
+
+        def write_partition(part) -> None:
+            # runs executor-side; one connection + one transaction per
+            # partition, like DataFrameWriter.jdbc's task-level writers
+            rows = [
+                (int(r.user_id), int(r.n), float(r.total), bid) for r in part
+            ]
+            if not rows:
+                return
+            con = sqlite3.connect(db_path, timeout=30.0)
+            con.execute("PRAGMA busy_timeout = 30000")
+            con.executemany(
+                "INSERT OR REPLACE INTO purchase_totals VALUES (?, ?, ?, ?)",
+                rows,
+            )
+            con.commit()
+            con.close()
+
+        # few aggregate rows spread over shuffle partitions: coalesce to
+        # a handful of writer tasks (real JDBC sinks bound connection
+        # fan-in the same way)
+        batch_df.coalesce(8).foreachPartition(write_partition)
 
     import os as _os
 
