@@ -194,3 +194,18 @@ def test_pairwise_sampled_converges_to_exact(q):
         assert abs(sampled[k].mean_cos - exact[k].mean_cos) < 0.05
         # ~half the vectors per stratum -> ~quarter the pairs
         assert 0.15 < sampled[k].n_pairs / exact[k].n_pairs < 0.35
+
+
+def test_minhash_banded_recall_vs_exact(q):
+    """The portable banded MinHash must recover the exact quadratic
+    twin's pairs on the fixture (near-dups here are ~0.9 similar, so
+    expected recall 1-(1-s^4)^4 ~ 0.99), and can never emit a pair
+    below the verify threshold."""
+    exact = {(r.doc_a, r.doc_b) for r in q("dedup_ngram_jaccard").collect()}
+    banded = {(r.doc_a, r.doc_b): r.ngram_jaccard
+              for r in q("dedup_minhash_banded").collect()}
+    assert exact, "fixture must contain near-dup documents"
+    recall = len(exact & set(banded)) / len(exact)
+    assert recall >= 0.75
+    assert set(banded) <= exact  # verify step forbids false positives
+    assert all(j >= 0.7 for j in banded.values())

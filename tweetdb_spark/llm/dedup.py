@@ -550,3 +550,143 @@ def dedup_minhash_lsh(spark, t):
             F.round("jaccard_dist", 6).alias("jaccard_dist"),
         )
     )
+
+
+# --- Portable banded MinHash (hash-checkable LSH) ----------------------
+#
+# dedup_minhash_lsh above uses Spark ML's MinHashLSH — JVM-internal
+# hashing, so its oracle can only be rows-only.  This variant builds
+# the same banded-signature algorithm from portable integer
+# arithmetic, so DuckDB can run the IDENTICAL computation and the
+# driver hash-checks the full LSH pipeline end-to-end:
+#   shingle id: 3-gram -> ascii polynomial, base 257 (injective for
+#               printable ASCII: c1*257^2 + c2*257 + c3)
+#   minhash_k:  min over shingles of (a_k * id + b_k) % (2^31 - 1)
+#   bands:      16 signatures in 4 bands of 4 rows; candidates =
+#               equi-join on (band index, band value)
+#   verify:     exact 3-gram Jaccard >= 0.7 on candidates only
+_MH_P = 2147483647
+_MH_K = 16
+_MH_BANDS = 4
+_MH_AB = [
+    (((k + 1) * 2654435761) % _MH_P, ((k + 1) * 40503 * 65537) % _MH_P)
+    for k in range(_MH_K)
+]
+_SPARK_SHINGLES = (
+    "array_distinct(transform(sequence(1, length(text) - 2), "
+    "i -> cast(ascii(substring(text, i, 1)) * 66049 "
+    "+ ascii(substring(text, i + 1, 1)) * 257 "
+    "+ ascii(substring(text, i + 2, 1)) as bigint)))"
+)
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform(range(1, length(text) - 1), "
+    "i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) * 66049 "
+    "+ ascii(substr(text, CAST(i + 1 AS INT), 1)) * 257 "
+    "+ ascii(substr(text, CAST(i + 2 AS INT), 1)) AS BIGINT)))"
+)
+
+
+def _mh_band_sql(engine: str) -> list[str]:
+    """Per-band value expressions (concat_ws over 4 row-mins)."""
+    if engine == "spark":
+        mins = [
+            f"array_min(transform(g, x -> ({a}L * x + {b}L) % {_MH_P}L))"
+            for a, b in _MH_AB
+        ]
+    else:
+        mins = [
+            f"list_min(list_transform(g, x -> ({a} * x + {b}) % {_MH_P}))"
+            for a, b in _MH_AB
+        ]
+    rows = _MH_K // _MH_BANDS
+    return [
+        "concat_ws('-', " + ", ".join(mins[j * rows : (j + 1) * rows]) + ")"
+        for j in range(_MH_BANDS)
+    ]
+
+
+def _mh_oracle() -> str:
+    bands = _mh_band_sql("duck")
+    band_union = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {j} AS j, {b} AS v FROM g" for j, b in enumerate(bands)
+    )
+    jac = (
+        "CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) "
+        "/ (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)))"
+    )
+    return f"""
+    WITH g AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS g
+      FROM documents WHERE lang = 'en'
+    ), bands AS (
+      {band_union}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.j = b.j AND a.v = b.v AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, ROUND({jac}, 6) AS ngram_jaccard
+    FROM cand c
+    JOIN g ga ON ga.doc_id = c.doc_a
+    JOIN g gb ON gb.doc_id = c.doc_b
+    WHERE {jac} >= 0.7
+    """
+
+
+@query("dedup_minhash_banded", oracle=_mh_oracle())
+def dedup_minhash_banded(spark, t):
+    """Banded MinHash near-dup — the LSH tier, hash-proven.
+
+    Same asymptotics as dedup_minhash_lsh (candidates are
+    band-collision-bound: the shuffle carries 4 short band keys per
+    doc, never pairs), but built from portable integer minhashes so
+    THE ORACLE RUNS THE IDENTICAL ALGORITHM — the driver hash-checks
+    signature generation, banding, candidate join, and exact-Jaccard
+    verify end-to-end, where the ML variant can only be graded
+    rows-only.  Per-band collision probability for similarity s is
+    s^4; across 4 bands, recall = 1-(1-s^4)^4 (0.987 at s = 0.9 — see
+    the recall pytest vs the exact quadratic twin).
+    """
+    g = (
+        t["documents"]
+        .where(F.col("lang") == "en")
+        .select("doc_id", F.expr(_SPARK_SHINGLES).alias("g"))
+    )
+    bands = _mh_band_sql("spark")
+    banded = g.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), F.expr(b).alias("v")
+                    )
+                    for j, b in enumerate(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.j", "band.v")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("g_a"))
+    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g_b"))
+    inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
+    union = F.size(F.col("g_a")) + F.size(F.col("g_b")) - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .where(jac >= 0.7)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("ngram_jaccard"))
+    )
