@@ -222,3 +222,15 @@ def test_join_stream_static_matches_batch_join(q, tables):
     )
     batch_n = tables["events"].join(cust, "user_id").count()
     assert q("join_stream_static").count() == batch_n
+
+
+def test_join_stream_stream_equals_batch_interval_join(q):
+    stream = _rows(
+        q("join_stream_stream"),
+        "signup_id", "user_id", "event_id", "event_type", "ts",
+    )
+    batch = _rows(
+        q("join_interval"),
+        "signup_id", "user_id", "event_id", "event_type", "ts",
+    )
+    assert stream == batch

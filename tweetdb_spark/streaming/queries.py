@@ -7,10 +7,11 @@ checks by nature (the driver omits them from the oracle hash); each
 stateful shape has an oracle-hash-checked batch twin in
 ``tweetdb_spark/operators/events.py``:
 
-  stream_tumbling  ↔ events_tumbling
-  stream_sliding   ↔ events_sliding
-  stream_session   ↔ events_session_batch
-  stream_dedup     ↔ (exact input row count — dedup of a doubled feed)
+  stream_tumbling    ↔ events_tumbling
+  stream_sliding     ↔ events_sliding
+  stream_session     ↔ events_session_batch
+  stream_dedup       ↔ (exact input row count — dedup of a doubled feed)
+  join_stream_stream ↔ join_interval
 
 Scale posture: state stores are keyed by (window×type / user);
 watermarks bound state size — without one, a 100 TB stream's window
@@ -303,6 +304,53 @@ def join_stream_static(spark, t):
     )
     joined = s.join(cust, "user_id").select(
         "event_id", "user_id", "event_type", "c_name", "c_mktsegment"
+    )
+    return run_to_memory(joined, "append")
+
+
+@query("join_stream_stream", oracle=None)
+def join_stream_stream(spark, t):
+    """Stream-stream interval join — activity within 1h of each signup.
+
+    The streaming twin of the hash-checked join_interval batch shape
+    (same equi conjunct + time-range predicate, same output columns;
+    equality asserted in tests/test_streaming.py).  Both sides carry
+    watermarks, so the state store evicts buffered rows once the
+    range condition can no longer match them — bounded state is what
+    makes a stream-stream join survive an unbounded 100 TB feed; the
+    join itself shuffles both streams on user_id exactly like the
+    batch hash join.
+    """
+    sf = _sf_dir(t)
+    s = (
+        read_events_stream(spark, sf)
+        .where(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            "user_id",
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "2 hours")
+    )
+    x = (
+        read_events_stream(spark, sf)
+        .where(F.col("event_type") != "signup")
+        .select(
+            F.col("user_id").alias("x_user_id"),
+            F.col("event_id").alias("event_id"),
+            "event_type",
+            F.col("ts").alias("x_ts"),
+        )
+        .withWatermark("x_ts", "2 hours")
+    )
+    joined = s.join(
+        x,
+        (s.user_id == x.x_user_id)
+        & (F.col("x_ts") > F.col("s_ts"))
+        & (F.col("x_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "signup_id", "user_id", "event_id", "event_type",
+        F.col("x_ts").alias("ts"),
     )
     return run_to_memory(joined, "append")
 
