@@ -463,3 +463,159 @@ def text_stats(spark, t):
         ).alias("n_len_valid"),
         F.round(F.avg(F.size(F.split("text", " "))), 2).alias("avg_tokens"),
     )
+
+
+@query(
+    "text_decontaminate",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(string_split(text, ' ')) - 6),
+               i -> array_to_string(string_split(text, ' ')[i:i+7], ' ')))
+               AS grams
+      FROM documents
+    ), bench AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 7 = 0
+    ), train AS (
+      SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 7 <> 0
+    )
+    SELECT train.doc_id, count(DISTINCT train.gram) AS n_shared
+    FROM train JOIN bench USING (gram)
+    GROUP BY train.doc_id
+    """,
+)
+def text_decontaminate(spark, t):
+    """Benchmark decontamination: flag training docs that share any
+    8-token n-gram with the held-out benchmark set.
+
+    The GPT-3/Pile decontamination primitive.  Benchmark membership is
+    a deterministic split (doc_id % 7) so the check is oracle-exact;
+    in production the benchmark grams come from the eval suites.
+    Candidate generation is an equi-join on the gram — at 100 TB,
+    hash grams to 64-bit ids first (shuffle ints, not 50-char
+    strings) and broadcast the benchmark side when the eval suites
+    are dim-sized (they are: MMLU+HellaSwag+... is ~10^6 grams).
+    DuckDB ``range`` is empty when the doc is shorter than 8 tokens;
+    Spark ``sequence`` would DESCEND, so the CASE guards it.
+    """
+    grams = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 8 THEN "
+        "array_distinct(transform(sequence(1, size(split(text, ' ')) - 7), "
+        "i -> array_join(slice(split(text, ' '), i, 8), ' '))) "
+        "ELSE array() END"
+    )
+    g = t["documents"].select("doc_id", grams.alias("grams"))
+    bench = (
+        g.where(F.col("doc_id") % 7 == 0)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    train = g.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.explode("grams").alias("gram")
+    )
+    return train.join(bench, "gram").groupBy("doc_id").agg(
+        F.countDistinct("gram").alias("n_shared")
+    )
+
+
+@query(
+    "corpus_mix_weights",
+    oracle="""
+    WITH g AS (
+      SELECT lang, source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang, source
+    )
+    SELECT lang, source, n_docs, n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE)
+                 / CAST(SUM(n_tokens) OVER () AS BIGINT), 6) AS token_share,
+           ROUND(CAST(SUM(n_tokens) OVER () AS BIGINT)
+                 / (CAST(COUNT(*) OVER () AS BIGINT)
+                    * CAST(n_tokens AS DOUBLE)), 6) AS mix_weight
+    FROM g
+    """,
+)
+def corpus_mix_weights(spark, t):
+    """Domain-mixing report: per-(lang, source) token shares and the
+    sampling weight that re-balances the corpus to a uniform target
+    mix (weight = target_share / actual_share).
+
+    The data-mixing primitive for training-corpus assembly (the
+    DoReMi/Pile-style re-weighting input).  One shuffle to the group
+    grain, then a window over the 97-row group table — the window
+    never sees fact rows.  Window SUMs are CAST to BIGINT (DuckDB
+    HUGEINT → pandas float64 skew, the r01 session-window fail class).
+    """
+    from pyspark.sql.window import Window
+
+    g = t["documents"].groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    total = F.sum("n_tokens").over(w)
+    ngroups = F.count("*").over(w)
+    return g.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / total, 6).alias("token_share"),
+        F.round(
+            total / (ngroups * F.col("n_tokens").cast("double")), 6
+        ).alias("mix_weight"),
+    )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS t,
+             CAST(count(DISTINCT token) AS BIGINT) AS v
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           ROUND(-SUM(ln(CAST(c + 1 AS DOUBLE) / (t + v))) / count(*), 6) + 0
+             AS avg_neg_logprob
+    FROM tok JOIN counts USING (token), tot
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark, t):
+    """Unigram-LM fluency score: per-doc mean negative log-probability
+    under an add-1-smoothed unigram model fit on the corpus itself.
+
+    The perplexity-filter primitive (CCNet/KenLM shape, one order
+    lower): rare-token-heavy docs score high and get filtered.  Two
+    aggregations (vocab counts, corpus totals) + one broadcast-sized
+    1-row totals join, then a map-side ln and a per-doc mean — no
+    Python anywhere.  ROUND(.,6) absorbs cross-engine ln/summation
+    ulps; "+ 0" normalizes a potential -0.0.
+    """
+    tok = t["documents"].select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count("*").alias("c"))
+    tot = tok.agg(
+        F.count("*").alias("t"), F.countDistinct("token").alias("v")
+    )
+    p = (F.col("c") + 1).cast("double") / (F.col("t") + F.col("v"))
+    return (
+        tok.join(counts, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (F.round(-F.sum(F.log(p)) / F.count("*"), 6) + 0).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )
