@@ -619,3 +619,90 @@ def text_unigram_logprob(spark, t):
             ),
         )
     )
+
+
+@query(
+    "text_chunk",
+    oracle="""
+    SELECT doc_id,
+           CAST(k AS INT) AS chunk_id,
+           CAST(1 + k * 150 AS INT) AS chunk_start,
+           substr(text, CAST(1 + k * 150 AS INT), 200) AS chunk
+    FROM documents,
+         unnest(range(0, (length(text) - 1) // 150 + 1)) AS u(k)
+    """,
+)
+def text_chunk(spark, t):
+    """RAG chunking: 200-char windows with 50-char overlap (stride
+    150), keyed (doc_id, chunk_id, chunk_start).
+
+    The retrieval-indexing primitive.  Pure per-row explode — no
+    shuffle at all; chunk count per doc is ceil-div arithmetic, so
+    the op is embarrassingly parallel at any scale and the chunk
+    table inherits the source partitioning.
+    """
+    return t["documents"].select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, CAST((length(text) - 1) / 150 AS INT)), "
+                "k -> substring(text, 1 + k * 150, 200))"
+            )
+        ).alias("chunk_id", "chunk"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        (F.lit(1) + F.col("chunk_id") * 150).cast("int").alias("chunk_start"),
+        "chunk",
+    )
+
+
+@query(
+    "corpus_pack",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(COALESCE(CAST(SUM(n_tokens) OVER (
+                 PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS BIGINT), 0) // 2048 AS BIGINT) AS pack_id,
+           CAST(COALESCE(CAST(SUM(n_tokens) OVER (
+                 PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS BIGINT), 0) % 2048 AS BIGINT) AS pack_offset
+    FROM d
+    """,
+)
+def corpus_pack(spark, t):
+    """Sequence packing: assign docs to 2048-token training packs by
+    greedy running total within each language shard.
+
+    The batch-assembly primitive for pre-training (docs concatenated
+    into fixed-length sequences; pack_id/pack_offset say where each
+    doc lands).  One window per shard key — at 100 TB the shard key
+    is (lang, file-bucket) so no single ordered partition grows
+    unbounded; the running total stays a single pass.  Window SUM is
+    CAST to BIGINT on the DuckDB side (HUGEINT skew class).
+    """
+    from pyspark.sql.window import Window
+
+    d = t["documents"].select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(cum_before / 2048).cast("bigint").alias("pack_id"),
+        (cum_before % 2048).cast("bigint").alias("pack_offset"),
+    )
