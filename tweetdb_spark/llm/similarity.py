@@ -279,3 +279,64 @@ def sim_pairwise_label_sampled(spark, t):
             (F.round(F.avg(cos), 3) + 0).alias("mean_cos"),
         )
     )
+
+
+@query(
+    "embed_quantize_i8",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             CAST(list_min(embedding) AS DOUBLE) AS lo,
+             CAST(list_max(embedding) AS DOUBLE) AS hi
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, embedding, lo, hi, (hi - lo) / 255 AS sc FROM b
+    )
+    SELECT vec_id,
+           ROUND(lo, 6) AS lo,
+           ROUND(hi, 6) AS hi,
+           CASE WHEN hi = lo THEN 0.0 ELSE
+             ROUND(list_sum(list_transform(
+                     list_transform(embedding, x ->
+                       CAST(x AS DOUBLE)
+                       - (lo + floor((CAST(x AS DOUBLE) - lo) / sc + 0.5) * sc)),
+                     e -> e * e))
+                   / len(embedding), 8) + 0
+           END AS mse_q8
+    FROM s
+    """,
+)
+def embed_quantize_i8(spark, t):
+    """Scalar int8 quantization QA: per-vector [min, max] affine code
+    (q = half-up round of (x-lo)/scale, 0..255) and the reconstruction
+    MSE it would incur.
+
+    The embedding-storage primitive at 100 TB: 4x smaller than
+    float32, and this report is the acceptance gate for switching the
+    ANN index to quantized codes.  Everything is per-row array math
+    (no shuffle); rounding is the portable half-up floor(x+0.5) form
+    and the error fold is fixed left-to-right order, so both engines
+    produce bit-identical doubles before the final ROUND.
+    """
+    e = F.col("embedding")
+    base = t["embeddings"].select(
+        "vec_id",
+        "embedding",
+        F.array_min(e).cast("double").alias("lo"),
+        F.array_max(e).cast("double").alias("hi"),
+    ).withColumn("sc", (F.col("hi") - F.col("lo")) / 255)
+    err = F.expr(
+        "transform(embedding, x -> CAST(x AS DOUBLE) "
+        "- (lo + floor((CAST(x AS DOUBLE) - lo) / sc + 0.5) * sc))"
+    )
+    mse = F.aggregate(
+        err, F.lit(0.0), lambda acc, v: acc + v * v
+    ) / F.size("embedding")
+    return base.select(
+        "vec_id",
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+        F.when(F.col("hi") == F.col("lo"), F.lit(0.0))
+        .otherwise(F.round(mse, 8) + 0)
+        .alias("mse_q8"),
+    )
