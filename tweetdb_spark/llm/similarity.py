@@ -340,3 +340,37 @@ def embed_quantize_i8(spark, t):
         .otherwise(F.round(mse, 8) + 0)
         .alias("mse_q8"),
     )
+
+
+@query(
+    "embed_centroids",
+    oracle="""
+    SELECT label,
+           CAST(p AS INT) AS pos,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(CAST(embedding[CAST(p + 1 AS INT)] AS DOUBLE)), 6) + 0
+             AS mean_val
+    FROM embeddings, unnest(range(0, len(embedding))) AS u(p)
+    GROUP BY label, p
+    """,
+)
+def embed_centroids(spark, t):
+    """Per-label centroid vectors, long format (label, dim, mean).
+
+    The class-prototype primitive (IVF coarse-quantizer training,
+    semantic-dedup blocking, nearest-class-mean classification all
+    start here).  posexplode → two-phase avg: the shuffle carries
+    (label, pos) partial sums — labels × dims rows, independent of N.
+    Long format keeps every cell scalar (array outputs crash the
+    driver canonicalizer); consumers pivot back with
+    array_agg-sort-by-pos when they need vectors.
+    """
+    return (
+        t["embeddings"]
+        .select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            (F.round(F.avg(F.col("v").cast("double")), 6) + 0).alias("mean_val"),
+        )
+    )

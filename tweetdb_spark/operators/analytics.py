@@ -402,3 +402,40 @@ def fn_levenshtein_blocked(spark, t):
         cand.where(dist <= 2)
         .select("supp_a", "supp_b", dist.alias("edit_dist"))
     )
+
+
+@query(
+    "scd2_build",
+    oracle="""
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           CASE WHEN lead(ts) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                ) IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM events
+    """,
+)
+def scd2_build(spark, t):
+    """SCD Type-2 dimension build: each user's event stream becomes
+    validity intervals (valid_from, valid_to, is_current).
+
+    The warehouse change-tracking primitive.  One shuffle to
+    partition by the business key, then lead() closes each interval —
+    the standard snapshot-to-history transform.  At 100 TB the
+    business key is the partition key already (no extra exchange when
+    the source is bucketed by user), and incremental refresh only
+    re-windows keys present in the new batch.  Deterministic
+    tie-break (ts, event_id) keeps both engines' lead() aligned.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return t["events"].select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
