@@ -209,3 +209,22 @@ def test_minhash_banded_recall_vs_exact(q):
     assert recall >= 0.75
     assert set(banded) <= exact  # verify step forbids false positives
     assert all(j >= 0.7 for j in banded.values())
+
+
+def test_approx_distinct_error_bound(q, spark, tables):
+    """HLL++ estimates must sit within the configured rsd of the exact
+    distinct counts (agg_approx_distinct is rows-only by design; this
+    bounds its error against the hash-checked exact twin)."""
+    from pyspark.sql import functions as F
+
+    exact = {
+        r.event_type: r.n
+        for r in tables["events"]
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {r[0]: r[1] for r in q("agg_approx_distinct").collect()}
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) / exact[k] < 0.1

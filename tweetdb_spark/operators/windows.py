@@ -208,3 +208,35 @@ def win_frame_range(spark, t):
         "o_orderdate",
         F.round(F.sum("o_totalprice").over(w), 2).alias("cum_spend"),
     )
+
+
+@query(
+    "win_distribution",
+    oracle="""
+    SELECT o_orderstatus, o_orderkey,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume,
+           CAST(ntile(4) OVER w AS INT) AS quartile
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+    )
+    """,
+)
+def win_distribution(spark, t):
+    """Distribution window functions: percent_rank / cume_dist / ntile.
+
+    The ranking-distribution surface (price percentile per status
+    band).  The ORDER BY carries o_orderkey as a unique tie-break —
+    ntile assigns by row position, so without it the quartile of tied
+    prices would be engine-dependent.  Same single-shuffle profile as
+    every other window: one exchange on the partition key.
+    """
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return t["orders"].select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
