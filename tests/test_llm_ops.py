@@ -228,3 +228,14 @@ def test_approx_distinct_error_bound(q, spark, tables):
     assert set(approx) == set(exact)
     for k, est in approx.items():
         assert abs(est - exact[k]) / exact[k] < 0.1
+
+
+def test_pagerank_invariants(q):
+    """Rank mass is conserved (no dangling nodes in the symmetric
+    graph) and every node keeps at least the teleport floor."""
+    rows = q("graph_pagerank").collect()
+    assert rows, "fixture dup graph must be non-empty"
+    n = len(rows)
+    total = sum(r.pagerank for r in rows)
+    assert abs(total - 1.0) < n * 1e-6 + 1e-6
+    assert all(r.pagerank >= 0.15 / n - 1e-9 for r in rows)

@@ -690,3 +690,134 @@ def dedup_minhash_banded(spark, t):
         .where(jac >= 0.7)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("ngram_jaccard"))
     )
+
+
+def _pagerank_iter_ctes(n_iters: int) -> str:
+    """pr1..prN CTEs, each one synchronous PageRank step (d = 0.85)."""
+    out = []
+    for i in range(1, n_iters + 1):
+        out.append(
+            f"""pr{i} AS (
+      SELECT s.v AS id, 0.15 / nn.n + 0.85 * SUM(pr{i-1}.p / deg.d) AS p
+      FROM sym s
+      JOIN pr{i-1} ON pr{i-1}.id = s.u
+      JOIN deg ON deg.u = s.u
+      CROSS JOIN nn
+      GROUP BY s.v, nn.n
+    )"""
+        )
+    return ", ".join(out)
+
+
+@query(
+    "graph_pagerank",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY doc_id, token
+    ), th AS (
+      SELECT token, {{_DUCK_TOKHASH}} AS h FROM (SELECT DISTINCT token FROM tf)
+    ), bits AS (
+      SELECT tf.doc_id, b.b,
+             SUM(CASE WHEN (th.h >> CAST(b.b AS INT)) & 1 = 1
+                      THEN tf.cnt ELSE -tf.cnt END) AS s
+      FROM tf JOIN th USING (token)
+      CROSS JOIN (SELECT unnest(range(0, 32)) AS b) b
+      GROUP BY tf.doc_id, b.b
+    ), fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    ), edges AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM fp a JOIN fp b
+        ON a.doc_id < b.doc_id
+       AND bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+    ), sym AS (
+      SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+    ), nodes AS (
+      SELECT DISTINCT u AS id FROM sym
+    ), nn AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+    ), deg AS (
+      SELECT u, CAST(count(*) AS DOUBLE) AS d FROM sym GROUP BY u
+    ), pr0 AS (
+      SELECT id, 1.0 / nn.n AS p FROM nodes CROSS JOIN nn
+    ), {{_ITERS}}
+    SELECT id AS doc_id, ROUND(p, 6) + 0 AS pagerank
+    FROM pr5
+    """.replace("{_DUCK_TOKHASH}", _DUCK_TOKHASH.replace("{s}", "token")
+                if "{s}" in _DUCK_TOKHASH else _DUCK_TOKHASH)
+       .replace("{_ITERS}", _pagerank_iter_ctes(5)),
+)
+def graph_pagerank(spark, t):
+    """PageRank (5 synchronous iterations, d = 0.85) over the simhash
+    near-dup graph — importance ranking inside duplicate clusters.
+
+    The iterative-graph-algorithm primitive beyond connected
+    components: each step is one equi-join (rank mass flows along
+    edges) + one aggregation, the Pregel pattern as plain DataFrames;
+    the driver loop is bounded control flow only and the frame is
+    localCheckpoint'ed per round to cut lineage.  Candidates come
+    from the BANDED simhash join while the oracle uses the all-pairs
+    form — the hash match additionally proves band completeness at
+    hamming ≤ 3.  The symmetric graph has no dangling nodes, so no
+    redistribution term is needed.
+    """
+    fp = _simhash_fingerprints(spark, t)
+    bands = fp.crossJoin(
+        F.broadcast(spark.range(4).select(F.col("id").alias("j")))
+    ).select(
+        "doc_id",
+        "simhash",
+        "j",
+        F.expr("shiftright(simhash, cast(8 * j as int)) & 255").alias("band"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("u"),
+            F.col("b.doc_id").alias("v"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+        .where(
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= _HAMMING_MAX
+        )
+        .select("u", "v")
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    deg = sym.groupBy("u").agg(F.count("*").cast("double").alias("d"))
+    nodes = sym.select(F.col("u").alias("id")).distinct()
+    nn = F.broadcast(nodes.agg(F.count("*").cast("double").alias("n")))
+    p = nodes.crossJoin(nn).select("id", (F.lit(1.0) / F.col("n")).alias("p"))
+    for _ in range(5):
+        contrib = (
+            sym.join(p, sym.u == F.col("id"))
+            .join(deg, "u")
+            .select(F.col("v").alias("id"), (F.col("p") / F.col("d")).alias("c"))
+        )
+        p = (
+            contrib.groupBy("id")
+            .agg(F.sum("c").alias("s"))
+            .crossJoin(nn)
+            .select(
+                "id",
+                (F.lit(0.15) / F.col("n") + F.lit(0.85) * F.col("s")).alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return p.select(
+        F.col("id").alias("doc_id"), (F.round("p", 6) + 0).alias("pagerank")
+    )
