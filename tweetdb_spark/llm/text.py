@@ -706,3 +706,104 @@ def corpus_pack(spark, t):
         F.floor(cum_before / 2048).cast("bigint").alias("pack_id"),
         (cum_before % 2048).cast("bigint").alias("pack_offset"),
     )
+
+
+@query(
+    "corpus_split",
+    oracle="""
+    WITH d AS (
+      SELECT lang,
+             CASE WHEN (doc_id * 2654435761) % 2147483647 % 100 < 90
+                    THEN 'train'
+                  WHEN (doc_id * 2654435761) % 2147483647 % 100 < 95
+                    THEN 'val'
+                  ELSE 'test' END AS split,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT lang, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM d GROUP BY lang, split
+    """,
+)
+def corpus_split(spark, t):
+    """Deterministic 90/5/5 train/val/test split report per language.
+
+    Split membership is a pure function of doc_id (portable
+    multiplicative hash -> percent bucket), so the assignment is
+    reproducible across engines, runs, and re-shards — the property a
+    training split must have.  No shuffle beyond the report's own
+    group-by; the per-doc assignment is a narrow map usable as a
+    partition column at write time.
+    """
+    bucket = F.expr("(doc_id * 2654435761) % 2147483647 % 100")
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        t["documents"]
+        .select(
+            "lang",
+            split.alias("split"),
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "corpus_token_budget",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             (doc_id * 2654435761) % 2147483647 AS h
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(COALESCE(CAST(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) AS BIGINT), 0) AS BIGINT) AS cum_before
+      FROM d
+    )
+    SELECT doc_id, lang, n_tokens, cum_before
+    FROM c WHERE cum_before < 5000
+    """,
+)
+def corpus_token_budget(spark, t):
+    """Token-budget subsampling: keep a deterministic 'random' prefix
+    of each language's docs until 5000 tokens are drawn.
+
+    The corpus-sizing primitive (assemble an N-token training mix per
+    domain).  Docs are ordered by the portable deterministic shuffle,
+    so the sample is reproducible and unbiased-by-construction; the
+    greedy prefix is one running-total window per shard.  At 100 TB
+    the budget is per (lang, shard) and the windows stay bounded.
+    """
+    from pyspark.sql.window import Window
+
+    d = t["documents"].select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.expr("(doc_id * 2654435761) % 2147483647").alias("h"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.withColumn(
+            "cum_before",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"),
+        )
+        .where(F.col("cum_before") < 5000)
+        .select("doc_id", "lang", "n_tokens", "cum_before")
+    )
