@@ -807,3 +807,82 @@ def corpus_token_budget(spark, t):
         .where(F.col("cum_before") < 5000)
         .select("doc_id", "lang", "n_tokens", "cum_before")
     )
+
+
+@query(
+    "text_bigram_logprob",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+               i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i + 1 AS INT)]))
+               AS bigram
+      FROM tk
+    ), pre AS (
+      SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1 FROM tk
+    ), c2 AS (
+      SELECT bigram, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY bigram
+    ), c1 AS (
+      SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM pre GROUP BY w1
+    ), vocab AS (
+      SELECT CAST(count(DISTINCT token) AS BIGINT) AS v
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    )
+    SELECT bg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           ROUND(-SUM(ln(CAST(c2.c2 + 1 AS DOUBLE)
+                         / (c1.c1 + vocab.v))) / count(*), 6) + 0
+             AS avg_neg_logprob2
+    FROM bg
+    JOIN c2 USING (bigram)
+    JOIN c1 ON c1.w1 = string_split(bg.bigram, ' ')[1]
+    CROSS JOIN vocab
+    GROUP BY bg.doc_id
+    """,
+)
+def text_bigram_logprob(spark, t):
+    """Bigram-LM fluency score: per-doc mean negative log-probability
+    under an add-1-smoothed bigram model fit on the corpus
+    (p(w2|w1) = (c(w1 w2)+1) / (c(w1·)+V)).
+
+    One order up from text_unigram_logprob — the KenLM direction with
+    the same distributed shape: two count aggregations (bigrams,
+    prefixes), a 1-row vocab broadcast, a map-side ln, a per-doc
+    mean.  Bigram strings are built identically on both engines, so
+    counts are exact and only the final rounded mean is float.
+    """
+    tk = t["documents"].select("doc_id", F.split("text", " ").alias("tk"))
+    bg = tk.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1), "
+                "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    pre = tk.select(
+        "doc_id", F.explode(F.expr("slice(tk, 1, size(tk) - 1)")).alias("w1")
+    )
+    c2 = bg.groupBy("bigram").agg(F.count("*").alias("c2"))
+    c1 = pre.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        t["documents"]
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .agg(F.countDistinct("token").alias("v"))
+    )
+    p = (F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("v"))
+    return (
+        bg.join(c2, "bigram")
+        .withColumn("w1", F.split("bigram", " ").getItem(0))
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (F.round(-F.sum(F.log(p)) / F.count("*"), 6) + 0).alias(
+                "avg_neg_logprob2"
+            ),
+        )
+    )
