@@ -439,3 +439,77 @@ def scd2_build(spark, t):
         nxt.alias("valid_to"),
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+_PROFILE_COLS = ['l_quantity', 'l_extendedprice', 'l_discount', 'l_tax']
+
+
+@query(
+    "table_profile",
+    oracle="""
+    SELECT 'l_quantity' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_val,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS ndv,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_val,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT l_discount) AS BIGINT) AS ndv,
+           CAST(MIN(l_discount) AS DOUBLE) AS min_val,
+           CAST(MAX(l_discount) AS DOUBLE) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT l_tax) AS BIGINT) AS ndv,
+           CAST(MIN(l_tax) AS DOUBLE) AS min_val,
+           CAST(MAX(l_tax) AS DOUBLE) AS max_val
+    FROM lineitem
+    """,
+)
+def table_profile(spark, t):
+    """ANALYZE-style column statistics in one pass: row count, null
+    count, exact NDV, min, max per numeric column, long format.
+
+    The catalog/statistics primitive (CBO inputs, data-quality
+    monitoring).  Spark computes ALL columns' stats in a single
+    aggregation over one scan (multi-aggregate + stack to long form);
+    the oracle re-derives each column independently.  At 100 TB swap
+    exact NDV for approx_count_distinct — same plan, sketch state.
+    """
+    aggs = [F.count("*").cast("bigint").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"nulls_{c}"),
+            F.countDistinct(c).cast("bigint").alias(f"ndv_{c}"),
+            F.min(c).cast("double").alias(f"min_{c}"),
+            F.max(c).cast("double").alias(f"max_{c}"),
+        ]
+    row = t["lineitem"].agg(*aggs)
+    stack = (
+        "stack({n}, {body}) as (col_name, n_nulls, ndv, min_val, max_val)"
+    ).format(
+        n=len(_PROFILE_COLS),
+        body=", ".join(
+            f"'{c}', nulls_{c}, ndv_{c}, min_{c}, max_{c}"
+            for c in _PROFILE_COLS
+        ),
+    )
+    return row.select(F.expr(stack), "n_rows").select(
+        "col_name", "n_rows", "n_nulls", "ndv", "min_val", "max_val"
+    )

@@ -225,3 +225,44 @@ def sink_parquet_part(spark, t):
         F.count("*").alias("cnt"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@query(
+    "compact_files",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def compact_files(spark, t):
+    """Small-files compaction: rewrite a fragmented dataset into few
+    right-sized files, read back, verify losslessness.
+
+    The table-maintenance primitive every long-lived 100 TB store
+    needs (streaming ingest + partitioned writes breed small files;
+    scan cost is per-file).  Here orders is deliberately fragmented
+    into 64 files, compacted with a plain repartition(4) rewrite
+    (on a cluster: repartitionByRange on the sort key to keep files
+    clusterable, or the table format's OPTIMIZE), and the oracle
+    aggregates the ORIGINAL — the hash proves the rewrite lost
+    nothing.  tests/test_scans assert the file-count drop.
+    """
+    import uuid as _uuid
+
+    frag = os.path.join(
+        tempfile.gettempdir(), f"tweetdb_frag_{_uuid.uuid4().hex[:8]}"
+    )
+    compact = os.path.join(
+        tempfile.gettempdir(), f"tweetdb_compact_{_uuid.uuid4().hex[:8]}"
+    )
+    t["orders"].repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(
+        compact
+    )
+    back = spark.read.parquet(compact)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
