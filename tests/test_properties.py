@@ -122,3 +122,60 @@ def test_jaccard_formula_symmetric_and_bounded(xs, ys):
     assert jac == jac_rev
     assert 0.0 <= jac <= 1.0
     assert (jac == 1.0) == (a == b)
+
+
+def minhash_sig_py(text: str) -> list[int]:
+    """Python reference of the portable banded-MinHash signature
+    (llm/dedup.py _SPARK_SHINGLES / _DUCK_SHINGLES + _MH_AB)."""
+    from tweetdb_spark.llm.dedup import _MH_AB, _MH_P
+
+    shingles = {
+        ord(text[i]) * 66049 + ord(text[i + 1]) * 257 + ord(text[i + 2])
+        for i in range(len(text) - 2)
+    }
+    return [min((a * x + b) % _MH_P for x in shingles) for a, b in _MH_AB]
+
+
+@given(st.text(alphabet=ASCII, min_size=3, max_size=120))
+@settings(max_examples=40, deadline=None)
+def test_minhash_signature_python_vs_duckdb(s):
+    from tweetdb_spark.llm.dedup import _DUCK_SHINGLES, _mh_band_sql
+
+    con = duckdb.connect()
+    bands = con.execute(
+        "SELECT " + ", ".join(_mh_band_sql("duck"))
+        + f" FROM (SELECT {_DUCK_SHINGLES.replace('text', 's')} AS g"
+        "  FROM (SELECT ? AS s))",
+        [s],
+    ).fetchone()
+    ref = minhash_sig_py(s)
+    want = ["-".join(str(m) for m in ref[j * 4 : (j + 1) * 4]) for j in range(4)]
+    assert list(bands) == want, s
+
+
+def test_minhash_signature_spark_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    from tweetdb_spark.llm.dedup import _SPARK_SHINGLES, _mh_band_sql
+
+    rng = random.Random(7)
+    samples = [
+        "".join(rng.choice(ASCII) for _ in range(rng.randint(3, 150)))
+        for _ in range(50)
+    ] + ["abc", "aaaaaa"]
+    df = spark.createDataFrame([(s,) for s in samples], "text string")
+    exprs = [
+        F.expr(b).alias(f"b{j}") for j, b in enumerate(_mh_band_sql("spark"))
+    ]
+    got = {
+        r.text: [r.b0, r.b1, r.b2, r.b3]
+        for r in df.select(
+            "text", F.expr(_SPARK_SHINGLES).alias("g")
+        ).select("text", *exprs).collect()
+    }
+    for s in samples:
+        ref = minhash_sig_py(s)
+        want = [
+            "-".join(str(m) for m in ref[j * 4 : (j + 1) * 4]) for j in range(4)
+        ]
+        assert got[s] == want, s
