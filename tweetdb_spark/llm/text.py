@@ -886,3 +886,55 @@ def text_bigram_logprob(spark, t):
             ),
         )
     )
+
+
+@query(
+    "text_repetition",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+               i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i + 1 AS INT)]))
+               AS bigram
+      FROM tk
+    ), c AS (
+      SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS n
+      FROM bg GROUP BY doc_id, bigram
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+           CAST(MAX(n) AS DOUBLE) / SUM(n) AS top_bigram_share,
+           CASE WHEN CAST(MAX(n) AS DOUBLE) / SUM(n) > 0.1
+                THEN 1 ELSE 0 END AS repetitive
+    FROM c GROUP BY doc_id
+    """,
+)
+def text_repetition(spark, t):
+    """Gopher-style repetition gate: top-bigram share per document.
+
+    Boilerplate/spam detection — a doc whose single most frequent
+    bigram carries >10% of all bigram mass is flagged.  Exact int/int
+    division (identical operands both engines, no rounding
+    discipline); two-phase aggregation, shuffle carries (doc, bigram)
+    partial counts.
+    """
+    tk = t["documents"].select("doc_id", F.split("text", " ").alias("tk"))
+    bg = tk.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1), "
+                "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    c = bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("n"))
+    share = F.max("n").cast("double") / F.sum("n")
+    return c.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("n_bigrams"),
+        F.count("*").cast("bigint").alias("n_distinct_bigrams"),
+        share.alias("top_bigram_share"),
+        F.when(share > 0.1, 1).otherwise(0).alias("repetitive"),
+    )
