@@ -234,3 +234,22 @@ def test_join_stream_stream_equals_batch_interval_join(q):
         "signup_id", "user_id", "event_id", "event_type", "ts",
     )
     assert stream == batch
+
+
+def test_stream_sink_parquet_equals_batch_and_partitions(q, tables):
+    import glob
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    sunk = _rows(q("stream_sink_parquet"), "event_type", "cnt", "sum_value")
+    batch = _rows(
+        tables["events"]
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value")),
+        "event_type", "cnt", "sum_value",
+    )
+    assert sunk == batch
+    sinks = sorted(glob.glob(f"{tempfile.gettempdir()}/tweetdb_ssink_[0-9a-f]*"))
+    parts = glob.glob(f"{sinks[-1]}/event_type=*")
+    assert len(parts) == len(batch)  # one dir per event_type

@@ -308,6 +308,40 @@ def join_stream_static(spark, t):
     return run_to_memory(joined, "append")
 
 
+@query("stream_sink_parquet", oracle=None)
+def stream_sink_parquet(spark, t):
+    """Streaming partitioned-parquet sink: exactly-once file output.
+
+    The lake-ingestion shape: micro-batches append partitioned parquet
+    under a checkpointed sink — the file-sink commit log makes
+    re-delivered batches idempotent (exactly-once files), and
+    partitioning by event_type gives the layout downstream pruning
+    wants.  Returns the read-back aggregate; a pytest asserts it
+    equals the batch twin and that partition directories exist.
+    """
+    import os as _os
+    import tempfile as _tf
+    import uuid as _uuid
+
+    out = _os.path.join(_tf.gettempdir(), f"tweetdb_ssink_{_uuid.uuid4().hex[:8]}")
+    ckpt = _os.path.join(_tf.gettempdir(), f"tweetdb_ssink_ckpt_{_uuid.uuid4().hex[:8]}")
+    s = read_events_stream(spark, _sf_dir(t), files_per_trigger=10)
+    q = (
+        s.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .partitionBy("event_type")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 @query("join_stream_stream", oracle=None)
 def join_stream_stream(spark, t):
     """Stream-stream interval join — activity within 1h of each signup.
