@@ -239,3 +239,18 @@ def test_pagerank_invariants(q):
     total = sum(r.pagerank for r in rows)
     assert abs(total - 1.0) < n * 1e-6 + 1e-6
     assert all(r.pagerank >= 0.15 / n - 1e-9 for r in rows)
+
+
+def test_ann_lsh_recall_vs_exact(q):
+    """Random-hyperplane LSH (8 bands x 4 bits) recall on this fixture
+    is bounded by the banding math, not the implementation: the exact
+    top-10 cosines are only ~0.27-0.33 (near-orthogonal synthetic
+    vectors), where P(bit match) = 1 - theta/pi = 0.60, so expected
+    recall = 1-(1-0.60^4)^8 = 0.66.  Assert above the 3-sigma floor of
+    that binomial; sim_ann_ivf's recall=1.0 test shows why the
+    data-adaptive quantizer is the right tier for weak-neighbor
+    corpora."""
+    exact = [r.vec_id for r in q("sim_topk_cosine").collect()]
+    approx = [r.vec_id for r in q("sim_ann_lsh").collect()]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.3

@@ -374,3 +374,79 @@ def embed_centroids(spark, t):
             (F.round(F.avg(F.col("v").cast("double")), 6) + 0).alias("mean_val"),
         )
     )
+
+
+# Deterministic pseudo-random hyperplane weight for (plane i, dim j):
+# portable integer mix scaled to [-0.5, 0.5) — no RNG, so signatures
+# are reproducible across engines, runs, and re-shards.
+_HYPERPLANE_W = (
+    "(CAST(({i} * 2654435761 + ({j} + 1) * 2654876161) % 2147483647 AS DOUBLE)"
+    " / 2147483647.0 - 0.5)"
+)
+
+
+def _rh_signature_expr(vec: str = "embedding") -> str:
+    """32-bit random-hyperplane signature: bit i = sign of v·w_i."""
+    return (
+        "aggregate(sequence(0, 31), cast(0 as bigint), (acc, i) -> acc + "
+        "CASE WHEN aggregate(zip_with(" + vec + ", sequence(0, size(" + vec + ") - 1), "
+        "(x, j) -> CAST(x AS DOUBLE) * " + _HYPERPLANE_W.format(i="i", j="j") + "), "
+        "cast(0.0 as double), (a, v) -> a + v) > 0 "
+        "THEN shiftleft(cast(1 as bigint), cast(i as int)) ELSE 0 END)"
+    )
+
+
+@query("sim_ann_lsh", oracle=None)  # approx (band-probed) → rows-only
+def sim_ann_lsh(spark, t):
+    """ANN top-10 via random-hyperplane (SimHash-for-vectors) LSH —
+    the other scale path for L4 alongside sim_ann_ivf.
+
+    32 deterministic hyperplanes give every vector a 32-bit sign
+    signature; 8 bands of 4 bits become equi-join keys, exactly the
+    text-SimHash banding shape.  Candidates = vectors sharing at
+    least one band with the query (no trained model, unlike IVF —
+    LSH is the choice when the corpus distribution drifts), then
+    exact cosine re-ranks the candidate slice.  Recall vs the exact
+    scan is asserted by pytest.  At 100 TB the band values become
+    the table's physical partition keys and the probe reads 8
+    partitions.
+    """
+    sig = F.expr(_rh_signature_expr())
+    base = with_norm(t["embeddings"]).withColumn("sig", sig)
+    bands = base.select(
+        "vec_id", "label", "embedding", "norm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(f"shiftright(sig, {4 * j}) & 15").alias("band"),
+                    )
+                    for j in range(8)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", "label", "embedding", "norm", "b.j", "b.band")
+    qv = bands.where(F.col("vec_id") == 0).select(
+        F.col("j").alias("qj"),
+        F.col("band").alias("qband"),
+        F.col("embedding").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    cand = (
+        bands.join(
+            F.broadcast(qv),
+            (F.col("j") == F.col("qj")) & (F.col("band") == F.col("qband")),
+        )
+        .where(F.col("vec_id") != 0)
+        .select("vec_id", "label", "embedding", "norm", "qv", "qnorm")
+        .dropDuplicates(["vec_id"])
+    )
+    cos = F.round(
+        dot(F.col("embedding"), F.col("qv")) / (F.col("norm") * F.col("qnorm")), 6
+    )
+    return (
+        cand.select("vec_id", "label", cos.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
