@@ -513,3 +513,47 @@ def table_profile(spark, t):
     return row.select(F.expr(stack), "n_rows").select(
         "col_name", "n_rows", "n_nulls", "ndv", "min_val", "max_val"
     )
+
+
+@query(
+    "join_skew_report",
+    oracle="""
+    WITH k AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(MAX(n) AS BIGINT) AS max_rows
+      FROM k
+    )
+    SELECT n_keys, n_rows, max_rows,
+           ROUND(CAST(max_rows AS DOUBLE) * n_keys / n_rows, 4) AS skew_ratio,
+           CASE WHEN CAST(max_rows AS DOUBLE) * n_keys / n_rows > 4.0
+                THEN 1 ELSE 0 END AS needs_salting
+    FROM s
+    """,
+)
+def join_skew_report(spark, t):
+    """Join-key skew diagnosis: hottest-key load vs the mean.
+
+    The report you run BEFORE picking a mitigation (salting /
+    AQE skew-join / broadcast): skew_ratio = max-key rows ÷ mean-key
+    rows.  Two tiny aggregations — the per-key count is the same
+    shuffle the join itself would do, so the report costs one pass.
+    join_skew_salted is the mitigation this gates.
+    """
+    k = t["events"].groupBy("user_id").agg(F.count("*").alias("n"))
+    s = k.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.max("n").cast("bigint").alias("max_rows"),
+    )
+    ratio = F.col("max_rows").cast("double") * F.col("n_keys") / F.col("n_rows")
+    return s.select(
+        "n_keys",
+        "n_rows",
+        "max_rows",
+        F.round(ratio, 4).alias("skew_ratio"),
+        F.when(ratio > 4.0, 1).otherwise(0).alias("needs_salting"),
+    )
