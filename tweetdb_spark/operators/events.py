@@ -234,3 +234,132 @@ def events_sessionize(spark, t):
         .orderBy(F.col("total_value").desc(), F.col("user_id"))
         .limit(20)
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'view'
+        AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_signup,
+           CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_view_7d,
+           CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_purchase_7d,
+           ROUND(CAST((SELECT count(*) FROM s2) AS DOUBLE)
+                 / (SELECT count(*) FROM s1), 4) AS view_rate,
+           ROUND(CAST((SELECT count(*) FROM s3) AS DOUBLE)
+                 / (SELECT count(*) FROM s1), 4) AS purchase_rate
+    """,
+)
+def events_funnel(spark, t):
+    """Ordered conversion funnel: signup → view (≤7d) → purchase (≤7d).
+
+    The product-analytics staple.  Each step is a per-user argmin
+    constrained to follow the previous step — three aggregations all
+    shuffling on user_id, so at scale the three steps reuse ONE
+    partitioning (co-partitioned joins, no re-shuffle); the final
+    report is a broadcast-sized scalar row.
+    """
+    e = t["events"]
+    s1 = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .where(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 7 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 7 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = s1.agg(F.count("*").cast("bigint").alias("n_signup"))
+    n2 = s2.agg(F.count("*").cast("bigint").alias("n_view_7d"))
+    n3 = s3.agg(F.count("*").cast("bigint").alias("n_purchase_7d"))
+    return (
+        n1.crossJoin(n2)
+        .crossJoin(n3)
+        .select(
+            "n_signup",
+            "n_view_7d",
+            "n_purchase_7d",
+            F.round(
+                F.col("n_view_7d").cast("double") / F.col("n_signup"), 4
+            ).alias("view_rate"),
+            F.round(
+                F.col("n_purchase_7d").cast("double") / F.col("n_signup"), 4
+            ).alias("purchase_rate"),
+        )
+    )
+
+
+@query(
+    "events_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort,
+             CAST(date_trunc('week', e.ts) AS TIMESTAMP) AS week
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT cohort,
+           CAST(date_diff('day', CAST(cohort AS DATE), CAST(week AS DATE)) // 7
+                AS INT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM activity
+    GROUP BY cohort, week_offset
+    """,
+)
+def events_retention(spark, t):
+    """Weekly retention cohorts: users active N weeks after first seen.
+
+    The cohort matrix every growth dashboard draws.  Two shuffles on
+    user_id (first-seen, distinct activity) + one on the tiny
+    (cohort, offset) grain; all date arithmetic is integer-exact.
+    At 100 TB the distinct-activity shuffle dominates — pre-aggregate
+    (user, week) map-side (distinct is a partial-agg) and the rest is
+    dim-sized.
+    """
+    e = t["events"]
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = (
+        e.join(first, "user_id")
+        .select("user_id", "cohort", F.date_trunc("week", "ts").alias("week"))
+        .distinct()
+    )
+    offset = (
+        F.datediff(F.col("week").cast("date"), F.col("cohort").cast("date")) / 7
+    ).cast("int")
+    return activity.groupBy("cohort", offset.alias("week_offset")).agg(
+        F.count("*").cast("bigint").alias("n_active")
+    )
