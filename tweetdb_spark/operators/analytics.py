@@ -345,7 +345,7 @@ _LEV_IDX_KEYS = """
                     + IF(length(s_name) % 3 > i, 1, 0) AS INT))))
 """
 _LEV_PRB_KEYS = """
-    flatten(transform(
+    array_distinct(flatten(transform(
       sequence(greatest(3, length(s_name) - 2), length(s_name) + 2), lp ->
         flatten(transform(sequence(0, 2), i ->
           transform(
@@ -358,7 +358,7 @@ _LEV_PRB_KEYS = """
               'l', CAST(lp AS INT),
               'sub', substring(s_name,
                        CAST(1 + i * (lp div 3) + least(i, lp % 3) + d AS INT),
-                       CAST((lp div 3) + IF(lp % 3 > i, 1, 0) AS INT))))))))
+                       CAST((lp div 3) + IF(lp % 3 > i, 1, 0) AS INT)))))))))
 """
 
 
@@ -556,4 +556,50 @@ def join_skew_report(spark, t):
         "max_rows",
         F.round(ratio, 4).alias("skew_ratio"),
         F.when(ratio > 4.0, 1).otherwise(0).alias("needs_salting"),
+    )
+
+
+@query(
+    "value_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, value,
+             CAST(ntile(10) OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+             ) AS INT) AS decile
+      FROM events
+    )
+    SELECT event_type, decile,
+           CAST(count(*) AS BIGINT) AS n,
+           MIN(value) AS lo,
+           MAX(value) AS hi
+    FROM b GROUP BY event_type, decile
+    """,
+)
+def value_histogram(spark, t):
+    """Equal-frequency (decile) histogram of value per event_type.
+
+    The data-profiling/monitoring primitive (equi-depth bins are what
+    CBOs and drift monitors want — equal-width bins collapse under
+    skew).  ntile needs a per-group sort; at 100 TB swap in
+    approx_percentile boundaries (sketch, map-side mergeable) and bin
+    by range — same report schema, no global sort.  The (value,
+    event_id) tie-break makes bin assignment deterministic.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        t["events"]
+        .select(
+            "event_type",
+            "value",
+            F.ntile(10).over(w).cast("int").alias("decile"),
+        )
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
     )
