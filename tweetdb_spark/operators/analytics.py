@@ -603,3 +603,65 @@ def value_histogram(spark, t):
             F.max("value").alias("hi"),
         )
     )
+
+
+@query(
+    "dq_referential",
+    oracle="""
+    SELECT 'orders->customer' AS relation,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_child,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->orders',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'events->customer',
+           CAST((SELECT count(*) FROM events) AS BIGINT),
+           CAST((SELECT count(*) FROM events e
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = e.user_id))
+                AS BIGINT)
+    """,
+)
+def dq_referential(spark, t):
+    """Referential-integrity audit: orphan counts per FK relation.
+
+    The data-quality gate a warehouse runs after every load.  Each
+    relation is an anti-join (orphans) + a count — the anti-join
+    broadcasts the parent keys when dim-sized, otherwise shuffles on
+    the key exactly like the production join it guards.  Long format:
+    one row per relation.
+    """
+    def audit(name, child, key, parent, pkey):
+        orphans = child.join(
+            parent.select(pkey).distinct(),
+            child[key] == parent[pkey],
+            "left_anti",
+        )
+        return (
+            child.agg(F.count("*").cast("bigint").alias("n_child"))
+            .crossJoin(
+                orphans.agg(F.count("*").cast("bigint").alias("n_orphans"))
+            )
+            .select(F.lit(name).alias("relation"), "n_child", "n_orphans")
+        )
+
+    rows = [
+        audit("orders->customer", t["orders"], "o_custkey",
+              t["customer"], "c_custkey"),
+        audit("lineitem->orders", t["lineitem"], "l_orderkey",
+              t["orders"], "o_orderkey"),
+        audit("events->customer", t["events"], "user_id",
+              t["customer"], "c_custkey"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
