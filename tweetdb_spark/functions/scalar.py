@@ -193,10 +193,15 @@ def fn_array(spark, t):
         "vec_id",
         F.size(e).alias("dim"),
         F.element_at(e, 1).alias("first_val"),
-        F.aggregate(
-            F.slice(e, 1, 4).cast("array<double>"),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        # NULL (not a partial sum) when dim < 4, matching the oracle's
+        # out-of-range element_at semantics on any input
+        F.when(
+            F.size(e) >= 4,
+            F.aggregate(
+                F.slice(e, 1, 4).cast("array<double>"),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
         ).alias("head4_sum"),
         F.array_max(e).alias("max_val"),
         F.array_min(e).alias("min_val"),

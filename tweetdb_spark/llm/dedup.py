@@ -141,6 +141,37 @@ def _simhash_fingerprints(spark, t):
     )
 
 
+def _simhash_band_candidates(spark, fp):
+    """Banded candidate pairs (u, v, sh_a, sh_b) from fingerprints:
+    4 bands x 8 bits, equi-join on (band index, band value).  Shared
+    by dedup_simhash and graph_pagerank so the banding scheme that the
+    hamming <= 3 pigeonhole proof depends on lives in ONE place."""
+    bands = fp.crossJoin(
+        F.broadcast(spark.range(4).select(F.col("id").alias("j")))
+    ).select(
+        "doc_id",
+        "simhash",
+        "j",
+        F.expr("shiftright(simhash, cast(8 * j as int)) & 255").alias("band"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+
+
 @query(
     "dedup_simhash",
     oracle=f"""
@@ -188,30 +219,7 @@ def dedup_simhash(spark, t):
     least one of the 4 bands.
     """
     fp = _simhash_fingerprints(spark, t)
-    bands = fp.crossJoin(
-        F.broadcast(spark.range(4).select(F.col("id").alias("j")))
-    ).select(
-        "doc_id",
-        "simhash",
-        "j",
-        F.expr("shiftright(simhash, cast(8 * j as int)) & 255").alias("band"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.j") == F.col("b.j"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
-    )
+    cand = _simhash_band_candidates(spark, fp)
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return cand.select(
         "doc_a", "doc_b", hamming.alias("hamming")
@@ -573,10 +581,15 @@ _MH_AB = [
     for k in range(_MH_K)
 ]
 _SPARK_SHINGLES = (
+    # CASE guard: Spark sequence(1, n) DESCENDS for n < 1, so texts
+    # under 3 chars would fabricate shingles where DuckDB range() is
+    # empty (same rule as text_decontaminate's gram guard)
+    "CASE WHEN length(text) >= 3 THEN "
     "array_distinct(transform(sequence(1, length(text) - 2), "
     "i -> cast(ascii(substring(text, i, 1)) * 66049 "
     "+ ascii(substring(text, i + 1, 1)) * 257 "
-    "+ ascii(substring(text, i + 2, 1)) as bigint)))"
+    "+ ascii(substring(text, i + 2, 1)) as bigint))) "
+    "ELSE cast(array() as array<bigint>) END"
 )
 _DUCK_SHINGLES = (
     "list_distinct(list_transform(range(1, length(text) - 1), "
@@ -767,33 +780,12 @@ def graph_pagerank(spark, t):
     redistribution term is needed.
     """
     fp = _simhash_fingerprints(spark, t)
-    bands = fp.crossJoin(
-        F.broadcast(spark.range(4).select(F.col("id").alias("j")))
-    ).select(
-        "doc_id",
-        "simhash",
-        "j",
-        F.expr("shiftright(simhash, cast(8 * j as int)) & 255").alias("band"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
     edges = (
-        a.join(
-            b,
-            (F.col("a.j") == F.col("b.j"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("u"),
-            F.col("b.doc_id").alias("v"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
+        _simhash_band_candidates(spark, fp)
         .where(
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= _HAMMING_MAX
         )
-        .select("u", "v")
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     )
     sym = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))

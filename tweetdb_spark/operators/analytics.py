@@ -346,7 +346,7 @@ _LEV_IDX_KEYS = """
 """
 _LEV_PRB_KEYS = """
     array_distinct(flatten(transform(
-      sequence(greatest(3, length(s_name) - 2), length(s_name) + 2), lp ->
+      sequence(greatest(0, length(s_name) - 2), length(s_name) + 2), lp ->
         flatten(transform(sequence(0, 2), i ->
           transform(
             filter(sequence(-2, 2), d ->
