@@ -363,3 +363,54 @@ def events_retention(spark, t):
     return activity.groupBy("cohort", offset.alias("week_offset")).agg(
         F.count("*").cast("bigint").alias("n_active")
     )
+
+
+@query(
+    "events_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), scored AS (
+      SELECT event_type, hr, n,
+             AVG(n) OVER (PARTITION BY event_type) AS mu,
+             stddev_samp(n) OVER (PARTITION BY event_type) AS sigma
+      FROM hourly
+    )
+    SELECT event_type, hr, n,
+           ROUND((n - mu) / sigma, 4) + 0 AS zscore
+    FROM scored
+    WHERE ABS((n - mu) / sigma) > 2.5
+    """,
+)
+def events_anomaly(spark, t):
+    """Volume-anomaly detection: hourly counts whose z-score vs the
+    event_type's own distribution exceeds 2.5.
+
+    The monitoring primitive on top of the tumbling rollup: one
+    shuffle to the (type, hour) grain, then mean/stddev as windows
+    over the tiny grain table.  At 100 TB the baseline (mu, sigma)
+    comes from a maintained stats table instead of a same-query
+    window, but the scoring expression is unchanged.
+    """
+    hourly = t["events"].groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    w = Window.partitionBy("event_type")
+    mu = F.avg("n").over(w)
+    sigma = F.stddev_samp("n").over(w)
+    z = (F.col("n") - mu) / sigma
+    return (
+        hourly.withColumn("mu", mu)
+        .withColumn("sigma", sigma)
+        .where(F.abs((F.col("n") - F.col("mu")) / F.col("sigma")) > 2.5)
+        .select(
+            "event_type",
+            "hr",
+            "n",
+            (F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 4) + 0).alias(
+                "zscore"
+            ),
+        )
+    )

@@ -506,3 +506,63 @@ def join_interval(spark, t):
         )
         .select("signup_id", "user_id", "event_id", "event_type", "ts")
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), signups AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'
+    ), ranked AS (
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+             s.ts AS signup_ts,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY s.ts DESC, s.event_id DESC
+             ) AS rn
+      FROM purchases p JOIN signups s
+        ON p.user_id = s.user_id
+       AND s.ts <= p.ts
+       AND s.ts >= p.ts - INTERVAL 24 HOUR
+    )
+    SELECT purchase_id, user_id, purchase_ts, signup_ts
+    FROM ranked WHERE rn = 1
+    """,
+)
+def join_asof_tolerance(spark, t):
+    """As-of join with a max-gap tolerance (pandas merge_asof's
+    ``tolerance``): latest signup at most 24h before each purchase.
+
+    The tolerance is the production form of join_asof — it bounds how
+    stale a match may be AND bounds the candidate range, which is what
+    makes the time-bucketed rewrite (join_interval_bucketed's scheme)
+    applicable: without a tolerance the probe range is unbounded and
+    cannot be bucketed.
+    """
+    e = t["events"]
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    s = e.where(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user_id"),
+        F.col("ts").alias("signup_ts"),
+        F.col("event_id").alias("s_event_id"),
+    )
+    joined = p.join(
+        s,
+        (p.user_id == s.s_user_id)
+        & (s.signup_ts <= p.purchase_ts)
+        & (s.signup_ts >= p.purchase_ts - F.expr("INTERVAL 24 HOUR")),
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("signup_ts").desc(), F.col("s_event_id").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("purchase_id", "user_id", "purchase_ts", "signup_ts")
+    )
