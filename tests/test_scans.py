@@ -4,7 +4,6 @@ oracle hash can't see — the hash proves content, these prove files)."""
 from __future__ import annotations
 
 import glob
-import tempfile
 
 import pytest
 
@@ -22,9 +21,11 @@ def q(registry, spark):
 def test_compact_files_reduces_file_count(q):
     """The compaction rewrite must actually shrink the file count; the
     oracle hash already proves losslessness."""
+    from tweetdb_spark import scratch
+
     q("compact_files").collect()
-    frags = sorted(glob.glob(f"{tempfile.gettempdir()}/tweetdb_frag_*"))
-    compacts = sorted(glob.glob(f"{tempfile.gettempdir()}/tweetdb_compact_*"))
+    frags = scratch.own_dirs("tweetdb_frag")
+    compacts = scratch.own_dirs("tweetdb_compact")
     assert frags and compacts
     n_frag = len(glob.glob(f"{frags[-1]}/*.parquet"))
     n_compact = len(glob.glob(f"{compacts[-1]}/*.parquet"))

@@ -238,7 +238,6 @@ def test_join_stream_stream_equals_batch_interval_join(q):
 
 def test_stream_sink_parquet_equals_batch_and_partitions(q, tables):
     import glob
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -250,6 +249,8 @@ def test_stream_sink_parquet_equals_batch_and_partitions(q, tables):
         "event_type", "cnt", "sum_value",
     )
     assert sunk == batch
-    sinks = sorted(glob.glob(f"{tempfile.gettempdir()}/tweetdb_ssink_[0-9a-f]*"))
+    from tweetdb_spark import scratch
+
+    sinks = scratch.own_dirs("tweetdb_ssink")
     parts = glob.glob(f"{sinks[-1]}/event_type=*")
     assert len(parts) == len(batch)  # one dir per event_type

@@ -68,9 +68,14 @@ def dedup_near_jaccard(spark, t):
     Quadratic by construction (ground truth for L3) — |A∪B| computed
     as |A|+|B|−|A∩B| so both engines use identical set primitives.
     The division is a single exact-operand double op: raw values
-    match; rounded for output hygiene.
+    match; rounded for output hygiene.  Size-guarded: refuses >50k
+    docs (use dedup_minhash_banded / dedup_minhash_lsh at scale).
     """
-    toks = t["documents"].select(
+    from tweetdb_spark.guards import exact_twin_input
+
+    toks = exact_twin_input(
+        t["documents"], "dedup_near_jaccard", "dedup_minhash_banded"
+    ).select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
     )
     a = toks.alias("a")
@@ -252,9 +257,14 @@ def dedup_ngram_jaccard(spark, t):
     token sets miss.  Scoped to one language partition — exactly how
     the quadratic ground-truth pass stays affordable at scale (run
     per-shard, validate the MinHash/SimHash approximations against it).
+    Size-guarded: refuses >50k docs (use dedup_simhash at scale).
     """
+    from tweetdb_spark.guards import exact_twin_input
+
     grams = (
-        t["documents"]
+        exact_twin_input(
+            t["documents"], "dedup_ngram_jaccard", "dedup_simhash"
+        )
         .where(F.col("lang") == "en")
         .select(
             "doc_id",
@@ -308,10 +318,16 @@ def dedup_embedding_cosine(spark, t):
     dedup_semantic_blocked below (KMeans cells + 2-probe blocking,
     exact filter on candidates only).  τ=0.35 sits in the top tail of
     this corpus's cosine distribution (99.9th pctile ≈ 0.377).
+    Size-guarded: refuses >50k vectors.
     """
+    from tweetdb_spark.guards import exact_twin_input
     from tweetdb_spark.llm.similarity import dot, with_norm
 
-    n = with_norm(t["embeddings"]).select("vec_id", "embedding", "norm")
+    n = with_norm(
+        exact_twin_input(
+            t["embeddings"], "dedup_embedding_cosine", "dedup_semantic_blocked"
+        )
+    ).select("vec_id", "embedding", "norm")
     a, b = n.alias("a"), n.alias("b")
     cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.norm") * F.col("b.norm")

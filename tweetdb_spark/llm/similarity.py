@@ -109,9 +109,16 @@ def sim_pairwise_label(spark, t):
     All-pairs (N²/2) — acceptable ≤ ~10⁴ vectors; at scale, sample per
     label first (stratified) — the estimate converges fast and the
     shape is unchanged.  Norms precomputed once per vector, not per
-    pair.
+    pair.  Size-guarded: refuses >50k vectors (use
+    sim_pairwise_label_sampled at scale).
     """
-    n = with_norm(t["embeddings"]).select("vec_id", "label", "embedding", "norm")
+    from tweetdb_spark.guards import exact_twin_input
+
+    n = with_norm(
+        exact_twin_input(
+            t["embeddings"], "sim_pairwise_label", "sim_pairwise_label_sampled"
+        )
+    ).select("vec_id", "label", "embedding", "norm")
     a, b = n.alias("a"), n.alias("b")
     cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.norm") * F.col("b.norm")

@@ -630,6 +630,7 @@ def text_unigram_logprob(spark, t):
            substr(text, CAST(1 + k * 150 AS INT), 200) AS chunk
     FROM documents,
          unnest(range(0, (length(text) - 1) // 150 + 1)) AS u(k)
+    WHERE length(text) > 0
     """,
 )
 def text_chunk(spark, t):
@@ -644,9 +645,15 @@ def text_chunk(spark, t):
     return t["documents"].select(
         "doc_id",
         F.posexplode(
+            # length(text)=0 guard: both engines' truncating division
+            # turns (0-1)/150 into 0, fabricating one empty chunk per
+            # empty doc — guard BOTH sides (oracle has WHERE length>0)
+            # so empty docs chunk to nothing
             F.expr(
+                "CASE WHEN length(text) > 0 THEN "
                 "transform(sequence(0, CAST((length(text) - 1) / 150 AS INT)), "
-                "k -> substring(text, 1 + k * 150, 200))"
+                "k -> substring(text, 1 + k * 150, 200)) "
+                "ELSE array() END"
             )
         ).alias("chunk_id", "chunk"),
     ).select(
@@ -856,9 +863,14 @@ def text_bigram_logprob(spark, t):
     bg = tk.select(
         "doc_id",
         F.explode(
+            # CASE guard: sequence(1, 0) DESCENDS for <2-token docs and
+            # element_at(tk, 2) would throw under ANSI; DuckDB range(1, 1)
+            # is empty, so emit no bigrams (same rule as _SPARK_SHINGLES)
             F.expr(
+                "CASE WHEN size(tk) >= 2 THEN "
                 "transform(sequence(1, size(tk) - 1), "
-                "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
+                "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))) "
+                "ELSE array() END"
             )
         ).alias("bigram"),
     )
@@ -924,9 +936,12 @@ def text_repetition(spark, t):
     bg = tk.select(
         "doc_id",
         F.explode(
+            # same <2-token CASE guard as text_bigram_logprob
             F.expr(
+                "CASE WHEN size(tk) >= 2 THEN "
                 "transform(sequence(1, size(tk) - 1), "
-                "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
+                "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))) "
+                "ELSE array() END"
             )
         ).alias("bigram"),
     )

@@ -304,8 +304,13 @@ def fn_levenshtein(spark, t):
 
     All-pairs on a dim-sized table; kept as the ground-truth twin for
     fn_levenshtein_blocked, the candidate-then-verify scale path.
+    Size-guarded: refuses >50k rows.
     """
-    s = t["supplier"].select("s_suppkey", "s_name")
+    from tweetdb_spark.guards import exact_twin_input
+
+    s = exact_twin_input(
+        t["supplier"], "fn_levenshtein", "fn_levenshtein_blocked"
+    ).select("s_suppkey", "s_name")
     a, b = s.alias("a"), s.alias("b")
     dist = F.levenshtein(F.col("a.s_name"), F.col("b.s_name"))
     return (

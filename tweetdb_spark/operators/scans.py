@@ -249,20 +249,14 @@ def compact_files(spark, t):
     aggregates the ORIGINAL — the hash proves the rewrite lost
     nothing.  tests/test_scans assert the file-count drop.
     """
-    import glob as _glob
-    import shutil as _shutil
-    import time as _time
+    from tweetdb_spark import scratch
 
-    # timestamped names: lexicographic sort == creation order (the
-    # file-count test picks the latest), and prior runs' dirs are
-    # best-effort reaped so repeated invocations don't accrete in /tmp
-    for stale in _glob.glob(
-        os.path.join(tempfile.gettempdir(), "tweetdb_frag_*")
-    ) + _glob.glob(os.path.join(tempfile.gettempdir(), "tweetdb_compact_*")):
-        _shutil.rmtree(stale, ignore_errors=True)
-    stamp = _time.time_ns()
-    frag = os.path.join(tempfile.gettempdir(), f"tweetdb_frag_{stamp}")
-    compact = os.path.join(tempfile.gettempdir(), f"tweetdb_compact_{stamp}")
+    # per-process namespacing: only THIS process's prior dirs are
+    # reaped, so a concurrent check.py/pytest pair can't delete each
+    # other's in-flight output (lexicographic-latest still holds
+    # within the process for the file-count test)
+    frag = scratch.fresh_dir("tweetdb_frag")
+    compact = scratch.fresh_dir("tweetdb_compact")
     t["orders"].repartition(64).write.mode("overwrite").parquet(frag)
     spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(
         compact

@@ -319,21 +319,14 @@ def stream_sink_parquet(spark, t):
     wants.  Returns the read-back aggregate; a pytest asserts it
     equals the batch twin and that partition directories exist.
     """
-    import glob as _glob
-    import os as _os
-    import shutil as _shutil
-    import tempfile as _tf
-    import time as _time
+    from tweetdb_spark import scratch
 
-    # ckpt prefix must NOT share the sink prefix: the layout test
-    # globs tweetdb_ssink_* for the latest DATA dir
-    for stale in _glob.glob(
-        _os.path.join(_tf.gettempdir(), "tweetdb_ssink_*")
-    ) + _glob.glob(_os.path.join(_tf.gettempdir(), "tweetdb_sschk_*")):
-        _shutil.rmtree(stale, ignore_errors=True)
-    stamp = _time.time_ns()
-    out = _os.path.join(_tf.gettempdir(), f"tweetdb_ssink_{stamp}")
-    ckpt = _os.path.join(_tf.gettempdir(), f"tweetdb_sschk_{stamp}")
+    # ckpt prefix must NOT share the sink prefix (the layout test
+    # globs the sink prefix for the latest DATA dir); per-process
+    # namespacing stops concurrent sessions reaping each other's
+    # in-flight sink/checkpoint dirs
+    out = scratch.fresh_dir("tweetdb_ssink")
+    ckpt = scratch.fresh_dir("tweetdb_sschk")
     s = read_events_stream(spark, _sf_dir(t), files_per_trigger=10)
     q = (
         s.writeStream.format("parquet")
