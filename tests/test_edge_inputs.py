@@ -112,3 +112,49 @@ def test_exact_twin_guard_refuses_large_input(spark):
         exact_twin_input(big, "fn_levenshtein", "fn_levenshtein_blocked")
     small = spark.range(10).toDF("id")
     assert exact_twin_input(small, "op", "twin") is small
+
+
+PII_DOCS = [
+    (101, "contact me at alice.smith+work@example.co.uk for details"),
+    (102, "server at 192.168.1.254 and 10.0.0.1 went down"),
+    (103, "ssn 123-45-6789 phone 415-555-1234 card 4111111111111111"),
+    (104, "no pii here just plain text"),
+    (105, "edge: 999.999.999.999 and 12345678901234567 and a@b.c"),
+]
+
+
+@pytest.fixture(scope="module")
+def pii_corpus(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pii") / "documents.parquet")
+    df = spark.createDataFrame(
+        [(i, txt, "en", "edge", len(txt)) for i, txt in PII_DOCS],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    return {"documents": spark.read.parquet(path)}, con
+
+
+def test_pii_scrub_planted_corpus_parity(pii_corpus, spark):
+    """Both engines must find and redact the same spans on text that
+    actually contains PII (the sf fixtures are clean, so the oracle
+    hash alone only proves the no-op path)."""
+    from tweetdb_spark.llm.text import pii_scrub
+
+    rows = _parity("pii_scrub", pii_scrub, pii_corpus, spark)
+    by_id = {r[0]: r for r in rows}
+    # (doc_id) -> (clean_text, n_email, n_ipv4, n_ssn, n_phone, n_ccnum, has_pii)
+    assert by_id[101][1] == "contact me at <EMAIL> for details"
+    assert by_id[101][2] == 1 and by_id[101][7] == 1
+    assert by_id[102][1] == "server at <IP> and <IP> went down"
+    assert by_id[102][3] == 2
+    assert by_id[103][1] == "ssn <SSN> phone <PHONE> card <CC>"
+    assert (by_id[103][4], by_id[103][5], by_id[103][6]) == (1, 1, 1)
+    assert by_id[104][1] == PII_DOCS[3][1] and by_id[104][7] == 0
+    # 999.999.999.999 still matches the syntactic ipv4 rule; a 17-digit
+    # run must NOT match the 13-16 card rule; a@b.c fails the email
+    # rule's 2-letter-minimum TLD on both engines
+    assert by_id[105][3] == 1 and by_id[105][6] == 0 and by_id[105][2] == 0

@@ -254,3 +254,16 @@ def test_ann_lsh_recall_vs_exact(q):
     approx = [r.vec_id for r in q("sim_ann_lsh").collect()]
     recall = len(set(exact) & set(approx)) / len(exact)
     assert recall >= 0.3
+
+
+def test_ann_multiprobe_recall_dominates_single_probe(q):
+    """Multi-probe must recover at least the single-probe candidate
+    recall (it probes a strict superset of buckets), and both must
+    overlap the exact top-10."""
+    exact = [r.vec_id for r in q("sim_topk_cosine").collect()]
+    single = {r.vec_id for r in q("sim_ann_lsh").collect()}
+    multi = {r.vec_id for r in q("sim_ann_multiprobe").collect()}
+    r_single = len(set(exact) & single) / len(exact)
+    r_multi = len(set(exact) & multi) / len(exact)
+    assert r_multi >= r_single, (r_multi, r_single)
+    assert r_multi >= 0.5, f"multi-probe recall@10 = {r_multi}"

@@ -97,3 +97,25 @@ def test_levenshtein_blocked_is_equi_join(q):
     plan = _plan(q("fn_levenshtein_blocked"))
     assert "NestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_subquery_exists_decorrelates_to_semi_join(q):
+    # RewritePredicateSubquery: EXISTS must become a semi join on
+    # l_orderkey, never a per-row subquery or nested loop
+    plan = _plan(q("subquery_exists"))
+    assert "LeftSemi" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_subquery_scalar_corr_decorrelates_to_aggregate_join(q):
+    # correlated AVG must be computed once per partkey then joined back
+    plan = _plan(q("subquery_scalar_corr"))
+    assert "HashAggregate" in plan
+    assert "Subquery" not in plan  # fully de-correlated
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_subquery_in_decorrelates_to_semi_join(q):
+    plan = _plan(q("subquery_in"))
+    assert "LeftSemi" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan

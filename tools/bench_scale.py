@@ -1,0 +1,63 @@
+"""Time the dedup/ANN scale-path ladder at a given fixture dir.
+
+Usage:  python tools/bench_scale.py [sf_dir] [key ...]
+
+Prints one JSON line {key: sec, ...} — single-execution wall clock
+(unlike bench.py's warm-run methodology: several ladder ops cost
+minutes, so a second run would double an already-long sweep; the
+sf0.1-vs-sf1 RATIO is what SCALE.md cares about and it is unaffected).
+Default key set is the LLM-pipeline scale ladder — the operators whose
+100 TB viability SCALE.md claims; their quadratic ground-truth twins
+are deliberately excluded (size-guarded, and O(n²) would dwarf the
+budget at sf1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+LADDER = [
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_minhash_banded",
+    "dedup_minhash_lsh",
+    "dedup_semantic_blocked",
+    "sim_topk_cosine",
+    "sim_ann_ivf",
+    "sim_ann_lsh",
+    "fn_levenshtein_blocked",
+    "text_tf_idf",
+    "text_quality",
+    "corpus_pack",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    keys = sys.argv[2:] or LADDER
+
+    import tweetdb_spark
+    from tweetdb_spark.session import get_spark
+
+    tweetdb_spark.load_all_operators()
+    spark = get_spark("tweetdb-bench-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    times: dict[str, float] = {}
+    for key in keys:
+        df = tweetdb_spark.QUERIES[key](spark, sf_dir)
+        t0 = time.time()
+        n = df.count()
+        times[key] = round(time.time() - t0, 2)
+        print(f"  {key}: {times[key]}s ({n} rows)", file=sys.stderr)
+
+    print(json.dumps({"sf_dir": sf_dir, "warm_sec": times}))
+
+
+if __name__ == "__main__":
+    main()

@@ -457,3 +457,68 @@ def sim_ann_lsh(spark, t):
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+@query("sim_ann_multiprobe", oracle=None)  # approx (probe-expanded) → rows-only
+def sim_ann_multiprobe(spark, t):
+    """Multi-probe LSH ANN: sim_ann_lsh plus the Hamming-1
+    neighborhood of every query band (Lv et al., VLDB'07).
+
+    A true neighbor that disagrees with the query on exactly one
+    hyperplane per band is invisible to single-probe LSH; flipping
+    each of the 4 bits of each query band (8 bands × 5 probes = 40
+    equi-join keys instead of 8) recovers those near-miss buckets.
+    This is the standard recall/index-size trade: multi-probe gets
+    the recall of 5× more hash tables while storing ONE table —
+    at 100 TB the table side is unchanged (same physical partition
+    keys), only the broadcast probe list grows.  Recall ≥ single-probe
+    is asserted by pytest.
+    """
+    sig = F.expr(_rh_signature_expr())
+    base = with_norm(t["embeddings"]).withColumn("sig", sig)
+    bands = base.select(
+        "vec_id", "label", "embedding", "norm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(f"shiftright(sig, {4 * j}) & 15").alias("band"),
+                    )
+                    for j in range(8)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", "label", "embedding", "norm", "b.j", "b.band")
+    # query probes: the band itself + its four 1-bit-flip neighbors
+    qv = (
+        bands.where(F.col("vec_id") == 0)
+        .select(
+            F.col("j").alias("qj"),
+            F.explode(
+                F.array(
+                    F.col("band"),
+                    *[F.col("band").bitwiseXOR(F.lit(1 << b)) for b in range(4)],
+                )
+            ).alias("qband"),
+            F.col("embedding").alias("qv"),
+            F.col("norm").alias("qnorm"),
+        )
+    )
+    cand = (
+        bands.join(
+            F.broadcast(qv),
+            (F.col("j") == F.col("qj")) & (F.col("band") == F.col("qband")),
+        )
+        .where(F.col("vec_id") != 0)
+        .select("vec_id", "label", "embedding", "norm", "qv", "qnorm")
+        .dropDuplicates(["vec_id"])
+    )
+    cos = F.round(
+        dot(F.col("embedding"), F.col("qv")) / (F.col("norm") * F.col("qnorm")), 6
+    )
+    return (
+        cand.select("vec_id", "label", cos.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )

@@ -953,3 +953,167 @@ def text_repetition(spark, t):
         share.alias("top_bigram_share"),
         F.when(share > 0.1, 1).otherwise(0).alias("repetitive"),
     )
+
+
+# --- PII scrub -------------------------------------------------------------
+#
+# Patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): literal classes, bounded repetition, \b.
+# No lookaround (RE2 has none), no backrefs.  Redaction order matters
+# (an email's host could otherwise be eaten by the IPv4 rule), so both
+# engines apply the same fixed sequence.
+_PII_PATTERNS: list[tuple[str, str, str]] = [
+    # (name, regex, replacement token)
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+    ("ccnum", r"\b[0-9]{13,16}\b", "<CC>"),
+]
+
+
+def _pii_oracle() -> str:
+    redacted = "text"
+    for _, pat, repl in _PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in _PII_PATTERNS
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for _, pat, _ in _PII_PATTERNS
+    )
+    return f"""
+    SELECT doc_id, {redacted} AS clean_text, {counts},
+           CAST(({total}) > 0 AS INT) AS has_pii
+    FROM documents
+    """
+
+
+@query("pii_scrub", oracle=_pii_oracle())
+def pii_scrub(spark, t):
+    """PII detection + redaction: emails, IPv4s, SSNs, phone numbers,
+    long card-like digit runs → typed placeholder tokens, with
+    per-type match counts and a has_pii flag.
+
+    The pre-training compliance gate.  Pure per-row regex work — JVM
+    regexp_replace/regexp_count, no Python, no shuffle; at 100 TB it
+    is map-only and scales with scan bandwidth.  The synthetic corpus
+    contains no PII (all-zero counts — the hash check proves the
+    pipeline is a no-op on clean text); tests/test_edge_inputs.py runs
+    the same operator AND oracle over a planted-PII corpus to prove
+    both engines find and redact identically.
+    """
+    clean = F.col("text")
+    for _, pat, repl in _PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    counts = [
+        F.regexp_count("text", F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        for name, pat, _ in _PII_PATTERNS
+    ]
+    total = None
+    for _, pat, _r in _PII_PATTERNS:
+        c = F.regexp_count("text", F.lit(pat))
+        total = c if total is None else total + c
+    return t["documents"].select(
+        "doc_id",
+        clean.alias("clean_text"),
+        *counts,
+        (total > 0).cast("int").alias("has_pii"),
+    )
+
+
+@query(
+    "text_lm_interpolated",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+               i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i + 1 AS INT)]))
+               AS bigram
+      FROM tk
+    ), pre AS (
+      SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1 FROM tk
+    ), c2 AS (
+      SELECT bigram, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY bigram
+    ), c1 AS (
+      SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM pre GROUP BY w1
+    ), tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), cu AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS cu FROM tok GROUP BY token
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS t,
+             CAST(count(DISTINCT token) AS BIGINT) AS v
+      FROM tok
+    )
+    SELECT bg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           ROUND(-SUM(ln(
+             0.7 * (CAST(c2.c2 AS DOUBLE) / c1.c1)
+             + 0.3 * (CAST(cu.cu + 1 AS DOUBLE) / (tot.t + tot.v))
+           )) / count(*), 6) + 0 AS avg_neg_logprob_jm
+    FROM bg
+    JOIN c2 USING (bigram)
+    JOIN c1 ON c1.w1 = string_split(bg.bigram, ' ')[1]
+    JOIN cu ON cu.token = string_split(bg.bigram, ' ')[2]
+    CROSS JOIN tot
+    GROUP BY bg.doc_id
+    """,
+)
+def text_lm_interpolated(spark, t):
+    """Jelinek-Mercer interpolated LM fluency score:
+    p(w2|w1) = 0.7·p_ML(w2|w1) + 0.3·p_add1(w2) — the smoothing
+    actually used in CCNet-style perplexity filters (a pure bigram ML
+    model assigns 0 to any unseen continuation; interpolation backs
+    off to the unigram).
+
+    Same distributed shape as text_bigram_logprob plus one more
+    broadcast-sized count join (unigram counts on the second token):
+    three count aggregations, a 1-row totals broadcast, map-side ln,
+    per-doc mean.  All count operands are exact integers, the mixture
+    is evaluated with an identical operation tree on both engines, and
+    the final mean is ROUND(.,6)+0 per the house float discipline.
+    """
+    tk = t["documents"].select("doc_id", F.split("text", " ").alias("tk"))
+    bg = tk.select(
+        "doc_id",
+        F.explode(
+            # same <2-token CASE guard as text_bigram_logprob
+            F.expr(
+                "CASE WHEN size(tk) >= 2 THEN "
+                "transform(sequence(1, size(tk) - 1), "
+                "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))) "
+                "ELSE array() END"
+            )
+        ).alias("bigram"),
+    )
+    pre = tk.select(
+        "doc_id", F.explode(F.expr("slice(tk, 1, size(tk) - 1)")).alias("w1")
+    )
+    c2 = bg.groupBy("bigram").agg(F.count("*").alias("c2"))
+    c1 = pre.groupBy("w1").agg(F.count("*").alias("c1"))
+    tok = t["documents"].select(F.explode(F.split("text", " ")).alias("token"))
+    cu = tok.groupBy("token").agg(F.count("*").alias("cu"))
+    tot = tok.agg(
+        F.count("*").alias("t"), F.countDistinct("token").alias("v")
+    )
+    p = 0.7 * (F.col("c2").cast("double") / F.col("c1")) + 0.3 * (
+        (F.col("cu") + 1).cast("double") / (F.col("t") + F.col("v"))
+    )
+    return (
+        bg.join(c2, "bigram")
+        .withColumn("w1", F.split("bigram", " ").getItem(0))
+        .withColumn("w2", F.split("bigram", " ").getItem(1))
+        .join(c1, "w1")
+        .join(cu, F.col("w2") == F.col("token"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (F.round(-F.sum(F.log(p)) / F.count("*"), 6) + 0).alias(
+                "avg_neg_logprob_jm"
+            ),
+        )
+    )

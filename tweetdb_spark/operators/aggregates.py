@@ -237,3 +237,39 @@ def agg_collect(spark, t):
         F.concat_ws("|", F.array_sort(F.collect_list("event_type"))).alias("types"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "agg_incremental",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_incremental(spark, t):
+    """Incremental aggregate maintenance: a materialized per-type
+    aggregate over days < 15 is UPDATED with the day ≥ 15 delta by
+    merging partial states — never rescanning the base.
+
+    The oracle computes the full aggregate directly; the hash proves
+    partial + delta ≡ full.  This works because count/sum are
+    commutative monoids (Spark's own partial aggregation relies on
+    the same property) — at 100 TB this is the nightly-refresh
+    pattern: the base aggregate is thousands of times larger than a
+    day's delta, and only the delta is scanned.  Same mechanics as
+    HyperLogLog sketch merges (agg_approx_distinct) and per-partition
+    JDBC upserts (sink_jdbc_batch).
+    """
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    partial = lambda df: df.groupBy("event_type").agg(  # noqa: E731
+        F.count("*").alias("cnt"), F.sum("value").alias("sv")
+    )
+    base = partial(t["events"].where(F.col("ts") < cut))
+    delta = partial(t["events"].where(F.col("ts") >= cut))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(F.sum("cnt").alias("cnt"), F.round(F.sum("sv"), 2).alias("sum_value"))
+    )

@@ -266,3 +266,60 @@ def compact_files(spark, t):
         F.count("*").alias("cnt"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+@query(
+    "ingest_csv",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def ingest_csv(spark, t):
+    """CSV ingest roundtrip: export customer as headered CSV, read it
+    back with an EXPLICIT schema, return the full rows.
+
+    The oracle reads the ORIGINAL parquet — the hash proves the
+    text roundtrip lossless, including doubles (Spark writes the
+    shortest decimal that uniquely identifies the double, which
+    parses back bit-identical).  Explicit schema, never inference:
+    on a 100 TB drop zone, schema inference is an extra full read
+    and a correctness hazard (a column of int-looking strings).
+    """
+    from tweetdb_spark import scratch
+    from tweetdb_spark.schemas import CUSTOMER
+
+    path = scratch.fresh_dir("tweetdb_csv")
+    t["customer"].write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema(CUSTOMER).option("header", True).csv(path)
+
+
+@query(
+    "sink_orc_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           CAST(MIN(o_orderdate) AS TIMESTAMP) AS first_order
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_orc_roundtrip(spark, t):
+    """ORC sink + scan: write orders as ORC, read back, aggregate.
+
+    Parquet is the default; ORC is the other columnar format Spark
+    ships natively (vectorized reader, predicate pushdown, zlib/zstd)
+    and the one a Hive-era lake hands you.  The oracle aggregates the
+    ORIGINAL parquet (DuckDB reads no ORC), so the hash proves the
+    format conversion lost nothing — types, timestamps, doubles.
+    """
+    from tweetdb_spark import scratch
+
+    path = scratch.fresh_dir("tweetdb_orc")
+    t["orders"].write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.min("o_orderdate").alias("first_order"),
+    )

@@ -1,0 +1,128 @@
+"""Subquery operators: EXISTS, correlated scalar, and IN-subquery
+shapes (TPC-H q4 / q17 / q18 analogues on the fixture schema).
+
+Catalyst de-correlates all three into joins — EXISTS becomes a
+left-semi join, the correlated scalar aggregate becomes an aggregate +
+equi-join on the correlation key, IN becomes a semi join on the
+subquery output — so none of them executes per-row subqueries.  That
+rewrite is the entire 100 TB story: the naive interpretation is
+O(rows × subquery) and the planned shape is one shuffle per join key.
+tests/test_plans.py asserts the de-correlated plans are subquery-free.
+
+Float-parity note: the correlated comparisons use AVG/SUM of
+``l_quantity``, which is integral (1–50) — double sums of integers
+are exact in any summation order, so predicate boundaries cannot flip
+between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tweetdb_spark.registry import query
+
+
+@query(
+    "subquery_exists",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def subquery_exists(spark, t):
+    """EXISTS subquery (q4 shape): orders with at least one line shipped
+    after the order date, counted by priority.
+
+    Expressed in SQL so Catalyst's RewritePredicateSubquery turns the
+    EXISTS into a LEFT SEMI join on l_orderkey (+ the date filter as
+    the join condition) — one fact shuffle, no per-order probe.
+    """
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "subquery_scalar_corr",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_small_lines,
+           ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l1
+    WHERE l_quantity < (
+      SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = l1.l_partkey
+    )
+    """,
+)
+def subquery_scalar_corr(spark, t):
+    """Correlated scalar subquery (q17 shape): lines whose quantity is
+    under half their part's average quantity.
+
+    Catalyst de-correlates into AVG-per-partkey + an equi-join back on
+    l_partkey: two scans + one aggregate + one join, not one aggregate
+    per outer row.  The predicate compares integral quantities against
+    an exact average (integer-double sums), so both engines draw the
+    same boundary.
+    """
+    return spark.sql(
+        """
+        SELECT CAST(count(*) AS BIGINT) AS n_small_lines,
+               ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem l1
+        WHERE l_quantity < (
+          SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = l1.l_partkey
+        )
+        """
+    )
+
+
+@query(
+    "subquery_in",
+    oracle="""
+    SELECT c_custkey, c_name, CAST(count(*) AS BIGINT) AS n_big_orders
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c_custkey, c_name
+    """,
+)
+def subquery_in(spark, t):
+    """IN subquery over an aggregated set (q18 shape): customers with
+    bulk orders (total line quantity > 250).
+
+    The IN list is an aggregate result, not a literal — Catalyst plans
+    it as HAVING-filtered aggregate → LEFT SEMI join on o_orderkey.
+    Quantity sums are exact (integral doubles), so the HAVING boundary
+    is engine-stable.
+    """
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, CAST(count(*) AS BIGINT) AS n_big_orders
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey
+          HAVING SUM(l_quantity) > 250
+        )
+        GROUP BY c_custkey, c_name
+        """
+    )
