@@ -156,3 +156,87 @@ def test_same_result_across_runs(q):
     a = sorted(map(tuple, q("win_rank_dense").collect()))
     b = sorted(map(tuple, q("win_rank_dense").collect()))
     assert a == b
+
+
+def test_setop_all_multiplicity(q):
+    """Bag-semantics identities: |A ∩all B| + |A \\all B| = |A| per key,
+    and the DISTINCT forms are the support of the ALL forms."""
+    from collections import Counter
+
+    inter_all = Counter(r.nationkey for r in q("setop_intersect_all").collect())
+    except_all = Counter(r.nationkey for r in q("setop_except_all").collect())
+    union_rows = q("setop_union").collect()
+    left = Counter(r.nationkey for r in union_rows if r.kind == "cust")
+    right = Counter(r.nationkey for r in union_rows if r.kind == "supp")
+    for k, n in left.items():
+        assert inter_all[k] == min(n, right.get(k, 0)), k
+        assert except_all[k] == max(0, n - right.get(k, 0)), k
+    assert set(Counter(r.nationkey for r in q("setop_intersect").collect())) == {
+        k for k, v in inter_all.items() if v > 0
+    }
+
+
+def test_union_byname_null_fills(q):
+    """unionByName fills columns missing on one side with NULL, never
+    misaligns by position."""
+    rows = q("setop_union_byname").collect()
+    cust = [r for r in rows if r.nationkey is None]
+    supp = [r for r in rows if r.mktsegment is None]
+    assert len(cust) + len(supp) == len(rows)
+    assert all(r.mktsegment is not None for r in cust)
+    assert all(r.nationkey is not None for r in supp)
+
+
+def test_zorder_buckets_are_local_in_both_dims(q):
+    """The z-order locality property: a top-4-bit z bucket fixes the 2
+    high bits of EACH dimension, so every bucket spans at most 1/4 of
+    each 0..255 range — that bound is what makes min/max file skipping
+    work on either column."""
+    rows = q("zorder_layout").collect()
+    assert rows, "no buckets"
+    for r in rows:
+        assert r.x_span <= 63, (r.zbucket, r.x_span)
+        assert r.y_span <= 63, (r.zbucket, r.y_span)
+        assert r.x_max - r.x_min == r.x_span
+
+
+def test_dq_expectations_rates_consistent(q):
+    """Violation rate must equal n_violations/total; the NOT NULL rule
+    on l_shipdate must hold on the fixture."""
+    rows = {r.rule: r for r in q("dq_expectations").collect()}
+    assert len(rows) == 6
+    assert rows["shipdate_not_null"].n_violations == 0
+    assert rows["returnflag_in_A_N"].n_violations > 0
+    total = None
+    for r in rows.values():
+        if r.n_violations:
+            implied = r.n_violations / r.violation_rate
+            total = total or implied
+            assert abs(implied - total) / total < 1e-3
+
+
+def test_interpolate_midpoint_and_copies_known(spark):
+    """On a synthetic series with one missing hour exactly between two
+    known points, the interpolated value is their midpoint; known
+    hours pass through unchanged."""
+    import tweetdb_spark.operators.events as ev
+    from tweetdb_spark.registry import QUERIES, Tables
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:30:00", 7, "purchase", 10.0, "{}"),
+            (2, "2024-01-01 02:30:00", 7, "purchase", 30.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "props"
+    )
+    # @query returns the undecorated (spark, t) function, so the module
+    # attribute is callable with an in-memory Tables dict directly
+    t = Tables({"events": df})
+    out = {r.hour_start.hour: r for r in ev.events_interpolate(spark, t).collect()}
+    assert out[0].revenue_interp == 10.0 and out[0].was_gap == 0
+    assert out[2].revenue_interp == 30.0 and out[2].was_gap == 0
+    assert out[1].was_gap == 1
+    assert abs(out[1].revenue_interp - 20.0) < 1e-9

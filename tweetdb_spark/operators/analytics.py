@@ -670,3 +670,144 @@ def dq_referential(spark, t):
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+def _interleave_bits(xcol, ycol, nbits):
+    """Morton (z-order) interleave: bit i of x → bit 2i, bit i of y →
+    bit 2i+1.  Pure JVM integer arithmetic (shift/and/or), stays inside
+    whole-stage codegen."""
+    z = F.lit(0)
+    for i in range(nbits):
+        z = z + F.shiftleft(F.shiftright(xcol, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(ycol, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return z
+
+
+def _interleave_bits_sql(x, y, nbits):
+    """The identical interleave as a DuckDB expression string."""
+    terms = []
+    for i in range(nbits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "zorder_layout",
+    oracle=f"""
+    WITH z AS (
+      SELECT l_partkey % 256 AS x,
+             l_suppkey % 256 AS y,
+             {_interleave_bits_sql('l_partkey % 256', 'l_suppkey % 256', 8)} AS zval
+      FROM lineitem
+    )
+    SELECT zval >> 12 AS zbucket,
+           count(*) AS n_rows,
+           min(x) AS x_min, max(x) AS x_max,
+           min(y) AS y_min, max(y) AS y_max,
+           max(x) - min(x) AS x_span,
+           max(y) - min(y) AS y_span
+    FROM z
+    GROUP BY 1
+    """,
+)
+def zorder_layout(spark, t):
+    """Z-order (Morton-curve) data layout for multi-column file skipping.
+
+    The layout technique behind Delta ``OPTIMIZE ZORDER BY`` / Iceberg
+    sort orders: interleaving the bits of two clustering keys gives a
+    1-D sort key whose ranges are tight in BOTH dimensions, so
+    parquet min/max footer stats prune files for predicates on either
+    column.  Here each key is folded to 8 bits, interleaved to a
+    16-bit z-value, and bucketed by its top 4 bits (2 high bits of
+    each dimension) — the report proves the locality property: every
+    bucket spans at most a quarter of each dimension's range
+    (x_span, y_span <= 63 out of 255).
+
+    Scale path: no window, no sort — a map computing z plus one
+    16-group aggregate.  The production write is
+    ``df.repartitionByRange(n_files, "zval").sortWithinPartitions("zval")
+    .write.parquet(...)``: sampled range exchange, fully parallel.
+    """
+    x = (F.col("l_partkey") % 256).alias("x")
+    y = (F.col("l_suppkey") % 256).alias("y")
+    z = t["lineitem"].select(x, y).withColumn(
+        "zval", _interleave_bits(F.col("x"), F.col("y"), 8)
+    )
+    return (
+        z.groupBy(F.shiftright("zval", 12).alias("zbucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+            (F.max("x") - F.min("x")).alias("x_span"),
+            (F.max("y") - F.min("y")).alias("y_span"),
+        )
+    )
+
+
+@query(
+    "dq_expectations",
+    oracle="""
+    WITH agg AS (
+      SELECT count(*) AS total,
+             CAST(SUM(CASE WHEN NOT (l_quantity <= 45) THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+             CAST(SUM(CASE WHEN NOT (l_discount <= 0.08) THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+             CAST(SUM(CASE WHEN NOT (l_tax <= 0.05) THEN 1 ELSE 0 END) AS BIGINT) AS v_tax,
+             CAST(SUM(CASE WHEN NOT (l_returnflag IN ('A', 'N')) THEN 1 ELSE 0 END) AS BIGINT) AS v_flag,
+             CAST(SUM(CASE WHEN NOT (l_extendedprice < 100000) THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+             CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null
+      FROM lineitem
+    )
+    SELECT rule, n_violations, ROUND(n_violations / total, 6) AS violation_rate
+    FROM (
+      SELECT total, 'quantity_le_45' AS rule, v_qty AS n_violations FROM agg
+      UNION ALL SELECT total, 'discount_le_0.08', v_disc FROM agg
+      UNION ALL SELECT total, 'tax_le_0.05', v_tax FROM agg
+      UNION ALL SELECT total, 'returnflag_in_A_N', v_flag FROM agg
+      UNION ALL SELECT total, 'price_lt_100k', v_price FROM agg
+      UNION ALL SELECT total, 'shipdate_not_null', v_null FROM agg
+    )
+    """,
+)
+def dq_expectations(spark, t):
+    """Deequ-style declarative data-quality expectations report.
+
+    Each rule is a predicate; the report is (rule, n_violations,
+    violation_rate) in long format — the constraint-suite shape a
+    training-data pipeline gates ingests on (AWS Deequ / Great
+    Expectations).  All rules evaluate in ONE pass over the table as
+    conditional aggregates (map-side partial sums, a single 1-row
+    reduce), then the 1-row wide result is reshaped long with
+    ``stack`` — no second scan, no join, no window, so the cost at
+    100 TB is exactly one read of the audited columns.
+    """
+    li = t["lineitem"]
+    viol = [
+        ("quantity_le_45", ~(F.col("l_quantity") <= 45)),
+        ("discount_le_0.08", ~(F.col("l_discount") <= 0.08)),
+        ("tax_le_0.05", ~(F.col("l_tax") <= 0.05)),
+        ("returnflag_in_A_N", ~F.col("l_returnflag").isin("A", "N")),
+        ("price_lt_100k", ~(F.col("l_extendedprice") < 100000)),
+        ("shipdate_not_null", F.col("l_shipdate").isNull()),
+    ]
+    wide = li.agg(
+        F.count("*").alias("total"),
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"v{i}")
+            for i, (_, cond) in enumerate(viol)
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{name}', v{i}" for i, (name, _) in enumerate(viol)
+    )
+    return wide.select(
+        F.expr(f"stack({len(viol)}, {stack_args}) AS (rule, n_violations)"),
+        F.col("total"),
+    ).select(
+        "rule",
+        "n_violations",
+        F.round(F.col("n_violations") / F.col("total"), 6).alias("violation_rate"),
+    )

@@ -414,3 +414,112 @@ def events_anomaly(spark, t):
             ),
         )
     )
+
+
+@query(
+    "events_interpolate",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS t0,
+             CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS t1
+      FROM events WHERE event_type = 'purchase'
+    ), grid AS (
+      SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour_start
+      FROM bounds
+    ), hourly AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+             ROUND(SUM(value), 2) AS revenue
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    ), marked AS (
+      SELECT g.hour_start, h.revenue,
+             LAST_VALUE(h.revenue IGNORE NULLS) OVER wprev AS prev_val,
+             LAST_VALUE(CASE WHEN h.revenue IS NOT NULL THEN g.hour_start END
+                        IGNORE NULLS) OVER wprev AS prev_t,
+             FIRST_VALUE(h.revenue IGNORE NULLS) OVER wnext AS next_val,
+             FIRST_VALUE(CASE WHEN h.revenue IS NOT NULL THEN g.hour_start END
+                         IGNORE NULLS) OVER wnext AS next_t
+      FROM grid g LEFT JOIN hourly h USING (hour_start)
+      WINDOW
+        wprev AS (ORDER BY g.hour_start
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        wnext AS (ORDER BY g.hour_start
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT hour_start, revenue,
+           CASE
+             WHEN revenue IS NOT NULL THEN revenue
+             WHEN prev_val IS NULL THEN next_val
+             WHEN next_val IS NULL THEN prev_val
+             ELSE ROUND(prev_val + (next_val - prev_val)
+                        * (epoch(hour_start) - epoch(prev_t))
+                        / (epoch(next_t) - epoch(prev_t)), 4)
+           END AS revenue_interp,
+           CASE WHEN revenue IS NULL THEN 1 ELSE 0 END AS was_gap
+    FROM marked
+    """,
+)
+def events_interpolate(spark, t):
+    """Time-series gap filling by LINEAR interpolation (hypertable
+    ``interpolate()`` / pandas ``interpolate('linear')`` shape).
+
+    Complements events_resample_ffill: instead of repeating the last
+    known value, a gap hour gets the value linearly proportional to
+    its position between the surrounding known points; leading /
+    trailing gaps degrade to nearest-known.  Both neighbor lookups
+    are IGNORE NULLS window navigations over the dense hour grid —
+    two passes over an already-hour-sized frame, no self-join.
+
+    Float parity: the interpolation fraction is (whole-second epoch
+    deltas) divided as doubles — bit-identical on both engines — and
+    the operands are already-rounded 2dp sums, so ROUND(...,4) sees
+    the same double on both sides.
+
+    Scale: the grid is hours-between-min-and-max (bounded, tiny
+    relative to the input); the unpartitioned window is over that
+    grid, not the raw events.  For per-entity interpolation,
+    partition the windows by the entity key.
+    """
+    p = t["events"].where(F.col("event_type") == "purchase")
+    bounds = p.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour_start"
+        )
+    )
+    hourly = p.groupBy(F.date_trunc("hour", "ts").alias("hour_start")).agg(
+        F.round(F.sum("value"), 2).alias("revenue")
+    )
+    wprev = Window.orderBy("hour_start").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wnext = Window.orderBy("hour_start").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    known_t = F.when(F.col("revenue").isNotNull(), F.col("hour_start"))
+    marked = (
+        grid.join(hourly, "hour_start", "left")
+        .withColumn("prev_val", F.last("revenue", ignorenulls=True).over(wprev))
+        .withColumn("prev_t", F.last(known_t, ignorenulls=True).over(wprev))
+        .withColumn("next_val", F.first("revenue", ignorenulls=True).over(wnext))
+        .withColumn("next_t", F.first(known_t, ignorenulls=True).over(wnext))
+    )
+    frac = (
+        F.unix_timestamp("hour_start") - F.unix_timestamp("prev_t")
+    ) / (F.unix_timestamp("next_t") - F.unix_timestamp("prev_t"))
+    interp = F.round(
+        F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * frac, 4
+    )
+    return marked.select(
+        "hour_start",
+        "revenue",
+        F.when(F.col("revenue").isNotNull(), F.col("revenue"))
+        .when(F.col("prev_val").isNull(), F.col("next_val"))
+        .when(F.col("next_val").isNull(), F.col("prev_val"))
+        .otherwise(interp)
+        .alias("revenue_interp"),
+        F.when(F.col("revenue").isNull(), 1).otherwise(0).alias("was_gap"),
+    )

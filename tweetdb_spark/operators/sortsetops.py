@@ -103,6 +103,79 @@ def setop_intersect(spark, t):
 
 
 @query(
+    "setop_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def setop_intersect_all(spark, t):
+    """INTERSECT ALL — bag intersection (min multiplicity per value).
+
+    ``intersectAll`` plans as a partial-count aggregate on each side
+    followed by a hash join on the value — two map-side-combined
+    shuffles of distinct values, never a row-by-row comparison, so it
+    scales like a groupBy even when the inputs repeat keys heavily.
+    """
+    c = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+    s = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s)
+
+
+@query(
+    "setop_except_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def setop_except_all(spark, t):
+    """EXCEPT ALL — bag difference (left multiplicity minus right).
+
+    Complements O5's EXCEPT DISTINCT: a key with 7 customer rows and 2
+    supplier rows survives 5 times here, 0 times under ``subtract``.
+    Same scale shape as intersectAll (count-aggregate + join on value).
+    """
+    c = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+    s = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)
+
+
+@query(
+    "setop_union_byname",
+    oracle="""
+    SELECT c_custkey AS key, c_name AS name, c_mktsegment AS mktsegment,
+           NULL::BIGINT AS nationkey
+    FROM customer
+    UNION ALL BY NAME
+    SELECT s_suppkey AS key, s_name AS name, s_nationkey AS nationkey
+    FROM supplier
+    """,
+)
+def setop_union_byname(spark, t):
+    """UNION ALL BY NAME with schema evolution (missing columns → NULL).
+
+    ``unionByName(allowMissingColumns=True)`` aligns columns by name,
+    not position — the schema-evolution-tolerant append used when two
+    parquet generations of the same table have drifted.  Purely a
+    metadata operation plus a concat of scans: no shuffle at all.
+    """
+    c = t["customer"].select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    s = t["supplier"].select(
+        F.col("s_suppkey").alias("key"),
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").alias("nationkey"),
+    )
+    return c.unionByName(s, allowMissingColumns=True)
+
+
+@query(
     "setop_except",
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer
