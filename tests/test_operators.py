@@ -240,3 +240,23 @@ def test_interpolate_midpoint_and_copies_known(spark):
     assert out[2].revenue_interp == 30.0 and out[2].was_gap == 0
     assert out[1].was_gap == 1
     assert abs(out[1].revenue_interp - 20.0) < 1e-9
+
+
+def test_approx_top_freq_matches_exact_twin(registry, spark):
+    """Sketch ≫ cardinality ⇒ counts exact; only tie ORDER may differ."""
+    from tests.conftest import SF_DIR
+
+    exact = {
+        (r.l_partkey, r.cnt)
+        for r in registry.QUERIES["agg_top_freq"](spark, SF_DIR).collect()
+    }
+    approx = {
+        (r.l_partkey, r.cnt)
+        for r in registry.QUERIES["agg_approx_top_freq"](spark, SF_DIR).collect()
+    }
+    # count multisets agree; item sets may differ only at the tie boundary
+    assert sorted(c for _, c in exact) == sorted(c for _, c in approx)
+    boundary = min(c for _, c in exact)
+    assert {p for p, c in exact if c > boundary} == {
+        p for p, c in approx if c > boundary
+    }

@@ -119,3 +119,29 @@ def test_subquery_in_decorrelates_to_semi_join(q):
     plan = _plan(q("subquery_in"))
     assert "LeftSemi" in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_join_bucketed_colocated_has_no_join_exchange(q, registry, spark):
+    from pyspark.sql import functions as F
+
+    # run the registered op once so the bucketed tables exist
+    q("join_bucketed_colocated")
+    from tweetdb_spark.operators.physical import bucketed_table_names
+
+    o_tbl, l_tbl = bucketed_table_names()
+    join_only = spark.table(o_tbl).join(
+        spark.table(l_tbl), F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    plan = _plan(join_only)
+    # co-located bucketed SMJ: sorts allowed, shuffles not
+    assert "Exchange" not in plan, plan
+
+
+def test_join_dpp_partitioned_prunes_at_runtime(q):
+    plan = _plan(q("join_dpp_partitioned"))
+    assert "dynamicpruning" in plan, plan
+
+
+def test_sample_group_fixed_k_pushes_group_limit(q):
+    plan = _plan(q("sample_group_fixed_k"))
+    assert "WindowGroupLimit" in plan

@@ -1117,3 +1117,61 @@ def text_lm_interpolated(spark, t):
             ),
         )
     )
+
+
+@query(
+    "corpus_negative_pairs",
+    oracle="""
+    SELECT anchor_id, neg_id, neg_lang FROM (
+      SELECT a.doc_id AS anchor_id, b.doc_id AS neg_id, b.lang AS neg_lang,
+             row_number() OVER (
+               PARTITION BY a.doc_id
+               ORDER BY ((a.doc_id * 131 + b.doc_id) * 2654435761)
+                        % 2147483647,
+                        b.doc_id
+             ) AS rn
+      FROM documents a
+      JOIN documents b
+        ON (a.doc_id % 16) = (b.doc_id % 16) AND a.lang <> b.lang
+    ) WHERE rn <= 2
+    """,
+)
+def corpus_negative_pairs(spark, t):
+    """Contrastive-training negative sampling: 2 cross-language
+    negatives per anchor doc, deterministic, without a cross join.
+
+    Candidates come from an EQUI-join on a bucket id (doc_id % B) —
+    each anchor only meets the ~n/B docs in its own bucket, then a
+    portable pair-hash shuffle key picks k of them per anchor.  At
+    100 TB, B scales with the corpus (B = n / c for a constant
+    per-bucket candidate count c) so total candidate rows stay
+    Θ(n·c): linear work, one shuffle on the bucket id, one on the
+    anchor for the top-k window — vs the Θ(n²) cross join this
+    replaces.  Determinism (hash, not rand) is what makes the drawn
+    pairs reproducible across engines and re-runs — the property a
+    training-data pipeline needs for auditable batches.
+    """
+    from pyspark.sql.window import Window
+
+    d = t["documents"].select(
+        "doc_id", "lang", (F.col("doc_id") % 16).alias("bucket")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pair_hash = (
+        (F.col("a.doc_id") * 131 + F.col("b.doc_id")) * 2654435761
+    ) % 2147483647
+    w = Window.partitionBy("a.doc_id").orderBy(pair_hash, F.col("b.doc_id"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.lang") != F.col("b.lang")),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select(
+            F.col("a.doc_id").alias("anchor_id"),
+            F.col("b.doc_id").alias("neg_id"),
+            F.col("b.lang").alias("neg_lang"),
+        )
+    )

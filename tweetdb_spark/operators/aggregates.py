@@ -273,3 +273,52 @@ def agg_incremental(spark, t):
         .groupBy("event_type")
         .agg(F.sum("cnt").alias("cnt"), F.round(F.sum("sv"), 2).alias("sum_value"))
     )
+
+
+@query(
+    "agg_top_freq",
+    oracle="""
+    SELECT l_partkey, cnt FROM (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    ) ORDER BY cnt DESC, l_partkey LIMIT 20
+    """,
+)
+def agg_top_freq(spark, t):
+    """Exact heavy hitters: top-20 part keys by line count.
+
+    Two-phase hash aggregate then TakeOrderedAndProject — the per-key
+    counts never leave the executors unsorted; only 20 rows reach the
+    driver.  Deterministic tie-break on the key keeps it hash-checkable.
+    Exact twin of agg_approx_top_freq (the sketch path for when the
+    key cardinality itself is too big to hash-aggregate comfortably).
+    """
+    return (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "l_partkey")
+        .limit(20)
+    )
+
+
+@query("agg_approx_top_freq", oracle=None)  # sketch: tie ORDER engine-specific
+def agg_approx_top_freq(spark, t):
+    """Approximate heavy hitters via Spark's approx_top_k sketch.
+
+    One pass, fixed memory (64 Ki-slot sketch), mergeable across
+    partitions — the 100 TB form of agg_top_freq when the group-by
+    cardinality (URLs, user ids) is itself too large to materialize.
+    Here the sketch is far larger than the 2 000 distinct keys, so
+    counts are EXACT and tests assert the (item, count) multiset
+    matches the exact twin; only the tie ORDER among equal counts is
+    engine-specific, hence rows-only.
+    """
+    return (
+        t["lineitem"]
+        .selectExpr("inline(approx_top_k(l_partkey, 20, 65536))")
+        .select(
+            F.col("item").alias("l_partkey"),
+            F.col("count").alias("cnt"),
+        )
+    )

@@ -811,3 +811,47 @@ def dq_expectations(spark, t):
         "n_violations",
         F.round(F.col("n_violations") / F.col("total"), 6).alias("violation_rate"),
     )
+
+
+# Knuth multiplicative-hash shuffle key — portable across engines
+# (both Spark and DuckDB compute identical BIGINT arithmetic; max
+# event_id * 2654435761 stays far below 2^63 at every fixture SF).
+# rand(seed) can't be oracle-checked: engine RNGs never agree.
+_SAMPLE_SHUFFLE = "(event_id * 2654435761) % 2147483647"
+
+
+@query(
+    "sample_group_fixed_k",
+    oracle=f"""
+    SELECT event_id, event_type, value FROM (
+      SELECT event_id, event_type, value,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY {_SAMPLE_SHUFFLE}, event_id
+             ) AS rn
+      FROM events
+    ) WHERE rn <= 100
+    """,
+)
+def sample_group_fixed_k(spark, t):
+    """Deterministic fixed-k-per-group sample (100 events per type).
+
+    The distributed reservoir-sampling shape: a portable hash shuffle
+    key + row_number ≤ k per group.  One shuffle on the group key;
+    the WindowGroupLimit rewrite stops each partition after k rows,
+    so executors never sort their full partitions.  Deterministic by
+    construction — the same rows are drawn on every engine and every
+    run, which is what makes a training-data subsample reproducible
+    (and this key hash-checkable, unlike rand()-based TABLESAMPLE).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.expr(_SAMPLE_SHUFFLE), "event_id"
+    )
+    return (
+        t["events"]
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 100)
+        .select("event_id", "event_type", "value")
+    )

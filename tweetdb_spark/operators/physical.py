@@ -1,0 +1,168 @@
+"""Physical-layout operators: bucketing and dynamic partition pruning.
+
+These are the two table-layout levers a 100 TB deployment pulls long
+before any query runs:
+
+- **Bucketing** (SURVEY §2 join family, scale posture): pre-shuffle
+  both fact tables into the same number of hash buckets on the join
+  key at WRITE time, so every subsequent join on that key is
+  co-located — zero Exchange in the join, forever.  One shuffle paid
+  once at ingest amortizes over every downstream query.
+- **Dynamic partition pruning** (scan family, scale posture): a fact
+  table partitioned on the join key is pruned at runtime by the
+  filtered dimension side of a broadcast join — the scan never reads
+  partitions the dim filter eliminates.  This is the mechanism that
+  turns "scan 100 TB, join, discard 95%" into "scan 5 TB".
+
+Both register oracle-hash-checked keys (the oracle computes the same
+result from the ORIGINAL unbucketed/unpartitioned tables, proving the
+layout rewrite lossless) and plan-assertion pytests (no Exchange /
+dynamicpruning present).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from tweetdb_spark import scratch
+from tweetdb_spark.registry import query
+
+_BUCKETS = 8
+
+
+def bucketed_table_names() -> tuple[str, str]:
+    """(orders, lineitem) bucketed-table names for THIS process.
+
+    Pid-tagged so concurrent sessions (pytest + check.py) never
+    overwrite each other's in-flight warehouse dirs; same-process
+    re-runs overwrite in place.
+    """
+    return (
+        f"tweetdb_bkt_orders_{scratch.TAG}",
+        f"tweetdb_bkt_lineitem_{scratch.TAG}",
+    )
+
+
+def ensure_bucketed_tables(spark, t) -> tuple[str, str]:
+    """Write orders+lineitem bucketed by orderkey into the session
+    warehouse (idempotent per process) and return the table names."""
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix(
+        "file:"
+    )
+    if warehouse:
+        # dead processes leave pid-tagged dirs behind; reap like tempdirs
+        scratch.reap_stale(warehouse, "tweetdb_bkt_orders")
+        scratch.reap_stale(warehouse, "tweetdb_bkt_lineitem")
+    o_tbl, l_tbl = bucketed_table_names()
+    for name, df, key in (
+        (o_tbl, t["orders"], "o_orderkey"),
+        (l_tbl, t["lineitem"], "l_orderkey"),
+    ):
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(_BUCKETS, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    return o_tbl, l_tbl
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS cnt,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bucketed_colocated(spark, t):
+    """Shuffle-free fact-fact join over bucketed tables.
+
+    Both tables are written ``bucketBy(8, orderkey)`` — the one layout
+    decision that removes the orders⋈lineitem Exchange from EVERY
+    downstream query.  tests/test_plans.py asserts the join subtree
+    has zero Exchange nodes (the only shuffle left is the final 5-group
+    aggregate).  The oracle joins the ORIGINAL unbucketed parquet, so
+    the hash check proves the bucketed rewrite lossless.
+
+    At 100 TB: bucket count scales with cluster width (e.g. 4096);
+    both tables must agree on count and key.  Spark reads each bucket
+    pair co-located, so the join is map-side — no network at all.
+    """
+    o_tbl, l_tbl = ensure_bucketed_tables(spark, t)
+    o = spark.table(o_tbl)
+    li = spark.table(l_tbl)
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+def _dim_event_category(t):
+    """Derived event-type dimension: 5 rows, broadcastable."""
+    return (
+        t["events"]
+        .select("event_type")
+        .distinct()
+        .withColumn(
+            "category",
+            F.when(
+                F.col("event_type").isin("purchase", "signup"), "conversion"
+            ).otherwise("engagement"),
+        )
+    )
+
+
+@query(
+    "join_dpp_partitioned",
+    oracle="""
+    SELECT e.event_type, count(*) AS cnt, ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e
+    JOIN (
+      SELECT DISTINCT event_type,
+             CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN 'conversion' ELSE 'engagement' END AS category
+      FROM events
+    ) d ON e.event_type = d.event_type
+    WHERE d.category = 'conversion'
+    GROUP BY e.event_type
+    """,
+)
+def join_dpp_partitioned(spark, t):
+    """Dynamic partition pruning: the dim filter prunes fact partitions
+    at runtime.
+
+    The fact (events) is stored partitioned by event_type; the dim
+    carries a ``category`` attribute the query filters on.  Spark
+    plans a broadcast join and injects a ``dynamicpruning`` subquery
+    into the fact scan's PartitionFilters — only the 2 'conversion'
+    partitions of 5 are read (asserted in tests/test_plans.py).
+
+    At 100 TB this is the dominant scan-reduction mechanism for
+    star-schema queries: the partition column is the fact's join key
+    (date_key, tenant, type), the dim filter is the user's WHERE
+    clause, and the fact scan shrinks by the dim selectivity before a
+    single fact byte is read.
+    """
+    out = scratch.fresh_dir("tweetdb_dpp_events")
+    t["events"].write.mode("overwrite").partitionBy("event_type").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = _dim_event_category(t).where(F.col("category") == "conversion")
+    return (
+        fact.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

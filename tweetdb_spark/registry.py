@@ -188,6 +188,7 @@ def load_all_operators() -> None:
         analytics,
         pipeline,
         subqueries,
+        physical,
     )
     from tweetdb_spark.functions import scalar, udfs  # noqa: F401
     from tweetdb_spark.llm import dedup, multimodal, similarity, text  # noqa: F401

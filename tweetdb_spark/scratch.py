@@ -40,12 +40,11 @@ def _is_live_pid(tag: str) -> bool:
         return True  # exists, owned by someone else
 
 
-def fresh_dir(prefix: str) -> str:
-    """Reap this process's stale ``prefix`` dirs (plus long-dead foreign
-    ones) and return a new unique ``prefix`` path (not yet created —
-    Spark writers create it)."""
+def reap_stale(base_dir: str, prefix: str) -> None:
+    """Remove ``base_dir/<prefix>_*`` dirs owned by this process, plus
+    long-dead foreign ones (same policy as ``fresh_dir``, any base)."""
     now = time.time()
-    for stale in glob.glob(os.path.join(tempfile.gettempdir(), f"{prefix}_*")):
+    for stale in glob.glob(os.path.join(base_dir, f"{prefix}_*")):
         parts = os.path.basename(stale)[len(prefix) + 1 :].split("_", 1)
         tag = parts[0] if parts else ""
         ours = tag == TAG
@@ -59,6 +58,13 @@ def fresh_dir(prefix: str) -> str:
             abandoned = False
         if ours or abandoned:
             shutil.rmtree(stale, ignore_errors=True)
+
+
+def fresh_dir(prefix: str) -> str:
+    """Reap this process's stale ``prefix`` dirs (plus long-dead foreign
+    ones) and return a new unique ``prefix`` path (not yet created —
+    Spark writers create it)."""
+    reap_stale(tempfile.gettempdir(), prefix)
     return os.path.join(
         tempfile.gettempdir(), f"{prefix}_{TAG}_{time.time_ns()}"
     )
