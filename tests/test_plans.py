@@ -121,7 +121,7 @@ def test_subquery_in_decorrelates_to_semi_join(q):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
 
 
-def test_join_bucketed_colocated_has_no_join_exchange(q, registry, spark):
+def _bucketed_join(q, spark):
     from pyspark.sql import functions as F
 
     # run the registered op once so the bucketed tables exist
@@ -129,12 +129,31 @@ def test_join_bucketed_colocated_has_no_join_exchange(q, registry, spark):
     from tweetdb_spark.operators.physical import bucketed_table_names
 
     o_tbl, l_tbl = bucketed_table_names()
-    join_only = spark.table(o_tbl).join(
+    return spark.table(o_tbl).join(
         spark.table(l_tbl), F.col("o_orderkey") == F.col("l_orderkey")
     )
-    plan = _plan(join_only)
-    # co-located bucketed SMJ: sorts allowed, shuffles not
+
+
+def test_join_bucketed_colocated_smj_has_no_exchange(q, registry, spark):
+    # Force the big-big path bucketing exists for: with broadcast off,
+    # the co-located SortMergeJoin must need NO Exchange of any kind —
+    # both sides' bucket layout already satisfies the join distribution.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(_bucketed_join(q, spark))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_join_bucketed_colocated_never_shuffles(q, registry, spark):
+    # Default settings: Spark may pick BroadcastHashJoin at test scale
+    # (orders side is tiny) — that's fine; what bucketing must guarantee
+    # is the absence of a *shuffle* exchange on the join keys.
+    plan = _plan(_bucketed_join(q, spark))
+    assert "Exchange hashpartitioning" not in plan, plan
 
 
 def test_join_dpp_partitioned_prunes_at_runtime(q):
