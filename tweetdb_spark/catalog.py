@@ -2,26 +2,35 @@
 
 Single chokepoint for fixture access: every operator gets its inputs
 from :func:`load_tables`, never from raw ``spark.read.parquet`` —
-because ``events.ts`` is TIMESTAMP(NANOS) on disk and needs the shim
-below, and because this is where 100 TB-scale read hygiene lives
-(explicit column pruning happens downstream via Catalyst; nothing here
-collects or caches eagerly).
+because ``events.ts`` has shipped in two physical encodings across
+fixture generations and needs the adaptive shim below, and because
+this is where 100 TB-scale read hygiene lives (explicit column
+pruning happens downstream via Catalyst; nothing here collects or
+caches eagerly).
 
-events-ts shim
---------------
-With ``spark.sql.legacy.parquet.nanosAsLong=true`` the column arrives
-as int64 nanoseconds.  We restore TimestampType at µs precision with
-**integer** division (``ts div 1000``): the fixture's nanos have
-sub-µs components (e.g. ...575175 ns), and DuckDB — the correctness
-oracle — truncates them when it reads the same file as TIMESTAMP(µs).
-Float division would lose precision above 2^53 ns (~1970+104 days) and
-can flip a µs boundary; ``div`` is exact.
+events-ts shim (adaptive)
+-------------------------
+Fixture generations differ: older drops wrote ``ts`` as
+TIMESTAMP(NANOS) (which, with ``spark.sql.legacy.parquet.nanosAsLong=
+true``, arrives as int64 nanoseconds), newer drops write plain
+TIMESTAMP(µs) which needs no shim.  We inspect the *loaded* dtype:
+
+- ``LongType``  -> int64 ns: restore TimestampType at µs precision via
+  **integer** division (``ts div 1000``).  Integer, not float: the ns
+  values have sub-µs components and DuckDB — the correctness oracle —
+  truncates them when it reads the same file as TIMESTAMP(µs); float
+  division loses exactness above 2^53 ns and can flip a µs boundary.
+- ``TimestampType`` -> pass through untouched.
+
+This keeps one engine build correct against either fixture vintage —
+the schema check is plan-time metadata, no IO.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from tweetdb_spark import schemas
 from tweetdb_spark.session import configure
@@ -33,9 +42,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table, applying the events-ts shim if needed."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr(EVENTS_TS_SHIM)))
-        # Preserve the declared column order.
-        df = df.select([f.name for f in schemas.EVENTS.fields])
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # Legacy fixture: int64 nanoseconds (nanosAsLong=true).
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr(EVENTS_TS_SHIM)))
+            # Preserve the declared column order.
+            df = df.select([f.name for f in schemas.EVENTS.fields])
+        elif not isinstance(ts_type, T.TimestampType):
+            raise TypeError(
+                f"events.ts has unsupported parquet type {ts_type}; "
+                "expected TIMESTAMP or int64-nanos")
     return df
 
 
@@ -75,11 +92,8 @@ def load_tables(spark: SparkSession, sf_dir: str,
             return cached
         return {n: cached[n] for n in names}
     configure(spark)
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-        raise RuntimeError(
-            "spark.sql.legacy.parquet.nanosAsLong must be true to read "
-            "events.parquet (TIMESTAMP(NANOS)); the session refused the conf"
-        )
+    # nanosAsLong is only needed for legacy TIMESTAMP(NANOS) fixtures;
+    # configure() sets it best-effort, and read_table adapts either way.
     out: dict[str, DataFrame] = {}
     for name in names or schemas.TABLE_NAMES:
         df = read_table(spark, sf_dir, name)
