@@ -21,9 +21,17 @@ TIMESTAMP(µs) which needs no shim.  We inspect the *loaded* dtype:
   truncates them when it reads the same file as TIMESTAMP(µs); float
   division loses exactness above 2^53 ns and can flip a µs boundary.
 - ``TimestampType`` -> pass through untouched.
+- ``TimestampNTZType`` -> cast to TimestampType.  Only reachable when
+  ``inferTimestampNTZ.enabled=false`` failed to apply (configure()
+  tolerates locked-down confs); session tz is pinned UTC so the cast
+  preserves wall-clock values.
+- anything else -> loud TypeError naming the dtype (the r4 lesson:
+  an unhandled vintage must fail at plan time with a message, not
+  deep inside 50 driver queries).
 
-This keeps one engine build correct against either fixture vintage —
-the schema check is plan-time metadata, no IO.
+All vintages come out in the declared EVENTS column order.  This
+keeps one engine build correct against any fixture vintage — the
+schema check is plan-time metadata, no IO.
 """
 
 from __future__ import annotations
@@ -47,12 +55,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # Legacy fixture: int64 nanoseconds (nanosAsLong=true).
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr(EVENTS_TS_SHIM)))
-            # Preserve the declared column order.
-            df = df.select([f.name for f in schemas.EVENTS.fields])
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # inferTimestampNTZ=false didn't stick (locked-down conf);
+            # UTC session tz makes this cast wall-clock-preserving.
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
         elif not isinstance(ts_type, T.TimestampType):
             raise TypeError(
-                f"events.ts has unsupported parquet type {ts_type}; "
-                "expected TIMESTAMP or int64-nanos")
+                f"events.ts has unsupported loaded type {ts_type}; "
+                "expected TIMESTAMP, TIMESTAMP_NTZ, or int64-nanos "
+                "(new fixture vintage? teach read_table to normalize it)")
+        # Same declared column order for every vintage.
+        df = df.select([f.name for f in schemas.EVENTS.fields])
     return df
 
 

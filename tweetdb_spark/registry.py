@@ -65,24 +65,28 @@ def query(name: str, oracle: Optional[str] = None):
 # 55 hash-checkable SURVEY §2 rows first, then the 11 rows-only §2 rows
 # (streaming / approx sketches), then extras (hash-checkable before
 # rows-only).  Five hashable contract rows necessarily overflow a 50-key
-# window; the rotation policy is that the five parked at 51-55 each hold a
-# driver-green row from an earlier round (r03: the round-1/2 overflow keys
-# join_cross/sort_multicol/setop_* rotate IN, five twice-driver-green
-# trivial rows rotate OUT), so every contract row has driver evidence in
-# at least two of three rounds.  If the driver's window size or selection
-# policy ever differs, ``tools/check.py --strict`` still verifies ALL
-# registered hashable keys locally regardless of position — that local
-# sweep, not this ordering, is the completeness backstop.
+# window; the rotation policy is that the five parked at 51-55 each hold
+# driver-green rows from ≥2 recent rounds.  Rotation log:
+#   r03: join_cross/sort_multicol/setop_union/setop_intersect/setop_except
+#        IN (r01 green + local strict); scan_parquet/project_arith/
+#        filter_like/agg_global/topk_global OUT (green r01+r02).
+#   r06: reverse swap — the five r03-parked keys had gone three rounds
+#        without driver evidence (round-5 verdict ask #1); the five
+#        rotated out are green r03+r05.
+# If the driver's window size or selection policy ever differs,
+# ``tools/check.py --strict`` still verifies ALL registered hashable keys
+# locally regardless of position — that local sweep, not this ordering,
+# is the completeness backstop.
 # ---------------------------------------------------------------------------
 CONTRACT_ORDER: list[str] = [
     # --- SURVEY §2 hash-checkable rows, positions 1-50 ---
-    "join_cross",            # J7  (rotated in r03; r01 pass + local strict)
+    "scan_parquet",          # S1  (rotated in r06; r01+r02 pass + local strict)
     "scan_pruned",           # S2
     "ingest_json",           # S3
     "sink_parquet_part",     # S6
-    "sort_multicol",         # O1  (rotated in r03; r01 pass + local strict)
+    "project_arith",         # P1  (rotated in r06; r01+r02 pass + local strict)
     "filter_compound",       # P2
-    "setop_union",           # O3  (rotated in r03; r01 pass + local strict)
+    "filter_like",           # P3  (rotated in r06; r01+r02 pass + local strict)
     "join_inner_broadcast",  # J1
     "join_multiway",         # J2
     "join_left_outer",       # J3
@@ -92,7 +96,7 @@ CONTRACT_ORDER: list[str] = [
     "join_theta_range",      # J8
     "join_asof",             # J9
     "join_interval",         # J10
-    "setop_intersect",       # O4  (rotated in r03; r01 pass + local strict)
+    "agg_global",            # A1  (rotated in r06; r01+r02 pass + local strict)
     "agg_grouped",           # A2 (flagship)
     "agg_having",            # A3
     "agg_distinct",          # A4
@@ -105,7 +109,7 @@ CONTRACT_ORDER: list[str] = [
     "win_lag_lead",          # W3
     "win_frame_rows",        # W4
     "win_frame_range",       # W5
-    "setop_except",          # O5  (rotated in r03; r01 pass + local strict)
+    "topk_global",           # O2  (rotated in r06; r01+r02 pass + local strict)
     "fn_string",             # F1
     "fn_split_explode",      # F2
     "fn_datetime",           # F3
@@ -126,13 +130,13 @@ CONTRACT_ORDER: list[str] = [
     "text_sentiment_lexicon",# L7
     "text_stats",            # L8
     "multimodal_norm",       # L9
-    # --- positions 51-55: hashable contract rows rotated OUT in r03 ---
-    # (each driver-green in BOTH r01 and r02, and still in check.py --strict)
-    "scan_parquet",          # S1  (r01+r02 pass)
-    "project_arith",         # P1  (r01+r02 pass)
-    "filter_like",           # P3  (r01+r02 pass)
-    "agg_global",            # A1  (r01+r02 pass)
-    "topk_global",           # O2  (r01+r02 pass)
+    # --- positions 51-55: hashable contract rows rotated OUT in r06 ---
+    # (each driver-green in BOTH r03 and r05, and still in check.py --strict)
+    "join_cross",            # J7  (r01+r03+r05 pass)
+    "sort_multicol",         # O1  (r01+r03+r05 pass)
+    "setop_union",           # O3  (r01+r03+r05 pass)
+    "setop_intersect",       # O4  (r01+r03+r05 pass)
+    "setop_except",          # O5  (r01+r03+r05 pass)
     # --- SURVEY §2 rows-only rows (no faithful ANSI-SQL oracle) ---
     "source_stream_file",    # S4
     "sink_jdbc_batch",       # S5

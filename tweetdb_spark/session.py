@@ -2,11 +2,13 @@
 
 Every load-bearing config in one place:
 
-- ``spark.sql.legacy.parquet.nanosAsLong=true`` — the fixture
-  ``events.parquet`` stores ``ts`` as TIMESTAMP(NANOS), which Spark
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — some fixture
+  vintages store ``events.ts`` as TIMESTAMP(NANOS), which Spark
   4.1.2 refuses to read by default ([PARQUET_TYPE_ILLEGAL]).  With
-  this flag it reads as LongType nanoseconds; catalog.py restores a
-  proper TimestampType via integer division (see catalog.EVENTS_TS_SHIM).
+  this flag such files read as LongType nanoseconds, and
+  catalog.read_table's ADAPTIVE shim restores TimestampType via
+  integer division (see catalog.EVENTS_TS_SHIM); µs-timestamp
+  vintages are unaffected by the flag and pass through.
 - ``spark.sql.session.timeZone=UTC`` — determinism: the DuckDB oracle
   reads parquet timestamps as naive-UTC; Spark must render the same
   wall-clock values.
@@ -49,9 +51,12 @@ def configure(spark: SparkSession) -> SparkSession:
         try:
             spark.conf.set(k, v)
         except Exception:
-            # A conf may be locked down in exotic deployments; every
-            # consumer that hard-requires one (catalog.py for the nanos
-            # flag) fails loudly on its own.
+            # A conf may be locked down in exotic deployments.  None is
+            # hard-required: catalog.read_table adapts to whatever dtype
+            # the read produces (ns-long / µs / NTZ) and raises a loud
+            # TypeError for anything it can't normalize; if nanosAsLong
+            # itself is locked down AND the fixture is TIMESTAMP(NANOS),
+            # the failure is Spark's PARQUET_TYPE_ILLEGAL at plan time.
             pass
     return spark
 
