@@ -151,9 +151,14 @@ def test_join_bucketed_colocated_smj_has_no_exchange(q, registry, spark):
 def test_join_bucketed_colocated_never_shuffles(q, registry, spark):
     # Default settings: Spark may pick BroadcastHashJoin at test scale
     # (orders side is tiny) — that's fine; what bucketing must guarantee
-    # is the absence of a *shuffle* exchange on the join keys.
+    # is the absence of a *shuffle* exchange on the join keys.  NOTE:
+    # formatted mode renders a shuffle as "Exchange (N)" + a separate
+    # "Arguments: hashpartitioning(key#id, n)" line — the two-word
+    # literal "Exchange hashpartitioning" can never occur there, so the
+    # assertion must target the Arguments rendering of the join keys.
     plan = _plan(_bucketed_join(q, spark))
-    assert "Exchange hashpartitioning" not in plan, plan
+    assert "hashpartitioning(o_orderkey" not in plan, plan
+    assert "hashpartitioning(l_orderkey" not in plan, plan
 
 
 def test_join_dpp_partitioned_prunes_at_runtime(q):
