@@ -28,6 +28,33 @@ def test_ann_ivf_recall_vs_exact(q):
     assert recall >= 0.5, f"recall@10 = {recall} (exact={exact}, approx={approx})"
 
 
+def test_ann_ivf_fit_amortized_out_of_query_path(q, monkeypatch):
+    """After the first invocation builds the index, repeat queries must
+    run NO KMeans fit — the 100 TB contract is fit-once/query-many,
+    like the bucketed join tables."""
+    import pyspark.ml.clustering as C
+
+    q("sim_ann_ivf").collect()  # cold call: builds + caches the index
+
+    def _no_fit(self, *a, **kw):  # pragma: no cover - failure path
+        raise AssertionError("KMeans.fit invoked on the warm query path")
+
+    monkeypatch.setattr(C.KMeans, "fit", _no_fit)
+    assert len(q("sim_ann_ivf").collect()) == 10
+
+
+def test_ann_ivf_probe_prunes_partitions(q):
+    """The probe filter must reach the scan as PartitionFilters on
+    ``cell`` — the parquet-level pruning that makes an 8/16-cell probe
+    read 8/16ths of the bytes at any scale."""
+    df = q("sim_ann_ivf")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    frag = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "cell" in frag, plan
+
+
 def test_minhash_lsh_finds_jaccard_pairs(q):
     """LSH candidates (dist ≤ 0.2 ⇒ jaccard ≥ 0.8) must cover most
     exact token-set Jaccard ≥ 0.8 pairs."""

@@ -15,9 +15,12 @@ reduce the scan to a candidate slice and re-rank exactly.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from tweetdb_spark import scratch
 from tweetdb_spark.registry import query
 
 
@@ -135,42 +138,96 @@ def sim_pairwise_label(spark, t):
     )
 
 
+# IVF index cache: (session-id, sf_dir) -> (assignments path, centroid
+# path).  Mirrors operators/physical.ensure_bucketed_tables: the
+# expensive layout step (KMeans fit + partitioned write) runs ONCE per
+# (session, corpus) and every query after that only reads.  The session
+# object's id is keyed alongside sf_dir for the same lifetime reasons as
+# catalog._CACHE.
+_IVF_CACHE: dict[tuple[int, str], tuple[str, str]] = {}
+_IVF_K = 16
+
+
+def ensure_ivf_index(spark, t) -> tuple[str, str]:
+    """Build (once per session+sf_dir) the IVF index: vectors written
+    partitioned by ``cell`` + a 16-row centroid table.
+
+    This is the ingest-time step of an IVF deployment: at 100 TB the
+    partitioned write IS the vector table's physical layout, paid once,
+    and the centroid table is tiny reference data.  Returns
+    (assignments_path, centroids_path).
+    """
+    sid = id(spark._jsparkSession)
+    key = (sid, t.sf_dir)
+    entry = _IVF_CACHE.get(key)
+    if entry is not None and os.path.exists(entry[0]):
+        return entry
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = t["embeddings"].withColumn("vec", array_to_vector("embedding"))
+    model = KMeans(
+        k=_IVF_K, seed=42, featuresCol="vec", predictionCol="cell"
+    ).fit(e)
+    # sf-tagged prefix: rebuilding sf_dir A must never reap sf_dir B's
+    # live index (fresh_dir reaps same-prefix dirs of this process)
+    tag = t.sf_dir.strip("/").replace("/", "_")
+    out = scratch.fresh_dir(f"tweetdb_ivf_{tag}")
+    (
+        model.transform(e)
+        .select("vec_id", "label", "embedding", "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(out)
+    )
+    cents = scratch.fresh_dir(f"tweetdb_ivfc_{tag}")
+    centers_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, center array<double>",
+    )
+    centers_df.write.mode("overwrite").parquet(cents)
+    _IVF_CACHE[key] = (out, cents)
+    return out, cents
+
+
 @query("sim_ann_ivf", oracle=None)  # approx (probes 8/16 cells) → rows-only
 def sim_ann_ivf(spark, t):
     """ANN top-10 via an IVF coarse quantizer — the 100 TB path for L4.
 
     KMeans (k=16, fixed seed) partitions the vector space into cells;
-    the query probes only its 8 nearest centroids and re-ranks
-    exactly within them.  At scale: cells become the *physical*
-    partitioning of the vector table (write partitioned by cell_id →
-    a probe reads 8/16ths of the data, pruned at the parquet level);
-    centroids are a tiny broadcast model.  Recall vs the exact
-    brute-force twin (sim_topk_cosine) is asserted in tests.
+    the query probes only its 8 nearest centroids and re-ranks exactly
+    within them.  The fit + cell-partitioned write are AMORTIZED out of
+    the query path via :func:`ensure_ivf_index` (once per session+
+    corpus, like the bucketed join tables); the query itself only (1)
+    picks probe cells from the 16-row persisted centroid table
+    (driver-side argmin — the model is tiny reference data), and (2)
+    scans the probed partitions, pruned at the parquet level
+    (PartitionFilters on ``cell``, asserted in tests).  Recall vs the
+    exact brute-force twin (sim_topk_cosine) is asserted in tests.
     """
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
-    e = t["embeddings"].withColumn("vec", array_to_vector("embedding"))
-    model = KMeans(k=16, seed=42, featuresCol="vec", predictionCol="cell").fit(e)
-    assigned = model.transform(e)
+    idx_path, cents_path = ensure_ivf_index(spark, t)
 
     q_row = t["embeddings"].where(F.col("vec_id") == 0).select("embedding").first()
     qv = np.asarray(q_row.embedding, dtype="float64")
-    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    cents = spark.read.parquet(cents_path).orderBy("cell").collect()  # 16 rows
+    centers = np.stack([np.asarray(r.center) for r in cents])
     # probe the 8 centroids nearest the query (driver-side: 16×64 floats)
     probe = np.argsort(((centers - qv) ** 2).sum(axis=1))[:8].tolist()
 
     q = t["embeddings"].where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv")
     )
+    assigned = spark.read.parquet(idx_path)
     scored = (
         assigned.where(F.col("cell").isin(probe) & (F.col("vec_id") != 0))
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
             "label",
-            "cell",
+            F.col("cell").cast("int").alias("cell"),
             F.round(
                 dot(F.col("embedding"), F.col("qv"))
                 / (l2_norm(F.col("embedding")) * l2_norm(F.col("qv"))),
