@@ -16,8 +16,11 @@ to millis, which would break parity with the batch twins.
 
 from __future__ import annotations
 
+import glob
 import os
+import shutil
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -65,20 +68,37 @@ def stage_events_json(spark: SparkSession, sf_dir: str) -> str:
         # time-ordered-file contract watermark tests rely on
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
     )
-    days = [r.day for r in wire.select("day").distinct().orderBy("day").collect()]
+    # JVM-side staging: hash-partition by day (all rows of a day land in
+    # one task → exactly one part file per day=… dir), ts-sorted within
+    # the partition, written as partitioned JSON by the executors.  The
+    # driver never materializes a single event row — at 100 TB this is
+    # a distributed write, not a driver funnel.
+    staging = f"{out}_staging_{os.getpid()}"
+    (
+        wire.repartition("day")
+        .sortWithinPartitions("ts_us")
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .json(staging)
+    )
     os.makedirs(out, exist_ok=True)
-    # One file per date, written in time order (file source picks them
-    # up in modification-time order → watermarks advance realistically).
-    for d in days:
-        pdf = (
-            wire.where(F.col("day") == d)
-            .drop("day")
-            .orderBy("ts_us")
-            .toPandas()
+    # Flatten day=…/part-… into one file per date with STRICTLY
+    # INCREASING mtimes in day order: the file source picks files up in
+    # modification-time order, so watermarks advance realistically.
+    day_dirs = sorted(glob.glob(os.path.join(staging, "day=*")))
+    base = time.time() - len(day_dirs)
+    for i, ddir in enumerate(day_dirs):
+        day = os.path.basename(ddir).split("=", 1)[1]
+        dest = os.path.join(out, f"day-{day}.json")
+        parts = sorted(
+            p for p in os.listdir(ddir) if p.startswith("part-")
         )
-        pdf.to_json(
-            os.path.join(out, f"day-{d}.json"), orient="records", lines=True
-        )
+        with open(dest, "wb") as w:
+            for p in parts:  # single part per day; loop is defensive
+                with open(os.path.join(ddir, p), "rb") as r:
+                    shutil.copyfileobj(r, w)
+        os.utime(dest, (base + i, base + i))
+    shutil.rmtree(staging, ignore_errors=True)
     with open(marker, "w") as fh:
         fh.write("ok")
     return out
