@@ -140,6 +140,63 @@ def test_read_table_normalizes_ntz_vintage(spark, tmp_path):
     assert rows[1] == datetime.datetime(2024, 1, 1, 0, 0, 0, 1)
 
 
+def test_read_table_normalizes_raw_epoch_micros_vintage(spark, tmp_path):
+    """ts as raw INT64 epoch-µs (no logical annotation): the unit must
+    be recovered from row-group statistics magnitude."""
+    raw_dir = _write_events_vintage(
+        tmp_path, pa.array(_TS_US_TRUNC, pa.int64()), "raw_us_vintage"
+    )
+    cols, types, rows = _load_normalized(spark, raw_dir)
+    assert cols == [f.name for f in schemas.EVENTS.fields]
+    assert types["ts"] == "timestamp"
+    assert rows[1] == datetime.datetime(2024, 1, 1, 0, 0, 0, 1)
+
+
+def test_read_table_normalizes_epoch_seconds_vintage(spark, tmp_path):
+    """ts as raw INT64 epoch-seconds — the other magnitude band."""
+    secs = [t // 1_000_000_000 for t in _TS_NS]
+    raw_dir = _write_events_vintage(
+        tmp_path, pa.array(secs, pa.int64()), "raw_s_vintage"
+    )
+    _, types, rows = _load_normalized(spark, raw_dir)
+    assert types["ts"] == "timestamp"
+    assert rows[1] == datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def test_read_table_normalizes_orders_timestamp_vintages(spark, tmp_path):
+    """The normalization is table-generic: o_orderdate shipped as
+    TIMESTAMP(ns) or DATE must land as the declared TimestampType."""
+    from tweetdb_spark.catalog import read_table
+
+    def write_orders(ts_array, name):
+        table = pa.table(
+            {
+                "o_orderkey": pa.array([1, 2], pa.int64()),
+                "o_custkey": pa.array([7, 8], pa.int64()),
+                "o_orderstatus": pa.array(["O", "F"], pa.string()),
+                "o_totalprice": pa.array([10.0, 20.0], pa.float64()),
+                "o_orderdate": ts_array,
+                "o_orderpriority": pa.array(["1-URGENT", "2-HIGH"], pa.string()),
+            }
+        )
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(table, str(d / "orders.parquet"))
+        return str(d)
+
+    ns_dir = write_orders(
+        pa.array([_TS_NS[0], _TS_NS[1]], pa.timestamp("ns")), "orders_ns"
+    )
+    date_dir = write_orders(
+        pa.array([datetime.date(2024, 1, 1), datetime.date(2024, 1, 2)]),
+        "orders_date",
+    )
+    for d in (ns_dir, date_dir):
+        df = read_table(spark, d, "orders")
+        assert df.schema["o_orderdate"].dataType.simpleString() == "timestamp"
+        assert df.select("o_orderdate").first().o_orderdate.year == 2024
+
+
 def test_read_table_fails_loudly_on_unknown_vintage(spark, tmp_path):
     """A vintage nobody taught read_table (ts as string) must raise a
     TypeError naming the dtype at plan time — not crash 50 queries deep."""
