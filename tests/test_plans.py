@@ -169,3 +169,11 @@ def test_join_dpp_partitioned_prunes_at_runtime(q):
 def test_sample_group_fixed_k_pushes_group_limit(q):
     plan = _plan(q("sample_group_fixed_k"))
     assert "WindowGroupLimit" in plan
+
+
+def test_sim_topk_cosine_batch_pushes_group_limit(q):
+    # batch ANN's per-query top-3 must run as a pre-shuffle partial
+    # top-k (InferWindowGroupLimit), and the query side must broadcast
+    plan = _plan(q("sim_topk_cosine_batch"))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

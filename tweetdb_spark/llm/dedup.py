@@ -45,6 +45,74 @@ def dedup_exact(spark, t):
 
 
 @query(
+    "dedup_incremental",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, sha256(lower(trim(text))) AS text_hash,
+             doc_id % 10 = 0 AS is_new
+      FROM documents
+    ), seen AS (
+      SELECT DISTINCT text_hash FROM h WHERE NOT is_new
+    ), batch AS (
+      SELECT doc_id, text_hash,
+             row_number() OVER (
+               PARTITION BY text_hash ORDER BY doc_id
+             ) AS rn
+      FROM h WHERE is_new
+    )
+    SELECT b.doc_id, b.text_hash,
+           CAST(s.text_hash IS NOT NULL AS INTEGER) AS dup_of_corpus,
+           CAST(s.text_hash IS NULL AND b.rn = 1 AS INTEGER) AS keep
+    FROM batch b LEFT JOIN seen s USING (text_hash)
+    """,
+)
+def dedup_incremental(spark, t):
+    """Incremental (new-batch-vs-corpus) exact dedup — the shape a
+    daily-ingest training pipeline actually runs.
+
+    A deterministic split stands in for the arrival boundary: docs with
+    ``doc_id % 10 == 0`` are "today's batch", the rest the already-
+    ingested corpus.  Each batch doc gets two flags: ``dup_of_corpus``
+    (its normalized hash already exists in the corpus — a hash-only
+    left join) and ``keep`` (not in corpus AND first of its hash within
+    the batch, via a window over the batch only).
+
+    100 TB story: the corpus side is a 32-byte-hash projection, orders
+    of magnitude smaller than the documents themselves, bucketed by
+    hash at ingest so the daily join is co-located; the intra-batch
+    window shuffles only the new batch (days, not the corpus).  The
+    corpus hash set then grows by exactly the ``keep`` rows —
+    append-only, no rewrite of history.
+    """
+    docs = t["documents"].select(
+        "doc_id",
+        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("text_hash"),
+    )
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    seen = (
+        docs.where(F.col("doc_id") % 10 != 0)
+        .select("text_hash")
+        .distinct()
+        .withColumn("in_corpus", F.lit(1))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    return (
+        batch.join(seen, "text_hash", "left")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "text_hash",
+            F.col("in_corpus").isNotNull().cast("int").alias("dup_of_corpus"),
+            (F.col("in_corpus").isNull() & (F.col("rn") == 1))
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
+@query(
     "dedup_near_jaccard",
     oracle="""
     WITH toks AS (

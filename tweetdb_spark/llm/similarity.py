@@ -91,6 +91,73 @@ def sim_topk_cosine(spark, t):
 
 
 @query(
+    "sim_topk_cosine_batch",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+    ), c AS (
+      SELECT q.q_id, e.vec_id, e.label,
+             ROUND({_DUCK_DOT.format(a='e.embedding', b='q.qv')}
+                   / ({_DUCK_NORM.format(v='e.embedding')}
+                      * {_DUCK_NORM.format(v='q.qv')}), 6) AS cos_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id >= 5
+    ), r AS (
+      SELECT q_id, vec_id, label, cos_sim,
+             row_number() OVER (
+               PARTITION BY q_id ORDER BY cos_sim DESC, vec_id
+             ) AS rn
+      FROM c
+    )
+    SELECT q_id, vec_id, label, cos_sim, CAST(rn AS INT) AS rank
+    FROM r WHERE rn <= 3
+    """,
+)
+def sim_topk_cosine_batch(spark, t):
+    """Batch similarity search: top-3 neighbors for EACH of a set of
+    query vectors (vec_id < 5), in one plan.
+
+    The shape that scales where a per-query loop cannot: queries are a
+    broadcast dimension (Q rows), scoring is one narrow pass over the
+    corpus (N·Q scores, no shuffle), and per-query top-k is a
+    row_number window whose rank filter Spark pushes BELOW the shuffle
+    (InferWindowGroupLimit → per-partition partial top-3 before any
+    exchange — asserted in tests/test_plans.py).  At 100 TB with 10⁶
+    queries this becomes the cell-joined ANN variant (probe cells of
+    :func:`ensure_ivf_index` instead of the full corpus); the
+    window-group-limit tail is identical.
+    """
+    from pyspark.sql.window import Window
+
+    e = t["embeddings"]
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        e.where(F.col("vec_id") >= 5)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            F.round(
+                dot(F.col("embedding"), F.col("qv"))
+                / (l2_norm(F.col("embedding")) * l2_norm(F.col("qv"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("q_id", "vec_id", "label", "cos_sim", "rank")
+    )
+
+
+@query(
     "sim_pairwise_label",
     oracle=f"""
     WITH n AS (
