@@ -254,3 +254,29 @@ def test_stream_sink_parquet_equals_batch_and_partitions(q, tables):
     sinks = scratch.own_dirs("tweetdb_ssink")
     parts = glob.glob(f"{sinks[-1]}/event_type=*")
     assert len(parts) == len(batch)  # one dir per event_type
+
+
+def test_staged_fixture_invalidated_on_vintage_change(spark, tmp_path):
+    """Staged streaming JSON must restage when the fixture is
+    regenerated IN PLACE (the r4 scenario: same path, new data —
+    /tmp outlives driver rounds)."""
+    import os
+    import shutil
+
+    from tweetdb_spark.streaming.sources import stage_events_json
+
+    sf = tmp_path / "sfcopy"
+    sf.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", sf / "events.parquet")
+    out = stage_events_json(spark, str(sf))
+    marker = os.path.join(out, "_STAGED")
+    mtime_first = os.path.getmtime(marker)
+
+    # same content: cache hit, no restage
+    assert stage_events_json(spark, str(sf)) == out
+    assert os.path.getmtime(marker) == mtime_first
+
+    # regenerate the fixture in place (bump mtime = new vintage)
+    os.utime(sf / "events.parquet")
+    stage_events_json(spark, str(sf))
+    assert os.path.getmtime(marker) > mtime_first

@@ -48,13 +48,37 @@ EVENTS_WIRE = StructType(
 )
 
 
+def _fixture_fingerprint(sf_dir: str) -> str:
+    """Identity of the events fixture (mtime+size of every file).
+
+    Staged JSON must be invalidated when the fixture is REGENERATED in
+    place — the round-4 incident proved the same path can carry
+    different data across driver rounds, and /tmp outlives them.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    parts = (
+        sorted(glob.glob(os.path.join(path, "*"))) if os.path.isdir(path)
+        else [path]
+    )
+    sig = []
+    for p in parts:
+        st = os.stat(p)
+        sig.append(f"{os.path.basename(p)}:{st.st_mtime_ns}:{st.st_size}")
+    return ";".join(sig)
+
+
 def stage_events_json(spark: SparkSession, sf_dir: str) -> str:
-    """Export events as day-partitioned JSON files (idempotent per sf)."""
+    """Export events as day-partitioned JSON files (idempotent per
+    fixture CONTENT, not just per path)."""
     tag = sf_dir.strip("/").replace("/", "_")
     out = os.path.join(tempfile.gettempdir(), f"tweetdb_stream_src_{tag}")
     marker = os.path.join(out, "_STAGED")
+    fingerprint = _fixture_fingerprint(sf_dir)
     if os.path.exists(marker):
-        return out
+        with open(marker) as fh:
+            if fh.read() == fingerprint:
+                return out
+        shutil.rmtree(out, ignore_errors=True)  # stale vintage: restage
     events = load_tables(spark, sf_dir, ["events"])["events"]
     wire = events.select(
         "event_id",
@@ -100,7 +124,7 @@ def stage_events_json(spark: SparkSession, sf_dir: str) -> str:
         os.utime(dest, (base + i, base + i))
     shutil.rmtree(staging, ignore_errors=True)
     with open(marker, "w") as fh:
-        fh.write("ok")
+        fh.write(fingerprint)
     return out
 
 
