@@ -45,9 +45,21 @@ def bucketed_table_names() -> tuple[str, str]:
     )
 
 
+# (session-id, sf_dir) -> table names already written for that corpus.
+# The bucketing shuffle is paid once per (session, corpus) — the whole
+# point of the layout — so repeat queries must not rewrite the tables.
+_BUCKETED_FOR: dict[tuple[int, str], tuple[str, str]] = {}
+
+
 def ensure_bucketed_tables(spark, t) -> tuple[str, str]:
     """Write orders+lineitem bucketed by orderkey into the session
-    warehouse (idempotent per process) and return the table names."""
+    warehouse (once per session+corpus) and return the table names."""
+    cache_key = (id(spark._jsparkSession), getattr(t, "sf_dir", ""))
+    cached = _BUCKETED_FOR.get(cache_key)
+    if cached is not None and all(
+        spark.catalog.tableExists(n) for n in cached
+    ):
+        return cached
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix(
         "file:"
     )
@@ -67,6 +79,12 @@ def ensure_bucketed_tables(spark, t) -> tuple[str, str]:
             .sortBy(key)
             .saveAsTable(name)
         )
+    # The table NAMES are pid-scoped but not sf-scoped: rewriting for a
+    # new sf_dir repoints them, so cache entries from other sf_dirs are
+    # now stale and must not short-circuit a future rebuild.
+    for k in [k for k, v in _BUCKETED_FOR.items() if v == (o_tbl, l_tbl)]:
+        del _BUCKETED_FOR[k]
+    _BUCKETED_FOR[cache_key] = (o_tbl, l_tbl)
     return o_tbl, l_tbl
 
 
