@@ -43,6 +43,33 @@ def test_ann_ivf_fit_amortized_out_of_query_path(q, monkeypatch):
     assert len(q("sim_ann_ivf").collect()) == 10
 
 
+def test_ann_lsh_probe_prunes_partitions(q):
+    """The LSH probe must be a parquet partition-pruned read of the
+    (j, band) buckets it names — never a scan of the signature table."""
+    df = q("sim_ann_lsh")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    frag = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "j#" in frag and "band#" in frag, plan
+
+
+def test_ann_lsh_index_amortized(q):
+    """Repeat LSH queries must reuse the persisted band-partitioned
+    index, not rewrite it (mtime-stable across warm calls; shared by
+    multiprobe)."""
+    import os
+
+    from tweetdb_spark.llm import similarity as S
+
+    q("sim_ann_lsh").collect()  # cold call builds + caches
+    path = next(iter(S._LSH_CACHE.values()))
+    mtime = os.path.getmtime(path)
+    assert len(q("sim_ann_lsh").collect()) == 10
+    assert len(q("sim_ann_multiprobe").collect()) == 10
+    assert os.path.getmtime(path) == mtime  # no rewrite, shared index
+
+
 def test_ann_ivf_probe_prunes_partitions(q):
     """The probe filter must reach the scan as PartitionFilters on
     ``cell`` — the parquet-level pruning that makes an 8/16-cell probe
