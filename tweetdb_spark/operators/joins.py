@@ -209,6 +209,43 @@ def join_cross(spark, t):
     return t["region"].select("r_name").crossJoin(prios)
 
 
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT n_nationkey, nullif(n_regionkey, 2) AS rk FROM nation
+    ), b AS (
+      SELECT nullif(n_regionkey, 2) AS rk2, count(*) AS grp_cnt
+      FROM nation GROUP BY 1
+    )
+    SELECT a.n_nationkey, b.grp_cnt
+    FROM a JOIN b ON a.rk IS NOT DISTINCT FROM b.rk2
+    """,
+)
+def join_null_safe(spark, t):
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM).
+
+    NULL join keys silently drop rows under plain ``=`` — the classic
+    late-night data bug when a key column is sparsely populated.  Here
+    region 2 is nulled out on both sides: the 5 NULL-key nations MUST
+    match the NULL group row (25 output rows; a plain equi-join would
+    return 20).  ``eqNullSafe`` stays a hash-joinable key in Spark
+    (planned as BHJ/SMJ, not a nested loop), so the null-safe form
+    costs nothing at scale.
+    """
+    a = t["nation"].select(
+        "n_nationkey", F.nullif(F.col("n_regionkey"), F.lit(2)).alias("rk")
+    )
+    b = (
+        t["nation"]
+        .groupBy(F.nullif(F.col("n_regionkey"), F.lit(2)).alias("rk2"))
+        .agg(F.count("*").alias("grp_cnt"))
+    )
+    return a.join(
+        F.broadcast(b), F.col("rk").eqNullSafe(F.col("rk2"))
+    ).select("n_nationkey", "grp_cnt")
+
+
 # The naive theta-range SQL — shared verbatim by join_theta_range (its
 # own oracle) and join_theta_bucketed (whose correctness proof is that
 # the bucketed rewrite hash-matches THIS query), mirroring the

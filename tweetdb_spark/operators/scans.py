@@ -228,6 +228,52 @@ def sink_parquet_part(spark, t):
 
 
 @query(
+    "scan_merge_schema",
+    oracle="""
+    SELECT CAST(o_orderkey % 2 = 1 AS INTEGER) AS has_priority,
+           count(*) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def scan_merge_schema(spark, t):
+    """Schema-evolution read: two parquet drops with DIFFERENT schemas
+    (an old 2-column vintage and a new 3-column one) read back as one
+    table via ``mergeSchema``.
+
+    The 100 TB reality this models: a store written over years carries
+    every historical schema, and the reader — not a rewrite of
+    petabytes — reconciles them (missing columns become NULLs).  The
+    oracle computes the same aggregate from the ORIGINAL orders table,
+    so the hash check proves the evolved read lossless: rows from the
+    old vintage are exactly the NULL-priority group.
+    """
+    import uuid as _uuid
+
+    out = os.path.join(
+        tempfile.gettempdir(), f"tweetdb_evolve_{_uuid.uuid4().hex[:8]}"
+    )
+    old = t["orders"].where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = t["orders"].where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    old.write.mode("overwrite").parquet(os.path.join(out, "v1"))
+    new.write.mode("overwrite").parquet(os.path.join(out, "v2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "v1"), os.path.join(out, "v2")
+    )
+    return merged.groupBy(
+        F.col("o_orderpriority").isNotNull().cast("int").alias("has_priority")
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
     "compact_files",
     oracle="""
     SELECT o_orderstatus, count(*) AS cnt,
