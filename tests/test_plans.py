@@ -171,6 +171,14 @@ def test_sample_group_fixed_k_pushes_group_limit(q):
     assert "WindowGroupLimit" in plan
 
 
+def test_join_null_safe_is_hash_join(q):
+    # eqNullSafe must remain a hash-joinable key (EqualNullSafe is a
+    # valid equi-join expression), never degrade to a nested loop
+    plan = _plan(q("join_null_safe"))
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+
+
 def test_sim_topk_cosine_batch_pushes_group_limit(q):
     # batch ANN's per-query top-3 must run as a pre-shuffle partial
     # top-k (InferWindowGroupLimit), and the query side must broadcast
