@@ -236,6 +236,58 @@ def test_join_stream_stream_equals_batch_interval_join(q):
     assert stream == batch
 
 
+def test_join_stream_stream_outer_equals_batch_in_closed_region(q, tables):
+    """Outer stream-stream join: within the watermark-closed region the
+    stream must agree row-for-row with the batch left-outer join —
+    including the NULL rows for signups with no activity within 1h."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    events = tables["events"]
+    # The GLOBAL watermark of a multi-input stream is the MIN of the
+    # per-input watermarks (each max event time - 2h): signups are rare
+    # and stop hours before the last click, so the signup side is the
+    # binding frontier.  Closed region = s_ts + 1h (join window) below
+    # that global watermark; the -1s margin keeps the comparison off
+    # the exact eviction boundary, where emit-vs-hold is an engine
+    # strictness detail, not a semantics difference.
+    maxes = events.groupBy(
+        (F.col("event_type") == "signup").alias("is_signup")
+    ).agg(F.max("ts").alias("m")).collect()
+    wm = min(r.m for r in maxes) - datetime.timedelta(hours=2)
+    cutoff = wm - datetime.timedelta(hours=1, seconds=1)
+
+    s = events.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("s_ts"),
+    )
+    x = events.where(F.col("event_type") != "signup").select(
+        F.col("user_id").alias("x_user_id"),
+        F.col("event_id").alias("event_id"),
+        "event_type",
+        F.col("ts").alias("x_ts"),
+    )
+    batch = s.join(
+        x,
+        (s.user_id == x.x_user_id)
+        & (F.col("x_ts") > F.col("s_ts"))
+        & (F.col("x_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    ).select("signup_id", "user_id", "s_ts", "event_id", "event_type")
+
+    cols = ("signup_id", "user_id", "s_ts", "event_id", "event_type")
+    stream_rows = _rows(
+        q("join_stream_stream_outer").where(F.col("s_ts") <= F.lit(cutoff)),
+        *cols,
+    )
+    batch_rows = _rows(batch.where(F.col("s_ts") <= F.lit(cutoff)), *cols)
+    assert stream_rows == batch_rows
+    # the outer semantics must actually fire: some signups are unmatched
+    assert any(r[3] is None for r in stream_rows)
+
+
 def test_stream_sink_parquet_equals_batch_and_partitions(q, tables):
     import glob
 

@@ -391,6 +391,56 @@ def join_stream_stream(spark, t):
     return run_to_memory(joined, "append")
 
 
+@query("join_stream_stream_outer", oracle=None)
+def join_stream_stream_outer(spark, t):
+    """LEFT OUTER stream-stream interval join — every signup emits,
+    with NULL activity columns when nothing followed within 1h.
+
+    The outer variant is the semantically hard one: a NULL row can
+    only be emitted once the WATERMARK proves no matching activity can
+    still arrive, so the state store holds each signup exactly until
+    its join window is provably closed — the bounded-state contract
+    that lets this run forever on an unbounded feed.  The GLOBAL
+    watermark of a multi-input query is the MIN over the per-input
+    watermarks (here the sparse signup side binds, not the dense
+    activity side — measured during development, not assumed), so rows
+    inside the final unclosed window are correctly withheld at
+    end-of-feed; the batch-equality pytest compares the closed region
+    (s_ts + 1h below the min-side watermark) where stream and batch
+    must agree row-for-row, NULLs included.
+    """
+    sf = _sf_dir(t)
+    s = (
+        read_events_stream(spark, sf)
+        .where(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            "user_id",
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "2 hours")
+    )
+    x = (
+        read_events_stream(spark, sf)
+        .where(F.col("event_type") != "signup")
+        .select(
+            F.col("user_id").alias("x_user_id"),
+            F.col("event_id").alias("event_id"),
+            "event_type",
+            F.col("ts").alias("x_ts"),
+        )
+        .withWatermark("x_ts", "2 hours")
+    )
+    joined = s.join(
+        x,
+        (s.user_id == x.x_user_id)
+        & (F.col("x_ts") > F.col("s_ts"))
+        & (F.col("x_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select("signup_id", "user_id", "s_ts", "event_id", "event_type")
+    return run_to_memory(joined, "append")
+
+
 @query("sink_jdbc_batch", oracle=None)
 def sink_jdbc_batch(spark, t):
     """S5: foreachBatch idempotent upsert sink (BASELINE.json's
