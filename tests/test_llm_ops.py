@@ -84,12 +84,55 @@ def test_ann_ivf_probe_prunes_partitions(q):
 
 def test_minhash_lsh_finds_jaccard_pairs(q):
     """LSH candidates (dist ≤ 0.2 ⇒ jaccard ≥ 0.8) must cover most
-    exact token-set Jaccard ≥ 0.8 pairs."""
+    exact token-set Jaccard ≥ 0.8 pairs, and never emit a pair the
+    exact twin lacks (the verify filter is exact)."""
     exact = {(r.doc_a, r.doc_b) for r in q("dedup_near_jaccard").collect()}
     lsh = {(r.doc_a, r.doc_b) for r in q("dedup_minhash_lsh").collect()}
     assert exact, "ground-truth pair set is empty"
     recall = len(exact & lsh) / len(exact)
     assert recall >= 0.8, f"LSH recall = {recall}"
+    assert not lsh - exact, "LSH emitted a pair the exact twin lacks"
+
+
+def test_minhash_lsh_recall_not_below_ml_tier(q, spark, tables):
+    """Cross-check the banded L3 against Spark ML's MinHashLSH (the
+    pre-r7 implementation, retained here as the reference tier): at the
+    same 0.2-distance threshold the banded pipeline's recall vs the
+    exact quadratic ground truth must not fall below the ML tier's.
+
+    8 bands × 2 rows gives pair-recall 1-(1-s²)^8, which dominates the
+    ML config's 5 single-row tables (1-(1-s)^5) for every s ≥ 0.8 —
+    this test pins that inequality on real data.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+    from pyspark.sql import functions as F
+
+    exact = {(r.doc_a, r.doc_b) for r in q("dedup_near_jaccard").collect()}
+    assert exact, "ground-truth pair set is empty"
+    banded = {(r.doc_a, r.doc_b) for r in q("dedup_minhash_lsh").collect()}
+
+    docs = tables["documents"].select("doc_id", "text")
+    tf = HashingTF(
+        inputCol="words", outputCol="features", numFeatures=1 << 12, binary=True
+    ).transform(
+        Tokenizer(inputCol="text", outputCol="words").transform(docs)
+    )
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=5, seed=42
+    ).fit(tf)
+    ml_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in model.approxSimilarityJoin(tf, tf, 0.2, distCol="d")
+        .where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+        )
+        .collect()
+    }
+    r_banded = len(exact & banded) / len(exact)
+    r_ml = len(exact & ml_pairs) / len(exact)
+    assert r_banded >= r_ml, f"banded recall {r_banded} < ML tier {r_ml}"
 
 
 def test_simhash_pairs_are_discriminative(q, spark, tables):

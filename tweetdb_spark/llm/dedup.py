@@ -5,8 +5,9 @@ The three-tier dedup ladder a training-data pipeline needs:
                    (shuffle carries 32-byte hashes, not documents).
   L2 near, exact — pairwise token-set Jaccard; quadratic ground truth
                    used to validate L3 and for small candidate sets.
-  L3 near, approx— MinHash + LSH banding via Spark ML; the scale path
-                   (candidate pairs only for bucket collisions).
+  L3 near, approx— MinHash + LSH banding (portable integer minhashes,
+                   shared banded-candidate machinery); the scale path
+                   (candidate pairs only for band collisions).
 """
 
 from __future__ import annotations
@@ -612,35 +613,43 @@ def dedup_semantic_blocked(spark, t):
 
 @query("dedup_minhash_lsh", oracle=None)  # approx candidates → rows-only
 def dedup_minhash_lsh(spark, t):
-    """L3: MinHash+LSH near-dup candidates — the 100 TB path for L2.
+    """L3: MinHash+LSH near-dup pairs (token Jaccard dist ≤ 0.2) — the
+    100 TB path for L2.
 
-    Pipeline: tokens → binary term vector (HashingTF: stateless,
-    deterministic, no fitted vocabulary to broadcast) → MinHashLSH
-    (fixed seed) → approxSimilarityJoin on Jaccard *distance* ≤ 0.2.
-    Complexity is bucket-collision-bound instead of quadratic: each of
-    the h hash tables buckets by one minhash value, candidates are
-    generated per-bucket via an equi-join on (table, hash), then exact
-    distance re-filters.  Rows-only check (LSH is approximate); L2 is
-    the hash-checked exact twin at small N.
+    Candidates come from the shared portable banded-signature
+    machinery (:func:`_banded_candidate_pairs`): token ids are 31-bit
+    xxhash64 values, 16 affine minhashes fold into **8 bands of 2
+    rows**, candidates are an equi-join on (band, value), and the
+    exact token-set Jaccard re-filter runs on candidates only.  Until
+    r7 this key ran ``ml.MinHashLSH.approxSimilarityJoin``, which
+    materializes per-row hash arrays and explodes BOTH sides — 273 s
+    at sf0.1 where this banding does the identical tier in seconds
+    (SCALE.md); the ML pipeline survives as a recall cross-check in
+    tests/test_llm_ops.py.  Banding recall at the s = 0.8 threshold is
+    1-(1-s²)^8 ≥ 0.9997, ≥ the old 5-table ML config's 1-(1-s)^5.
+    Rows-only check (LSH is approximate); L2 is the hash-checked exact
+    twin at small N.
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
-
-    docs = t["documents"].select("doc_id", "text")
-    tokens = Tokenizer(inputCol="text", outputCol="words").transform(docs)
-    tf = HashingTF(
-        inputCol="words", outputCol="features", numFeatures=1 << 12, binary=True
-    ).transform(tokens)
-    model = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=5, seed=42
-    ).fit(tf)
-    pairs = model.approxSimilarityJoin(tf, tf, 0.2, distCol="jaccard_dist")
+    toks = t["documents"].select(
+        "doc_id",
+        F.array_distinct(F.split("text", " ")).alias("tokens"),
+    )
+    # 31-bit ids keep a*x+b inside bigint (ANSI-safe), collisions ~0
+    g = toks.select(
+        "doc_id",
+        F.expr("transform(tokens, w -> xxhash64(w) & 2147483647)").alias("g"),
+    )
+    cand = _banded_candidate_pairs(g, n_bands=8)
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tokens").alias("t_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tokens").alias("t_b"))
+    inter = F.size(F.array_intersect(F.col("t_a"), F.col("t_b")))
+    union = F.size(F.col("t_a")) + F.size(F.col("t_b")) - inter
+    dist = 1.0 - inter.cast("double") / union
     return (
-        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round("jaccard_dist", 6).alias("jaccard_dist"),
-        )
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .where(dist <= 0.2)
+        .select("doc_a", "doc_b", F.round(dist, 6).alias("jaccard_dist"))
     )
 
 
@@ -683,8 +692,15 @@ _DUCK_SHINGLES = (
 )
 
 
-def _mh_band_sql(engine: str) -> list[str]:
-    """Per-band value expressions (concat_ws over 4 row-mins)."""
+def _mh_band_sql(engine: str, n_bands: int = _MH_BANDS) -> list[str]:
+    """Per-band value expressions over the 16 shared (a, b) minhash
+    permutations: ``n_bands`` bands of ``16 // n_bands`` row-mins each.
+
+    4 bands of 4 (the default) tunes the S-curve for a 0.7-Jaccard
+    shingle threshold; 8 bands of 2 for the 0.8-token threshold of L3
+    (recall 1-(1-s²)^8 ≥ 0.9997 at s = 0.8 — above ml.MinHashLSH's
+    5-table 1-(1-s)^5 = 0.9997 everywhere s ≥ 0.8).
+    """
     if engine == "spark":
         mins = [
             f"array_min(transform(g, x -> ({a}L * x + {b}L) % {_MH_P}L))"
@@ -695,11 +711,47 @@ def _mh_band_sql(engine: str) -> list[str]:
             f"list_min(list_transform(g, x -> ({a} * x + {b}) % {_MH_P}))"
             for a, b in _MH_AB
         ]
-    rows = _MH_K // _MH_BANDS
+    rows = _MH_K // n_bands
     return [
         "concat_ws('-', " + ", ".join(mins[j * rows : (j + 1) * rows]) + ")"
-        for j in range(_MH_BANDS)
+        for j in range(n_bands)
     ]
+
+
+def _banded_candidate_pairs(g_df, n_bands: int = _MH_BANDS):
+    """(doc_a, doc_b) pairs colliding in ≥1 minhash band.
+
+    ``g_df`` is (doc_id, g: array<bigint>) with ids < 2³¹ (so the
+    affine mixes never overflow a bigint under ANSI mode).  This is
+    THE shuffle of every LSH tier: each doc contributes ``n_bands``
+    short (j, v) keys — never a pair, never a signature matrix — and
+    candidates fall out of an equi-join on (j, v).  Output-bound at
+    any scale.
+    """
+    banded = g_df.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), F.expr(b).alias("v"))
+                    for j, b in enumerate(_mh_band_sql("spark", n_bands))
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.j", "band.v")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
 
 
 def _mh_oracle() -> str:
@@ -749,33 +801,7 @@ def dedup_minhash_banded(spark, t):
         .where(F.col("lang") == "en")
         .select("doc_id", F.expr(_SPARK_SHINGLES).alias("g"))
     )
-    bands = _mh_band_sql("spark")
-    banded = g.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"), F.expr(b).alias("v")
-                    )
-                    for j, b in enumerate(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.j", "band.v")
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.j") == F.col("b.j"))
-            & (F.col("a.v") == F.col("b.v"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    cand = _banded_candidate_pairs(g, n_bands=_MH_BANDS)
     ga = g.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("g_a"))
     gb = g.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g_b"))
     inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
