@@ -24,6 +24,10 @@ HEADLINE = {
     "q3_top_orders": "q3_top_orders",
     "q5_region_revenue": "join_multiway",
     "window_rank": "win_rank_topk",
+    # attribution twin: same window pipeline, 1-row-per-customer output
+    # — the delta vs window_rank isolates result materialization from
+    # the custkey shuffle when grading sf-ladder regressions
+    "window_rank_agg": "win_rank_topk_agg",
     "events_sessionize": "events_sessionize",
     "events_tumbling": "events_tumbling",
     "json_extract": "fn_map_json",

@@ -128,7 +128,7 @@ def _bucketed_join(q, spark):
     q("join_bucketed_colocated")
     from tweetdb_spark.operators.physical import bucketed_table_names
 
-    o_tbl, l_tbl = bucketed_table_names()
+    o_tbl, l_tbl = bucketed_table_names(spark)
     return spark.table(o_tbl).join(
         spark.table(l_tbl), F.col("o_orderkey") == F.col("l_orderkey")
     )

@@ -311,7 +311,9 @@ def test_stream_sink_parquet_equals_batch_and_partitions(q, tables):
 def test_staged_fixture_invalidated_on_vintage_change(spark, tmp_path):
     """Staged streaming JSON must restage when the fixture is
     regenerated IN PLACE (the r4 scenario: same path, new data —
-    /tmp outlives driver rounds)."""
+    /tmp outlives driver rounds) — into a NEW fingerprint-suffixed
+    dir, leaving the old vintage's files intact for any concurrent
+    query still draining them."""
     import os
     import shutil
 
@@ -328,7 +330,61 @@ def test_staged_fixture_invalidated_on_vintage_change(spark, tmp_path):
     assert stage_events_json(spark, str(sf)) == out
     assert os.path.getmtime(marker) == mtime_first
 
-    # regenerate the fixture in place (bump mtime = new vintage)
+    # regenerate the fixture in place (bump mtime = new vintage):
+    # a different dir is staged, the old vintage is NOT deleted
     os.utime(sf / "events.parquet")
-    stage_events_json(spark, str(sf))
-    assert os.path.getmtime(marker) > mtime_first
+    out2 = stage_events_json(spark, str(sf))
+    assert out2 != out
+    assert os.path.exists(marker), "old vintage deleted in place"
+    assert os.path.exists(os.path.join(out2, "_STAGED"))
+
+
+def test_state_store_is_rocksdb_backed(spark, tables):
+    """A stateful stream must run on the RocksDB state-store provider
+    when the class is present (it ships in this Spark distribution).
+    Asserted from the query's own progress metrics — the provider's
+    rocksdb custom metrics only appear when it is actually active —
+    plus value parity with the batch twin."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from tweetdb_spark.streaming.sources import (
+        configure_state_store,
+        read_events_stream,
+    )
+
+    assert configure_state_store(spark), "RocksDB provider class missing"
+    counts = (
+        read_events_stream(spark, SF_DIR)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    name = f"mem_rocks_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"tweetdb_ckpt_{name}")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.recentProgress
+    assert progress, "no progress reported"
+    metrics = progress[-1]["stateOperators"][0]["customMetrics"]
+    assert any("rocksdb" in k.lower() for k in metrics), metrics
+
+    got = {(r.event_type, r.cnt) for r in spark.table(name).collect()}
+    want = {
+        (r.event_type, r.cnt)
+        for r in tables["events"]
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == want

@@ -542,12 +542,16 @@ def dedup_semantic_blocked(spark, t):
     dedup_embedding_cosine, executable (not just prose in SCALE.md).
 
     A KMeans coarse quantizer assigns every vector a cell; candidate
-    pairs are generated by an *equi-join on cell id* (plus each
-    vector's second-nearest cell, so border pairs split across two
-    cells still collide), then the exact cosine ≥ τ filter runs only
-    on candidates.  Complexity drops from N²/2 to Σ|cell|² — with C
+    pairs are generated by an *equi-join on cell id* (each vector
+    blocks into its 3 nearest cells, so border pairs split across
+    neighboring cells still collide), then the exact cosine ≥ τ
+    filter runs only on candidates.  Complexity drops from N²/2 to Σ|cell|² — with C
     balanced cells that's a C× reduction, and the cell id doubles as
-    the table's physical partitioning at scale.  Approximate (a pair
+    the table's physical partitioning at scale.  **k scales with the
+    corpus (k = max(8, N/300), i.e. ~300-vector cells)** so the
+    within-cell verify stays constant-cost per cell as N grows —
+    standard IVF practice; a fixture-fixed k made the sf0.1→sf1 step
+    go 21× instead of ~linear (SCALE.md ladder).  Approximate (a pair
     split across non-adjacent cells is missed) → rows-only; recall vs
     the exact all-pairs twin is measured in tests.
     """
@@ -559,7 +563,8 @@ def dedup_semantic_blocked(spark, t):
     from tweetdb_spark.llm.similarity import dot, with_norm
 
     e = t["embeddings"].withColumn("vec", array_to_vector("embedding"))
-    model = KMeans(k=8, seed=42, featuresCol="vec", predictionCol="cell").fit(e)
+    k = max(8, e.count() // 300)  # constant ~300-vector cells
+    model = KMeans(k=k, seed=42, featuresCol="vec", predictionCol="cell").fit(e)
     centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
 
     # each vector blocks into its own cell AND its 2nd-nearest cell
@@ -587,7 +592,7 @@ def dedup_semantic_blocked(spark, t):
                 Window.partitionBy("vec_id").orderBy("d2", "cell_id")
             ),
         )
-        .where(F.col("rk") <= 2)
+        .where(F.col("rk") <= 3)
         .select("vec_id", "embedding", F.col("cell_id").alias("block"))
     )
     n = with_norm(ranked.select("vec_id", "embedding", "block"))

@@ -205,13 +205,14 @@ def sim_pairwise_label(spark, t):
     )
 
 
-# IVF index cache: (session-id, sf_dir) -> (assignments path, centroid
-# path).  Mirrors operators/physical.ensure_bucketed_tables: the
-# expensive layout step (KMeans fit + partitioned write) runs ONCE per
-# (session, corpus) and every query after that only reads.  The session
-# object's id is keyed alongside sf_dir for the same lifetime reasons as
-# catalog._CACHE.
-_IVF_CACHE: dict[tuple[int, str], tuple[str, str]] = {}
+# IVF index cache: (session-token, sf_dir) -> (assignments path,
+# centroid path).  Mirrors operators/physical.ensure_bucketed_tables:
+# the expensive layout step (KMeans fit + partitioned write) runs ONCE
+# per (session, corpus) and every query after that only reads.  The
+# scratch.session_token (not a raw id()) keys the cache AND namespaces
+# the dir prefixes, so two live sessions over the same corpus can
+# never reap or repoint each other's index dirs.
+_IVF_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
 _IVF_K = 16
 
 
@@ -224,10 +225,16 @@ def ensure_ivf_index(spark, t) -> tuple[str, str]:
     and the centroid table is tiny reference data.  Returns
     (assignments_path, centroids_path).
     """
-    sid = id(spark._jsparkSession)
-    key = (sid, t.sf_dir)
+    tok = scratch.session_token(spark)
+    key = (tok, t.sf_dir)
     entry = _IVF_CACHE.get(key)
-    if entry is not None and os.path.exists(entry[0]):
+    # both halves must survive: losing only the centroid dir must
+    # trigger a rebuild, not a read failure at probe time
+    if (
+        entry is not None
+        and os.path.exists(entry[0])
+        and os.path.exists(entry[1])
+    ):
         return entry
 
     from pyspark.ml.clustering import KMeans
@@ -237,9 +244,10 @@ def ensure_ivf_index(spark, t) -> tuple[str, str]:
     model = KMeans(
         k=_IVF_K, seed=42, featuresCol="vec", predictionCol="cell"
     ).fit(e)
-    # sf-tagged prefix: rebuilding sf_dir A must never reap sf_dir B's
-    # live index (fresh_dir reaps same-prefix dirs of this process)
-    tag = t.sf_dir.strip("/").replace("/", "_")
+    # session+sf-tagged prefix: rebuilding sf_dir A must never reap sf
+    # dir B's live index, nor another live session's index for the SAME
+    # sf_dir (fresh_dir reaps same-prefix dirs of this process)
+    tag = f"{tok}_" + t.sf_dir.strip("/").replace("/", "_")
     out = scratch.fresh_dir(f"tweetdb_ivf_{tag}")
     (
         model.transform(e)
@@ -527,13 +535,13 @@ def _rh_signature_expr(vec: str = "embedding") -> str:
     )
 
 
-# LSH index cache: (session-id, sf_dir) -> banded-signature table path,
-# written partitioned by (j, band) — same amortization contract as
-# ensure_ivf_index.  Each vector appears once per band (8×): the
-# standard multi-band redundancy an LSH index stores in exchange for
-# probe-time partition pruning (at extreme scale, store ids only and
-# join the vectors back from the base table).
-_LSH_CACHE: dict[tuple[int, str], str] = {}
+# LSH index cache: (session-token, sf_dir) -> banded-signature table
+# path, written partitioned by (j, band) — same amortization and
+# session-isolation contract as ensure_ivf_index.  Each vector appears
+# once per band (8×): the standard multi-band redundancy an LSH index
+# stores in exchange for probe-time partition pruning (at extreme
+# scale, store ids only and join the vectors back from the base table).
+_LSH_CACHE: dict[tuple[str, str], str] = {}
 _LSH_BANDS = 8
 
 
@@ -546,8 +554,8 @@ def ensure_lsh_index(spark, t) -> str:
     parquet partition-pruned read of the 8 (single-probe) or 40
     (multi-probe) buckets it names, never a scan.
     """
-    sid = id(spark._jsparkSession)
-    key = (sid, t.sf_dir)
+    tok = scratch.session_token(spark)
+    key = (tok, t.sf_dir)
     cached = _LSH_CACHE.get(key)
     if cached is not None and os.path.exists(cached):
         return cached
@@ -567,7 +575,7 @@ def ensure_lsh_index(spark, t) -> str:
             )
         ).alias("b"),
     ).select("vec_id", "label", "embedding", "norm", "b.j", "b.band")
-    tag = t.sf_dir.strip("/").replace("/", "_")
+    tag = f"{tok}_" + t.sf_dir.strip("/").replace("/", "_")
     out = scratch.fresh_dir(f"tweetdb_lsh_{tag}")
     bands.write.mode("overwrite").partitionBy("j", "band").parquet(out)
     _LSH_CACHE[key] = out

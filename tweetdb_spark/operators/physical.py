@@ -32,29 +32,34 @@ from tweetdb_spark.registry import query
 _BUCKETS = 8
 
 
-def bucketed_table_names() -> tuple[str, str]:
-    """(orders, lineitem) bucketed-table names for THIS process.
+def bucketed_table_names(spark=None) -> tuple[str, str]:
+    """(orders, lineitem) bucketed-table names for THIS process (and,
+    when a session is given, THIS session).
 
-    Pid-tagged so concurrent sessions (pytest + check.py) never
-    overwrite each other's in-flight warehouse dirs; same-process
-    re-runs overwrite in place.
+    Pid-tagged so concurrent processes (pytest + check.py) never
+    overwrite each other's in-flight warehouse dirs; session-tagged so
+    two live sessions in one process never repoint each other's tables
+    (the returned DataFrames read lazily — a rewrite after ensure()
+    returned would corrupt the other session's plan).
     """
+    tok = f"_{scratch.session_token(spark)}" if spark is not None else ""
     return (
-        f"tweetdb_bkt_orders_{scratch.TAG}",
-        f"tweetdb_bkt_lineitem_{scratch.TAG}",
+        f"tweetdb_bkt_orders_{scratch.TAG}{tok}",
+        f"tweetdb_bkt_lineitem_{scratch.TAG}{tok}",
     )
 
 
-# (session-id, sf_dir) -> table names already written for that corpus.
-# The bucketing shuffle is paid once per (session, corpus) — the whole
-# point of the layout — so repeat queries must not rewrite the tables.
-_BUCKETED_FOR: dict[tuple[int, str], tuple[str, str]] = {}
+# (session-token, sf_dir) -> table names already written for that
+# corpus.  The bucketing shuffle is paid once per (session, corpus) —
+# the whole point of the layout — so repeat queries must not rewrite
+# the tables.
+_BUCKETED_FOR: dict[tuple[str, str], tuple[str, str]] = {}
 
 
 def ensure_bucketed_tables(spark, t) -> tuple[str, str]:
     """Write orders+lineitem bucketed by orderkey into the session
     warehouse (once per session+corpus) and return the table names."""
-    cache_key = (id(spark._jsparkSession), getattr(t, "sf_dir", ""))
+    cache_key = (scratch.session_token(spark), getattr(t, "sf_dir", ""))
     cached = _BUCKETED_FOR.get(cache_key)
     if cached is not None and all(
         spark.catalog.tableExists(n) for n in cached
@@ -67,7 +72,7 @@ def ensure_bucketed_tables(spark, t) -> tuple[str, str]:
         # dead processes leave pid-tagged dirs behind; reap like tempdirs
         scratch.reap_stale(warehouse, "tweetdb_bkt_orders")
         scratch.reap_stale(warehouse, "tweetdb_bkt_lineitem")
-    o_tbl, l_tbl = bucketed_table_names()
+    o_tbl, l_tbl = bucketed_table_names(spark)
     for name, df, key in (
         (o_tbl, t["orders"], "o_orderkey"),
         (l_tbl, t["lineitem"], "l_orderkey"),

@@ -249,11 +249,12 @@ def scan_merge_schema(spark, t):
     so the hash check proves the evolved read lossless: rows from the
     old vintage are exactly the NULL-priority group.
     """
-    import uuid as _uuid
+    from tweetdb_spark import scratch
 
-    out = os.path.join(
-        tempfile.gettempdir(), f"tweetdb_evolve_{_uuid.uuid4().hex[:8]}"
-    )
+    # pid-tagged scratch naming (not a bare uuid): purely intermediate
+    # data, so prior runs must be reapable — a uuid dir with no pid tag
+    # is invisible to reap_stale and accumulates forever
+    out = scratch.fresh_dir("tweetdb_evolve")
     old = t["orders"].where(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_totalprice"
     )

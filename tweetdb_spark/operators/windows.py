@@ -52,6 +52,48 @@ def win_rank_topk(spark, t):
 
 
 @query(
+    "win_rank_topk_agg",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_top,
+           ROUND(SUM(o_totalprice), 2) AS top_value
+    FROM (
+      SELECT o_custkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    GROUP BY o_custkey
+    """,
+)
+def win_rank_topk_agg(spark, t):
+    """W1's aggregated twin: count + sum of each customer's top-3 set.
+
+    Benchmark attribution: win_rank_topk's cost at scale is dominated
+    by MATERIALIZING ~3 rows per customer (linear in customers), not
+    by the one custkey shuffle — this twin runs the identical
+    window-and-filter pipeline but collapses the output to one row per
+    customer, so the sf-ladder difference between the two isolates
+    result materialization from shuffle cost (SCALE.md explains the
+    6.3× sf1 step).  Same WindowGroupLimit pre-pruning applies.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t["orders"]
+        .select("o_custkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_top"),
+            F.round(F.sum("o_totalprice"), 2).alias("top_value"),
+        )
+    )
+
+
+@query(
     "win_rank_dense",
     oracle="""
     SELECT p_partkey, p_brand, p_retailprice,

@@ -73,6 +73,12 @@ def query(name: str, oracle: Optional[str] = None):
 #   r06: reverse swap — the five r03-parked keys had gone three rounds
 #        without driver evidence (round-5 verdict ask #1); the five
 #        rotated out are green r03+r05.
+#   r08 (PLANNED, per round-6 verdict ask #3): reverse swap again —
+#        join_cross/sort_multicol/setop_union/setop_intersect/
+#        setop_except back IN (they will be 3 rounds driver-stale by
+#        r08); scan_parquet/project_arith/filter_like/agg_global/
+#        topk_global OUT (green r01+r02+r06).  Do the swap at the START
+#        of round 8 and update this log.
 # If the driver's window size or selection policy ever differs,
 # ``tools/check.py --strict`` still verifies ALL registered hashable keys
 # locally regardless of position — that local sweep, not this ordering,

@@ -27,6 +27,27 @@ import time
 TAG = f"p{os.getpid()}"
 _REAP_AGE_S = 2 * 3600  # only reap foreign dirs this stale
 
+# Per-session namespacing for caches and scratch prefixes.  id() of a
+# JVM handle alone is unsafe as a cache key (reusable after GC), and a
+# bare pid prefix lets two live sessions in one process reap/repoint
+# each other's index dirs.  The token pins the JVM handle in the value
+# (so its id can never be recycled while the entry exists — same trick
+# as catalog._CACHE) and is unique per session, so including it in a
+# dir prefix or table name isolates concurrent sessions completely.
+_SESSION_TOKENS: dict[int, tuple[object, str]] = {}
+
+
+def session_token(spark) -> str:
+    """Stable, process-unique 8-hex token for this SparkSession."""
+    import uuid
+
+    j = spark._jsparkSession
+    ent = _SESSION_TOKENS.get(id(j))
+    if ent is None:
+        ent = (j, uuid.uuid4().hex[:8])
+        _SESSION_TOKENS[id(j)] = ent
+    return ent[1]
+
 
 def _is_live_pid(tag: str) -> bool:
     if not tag.startswith("p") or not tag[1:].isdigit():

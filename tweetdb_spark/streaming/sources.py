@@ -69,16 +69,41 @@ def _fixture_fingerprint(sf_dir: str) -> str:
 
 def stage_events_json(spark: SparkSession, sf_dir: str) -> str:
     """Export events as day-partitioned JSON files (idempotent per
-    fixture CONTENT, not just per path)."""
+    fixture CONTENT, not just per path).
+
+    The staged dir is FINGERPRINT-SUFFIXED: a regenerated fixture
+    stages into a new dir instead of rmtree'ing the old one in place —
+    a concurrent process (pytest + tools/check.py) may still have a
+    running file-stream query over the previous vintage, and deleting
+    its source files mid-query would kill it.  Old vintages are
+    reclaimed lazily (2 h stale), never while plausibly in use.
+    """
+    import hashlib
+
     tag = sf_dir.strip("/").replace("/", "_")
-    out = os.path.join(tempfile.gettempdir(), f"tweetdb_stream_src_{tag}")
-    marker = os.path.join(out, "_STAGED")
     fingerprint = _fixture_fingerprint(sf_dir)
+    fp = hashlib.sha256(fingerprint.encode()).hexdigest()[:10]
+    out = os.path.join(
+        tempfile.gettempdir(), f"tweetdb_stream_src_{tag}_{fp}"
+    )
+    marker = os.path.join(out, "_STAGED")
+    # reap other-vintage dirs of this tag that are old enough that no
+    # live query can still be draining them (file streams here run
+    # seconds; 2 h matches scratch._REAP_AGE_S)
+    for stale in glob.glob(
+        os.path.join(tempfile.gettempdir(), f"tweetdb_stream_src_{tag}_*")
+    ):
+        if stale == out or stale.startswith(f"{out}_staging"):
+            continue
+        try:
+            if time.time() - os.path.getmtime(stale) > 2 * 3600:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass
     if os.path.exists(marker):
         with open(marker) as fh:
             if fh.read() == fingerprint:
                 return out
-        shutil.rmtree(out, ignore_errors=True)  # stale vintage: restage
     events = load_tables(spark, sf_dir, ["events"])["events"]
     wire = events.select(
         "event_id",
@@ -100,7 +125,13 @@ def stage_events_json(spark: SparkSession, sf_dir: str) -> str:
     staging = f"{out}_staging_{os.getpid()}"
     (
         wire.repartition("day")
-        .sortWithinPartitions("ts_us")
+        # "day" first: the dynamic-partition writer REQUIRES its output
+        # sorted by the partition column — sorting (day, ts_us) already
+        # satisfies that, so Spark inserts no extra sort and in-file ts
+        # order is guaranteed outright (a bare ts_us sort only survived
+        # the writer's day-sort via TimSort stability, and could be
+        # reordered on spill)
+        .sortWithinPartitions("day", "ts_us")
         .write.mode("overwrite")
         .partitionBy("day")
         .json(staging)
@@ -148,6 +179,38 @@ def read_events_stream(
     )
 
 
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_ROCKSDB_CHECKED: dict[int, bool] = {}  # per-JVM memo of class presence
+
+
+def configure_state_store(spark: SparkSession) -> bool:
+    """Point streaming state at RocksDB when the provider class is
+    present (gated on the jar, like the protobuf-gated tws variant).
+
+    At scale the default HDFS-backed store holds all state in executor
+    heap; RocksDB spills to local disk and supports incremental
+    checkpoints — the SCALE.md posture.  The conf is per-query-start,
+    so setting it on a live session affects only subsequently started
+    streams.  Returns True when RocksDB is active.
+    """
+    jvm_key = id(spark._jvm)
+    present = _ROCKSDB_CHECKED.get(jvm_key)
+    if present is None:
+        try:
+            spark._jvm.java.lang.Class.forName(_ROCKSDB_PROVIDER)
+            present = True
+        except Exception:
+            present = False
+        _ROCKSDB_CHECKED[jvm_key] = present
+    if present:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
+        )
+    return present
+
+
 def run_to_memory(
     df: DataFrame, mode: str = "append", drain: str = "available_now"
 ) -> DataFrame:
@@ -167,6 +230,7 @@ def run_to_memory(
     should dropTempView / clean ckpt dirs when done — test/driver
     usage (bounded calls per process) does not need to.
     """
+    configure_state_store(df.sparkSession)
     name = f"mem_{uuid.uuid4().hex[:12]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"tweetdb_ckpt_{name}")
     writer = (
