@@ -364,3 +364,61 @@ def test_ann_multiprobe_recall_dominates_single_probe(q):
     r_multi = len(set(exact) & multi) / len(exact)
     assert r_multi >= r_single, (r_multi, r_single)
     assert r_multi >= 0.5, f"multi-probe recall@10 = {r_multi}"
+
+
+def test_hll_union_lossless_and_bounded(q, spark, tables):
+    """The mergeable-sketch contract: (1) estimates sit within the lgK=14
+    error bound of exact countDistinct; (2) union-of-daily-sketches is
+    LOSSLESS — HLL union is register-wise max, so rolling up persisted
+    daily states gives the bit-identical estimate to sketching the raw
+    union (the property that makes 'sketch once, roll up forever' safe
+    at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    exact = {
+        r.event_type: r.n
+        for r in tables["events"]
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    union_est = {r.event_type: r.est_users for r in q("agg_hll_union").collect()}
+    direct = {
+        r.event_type: r.e
+        for r in tables["events"]
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 14)).alias("e"))
+        .collect()
+    }
+    assert set(union_est) == set(exact)
+    for k, n in exact.items():
+        assert abs(union_est[k] - n) / n < 0.05
+        assert union_est[k] == direct[k], (
+            f"{k}: union-of-daily {union_est[k]} != direct {direct[k]}"
+        )
+
+
+def test_hll_sketch_parquet_roundtrip(q, spark, tables):
+    """Daily sketch states survive a parquet persist (binary column) and
+    union to the same estimates — the actual production loop: day job
+    writes sketches, rollup reads ONLY sketches, never raw events."""
+    from pyspark.sql import functions as F
+
+    from tweetdb_spark import scratch
+
+    daily = (
+        tables["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    )
+    path = scratch.fresh_dir("tweetdb_hll_rt")
+    daily.write.mode("overwrite").parquet(path)
+    rolled = {
+        r.event_type: r.e
+        for r in spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk", False)).alias("e"))
+        .collect()
+    }
+    expected = {r.event_type: r.est_users for r in q("agg_hll_union").collect()}
+    assert rolled == expected

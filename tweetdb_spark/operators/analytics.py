@@ -855,3 +855,64 @@ def sample_group_fixed_k(spark, t):
         .where(F.col("rn") <= 100)
         .select("event_id", "event_type", "value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable distinct-count sketches (Apache DataSketches HLL, built into
+# Spark 4 as hll_sketch_agg / hll_union_agg).  The pattern that replaces
+# "re-scan 100 TB for every distinct-count question": per-partition
+# sketches are tiny (~2.5 KB at lgK=14), persistable, and UNION-mergeable,
+# so a daily job sketches only its own day and every rollup after that
+# aggregates kilobytes of sketch state instead of terabytes of raw rows.
+# approx_count_distinct (A5) answers one question per scan; these emit a
+# reusable partial state.  Estimates are approximate -> rows-only keys;
+# tests/test_llm_ops.py bounds the error against the exact twin and proves
+# the union path lossless vs sketching the union directly.
+# ---------------------------------------------------------------------------
+
+_HLL_LGK = 14  # 2^14 registers: rsd ~0.8%, 2.5 KB per sketch
+
+
+@query("agg_hll_daily", oracle=None)  # sketch estimate -> rows-only
+def agg_hll_daily(spark, t):
+    """Per-(event_type, day) distinct users via HLL sketches.
+
+    Two-phase HashAggregate like any groupBy: partial sketches are
+    built map-side and merged on the reduce side, so the shuffle
+    carries ~2.5 KB sketch states per group, never user_ids.  This is
+    the write-side of the sketch pipeline — in production the binary
+    sketch column itself is persisted (see the parquet round-trip in
+    tests) and downstream rollups run on it alone.
+    """
+    return (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", _HLL_LGK)
+            ).alias("est_users")
+        )
+    )
+
+
+@query("agg_hll_union", oracle=None)  # sketch estimate -> rows-only
+def agg_hll_union(spark, t):
+    """Per-event_type distinct users by UNION-merging the daily sketches.
+
+    The read-side of the sketch pipeline: the inner agg materializes
+    per-(type, day) sketch states (what a daily job would persist), the
+    outer agg merges ~30 sketches per type with hll_union_agg — no
+    second pass over the raw events.  At 100 TB the inner agg ran once
+    historically; answering "distinct users this quarter?" costs
+    KB-per-day reads.  HLL union is lossless (register-wise max), so
+    the estimate is bit-identical to sketching the raw union — asserted
+    in tests, alongside the error bound vs exact countDistinct.
+    """
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id", _HLL_LGK).alias("sk"))
+    )
+    return daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", False)).alias("est_users")
+    )
