@@ -422,3 +422,36 @@ def test_hll_sketch_parquet_roundtrip(q, spark, tables):
     }
     expected = {r.event_type: r.est_users for r in q("agg_hll_union").collect()}
     assert rolled == expected
+
+
+def test_ann_ivf_pq_recall_vs_exact(q):
+    """PQ-ADC candidate ranking + exact top-50 re-rank must recover
+    most of the brute-force top-10 (same probe set as sim_ann_ivf, so
+    any recall drop vs it isolates PQ quantization error)."""
+    exact = [r.vec_id for r in q("sim_topk_cosine").collect()]
+    pq = {r.vec_id for r in q("sim_ann_ivf_pq").collect()}
+    ivf = {r.vec_id for r in q("sim_ann_ivf").collect()}
+    recall = len(set(exact) & pq) / len(exact)
+    assert recall >= 0.5, f"recall@10 = {recall} (exact={exact}, pq={pq})"
+    # re-ranking 50 ADC candidates must not lose what plain IVF finds
+    assert len(set(exact) & pq) >= len(set(exact) & ivf) - 2
+
+
+def test_ann_ivf_pq_train_amortized_out_of_query_path(q, monkeypatch):
+    """Warm PQ queries must neither retrain codebooks nor refit KMeans
+    — both layouts are built once per (session, corpus)."""
+    import pyspark.ml.clustering as C
+
+    from tweetdb_spark.llm import similarity as S
+
+    q("sim_ann_ivf_pq").collect()  # cold call: builds + caches both indexes
+
+    def _no_train(*a, **kw):  # pragma: no cover - failure path
+        raise AssertionError("_train_pq invoked on the warm query path")
+
+    def _no_fit(self, *a, **kw):  # pragma: no cover - failure path
+        raise AssertionError("KMeans.fit invoked on the warm query path")
+
+    monkeypatch.setattr(S, "_train_pq", _no_train)
+    monkeypatch.setattr(C.KMeans, "fit", _no_fit)
+    assert len(q("sim_ann_ivf_pq").collect()) == 10

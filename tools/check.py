@@ -157,9 +157,11 @@ def main() -> int:
         spark = get_spark("tweetdb-check")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        p = f"{sf_dir}/{t}.parquet"
+        # driver fixtures are single files; Spark-written fixtures (e.g.
+        # tools/make_scale.py output) are directories of part files
+        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
 
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():

@@ -667,3 +667,244 @@ def sim_ann_multiprobe(spark, t):
         return out
 
     return _lsh_probe(spark, t, probes)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized codes over the IVF cells — the tier that makes
+# the 100 TB vector scan cheap in BYTES, not just in partitions.  Where
+# sim_ann_ivf prunes which cells are read, PQ shrinks what each cell costs:
+# a d=64 float32 vector (256 B) becomes _PQ_M=8 uint4 codes (4 B) — 64×
+# smaller — scored against a per-query lookup table without ever touching
+# the original floats.  Faiss-style residual encoding (Jégou et al., TPAMI
+# 2011): codes quantize (x − coarse_centroid), which concentrates the
+# distribution each codebook must cover.
+#
+# Division of labor, chosen for Spark's execution model:
+#   - codebook TRAINING: driver-side numpy Lloyd's on a deterministic
+#     ≤2048-vector sample — codebooks are (8×16×8) floats of reference
+#     data, and sample-trained codebooks are standard practice at any
+#     corpus size (Faiss trains on ~10⁵ samples for 10⁹-vector indexes);
+#   - ENCODING: one distributed Arrow-batched pandas UDF pass at ingest
+#     (argmin over 16 centroids × 8 subspaces, vectorized numpy), written
+#     cell-partitioned next to the IVF layout;
+#   - QUERY: pure JVM — the ADC lookup table (probe_cells × 8 × 16 floats)
+#     joins in as a broadcast dim and codes are scored by
+#     aggregate(sequence, element_at) inside codegen; top-C by approx
+#     distance (TakeOrdered), then an exact-cosine re-rank of C=50
+#     candidates against the float vectors.  No Python in the query path.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8      # subspaces (d=64 → 8 dims each)
+_PQ_KSUB = 16  # centroids per subspace → 4-bit codes
+_PQ_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def _train_pq(X, m: int = _PQ_M, ksub: int = _PQ_KSUB, iters: int = 15):
+    """Per-subspace Lloyd's k-means on a residual sample (numpy, seeded).
+
+    n ≤ 2048 × d = 64: milliseconds on the driver.  Deterministic by
+    fixed seed so the index (and the recall test) is reproducible.
+    """
+    import numpy as np
+
+    n, d = X.shape
+    dsub = d // m
+    rng = np.random.RandomState(42)
+    books = []
+    for s in range(m):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        C = Xs[rng.choice(n, size=ksub, replace=n < ksub)].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for k in range(ksub):
+                pts = Xs[assign == k]
+                if len(pts):
+                    C[k] = pts.mean(0)
+        books.append(C)
+    return np.stack(books)  # (m, ksub, dsub)
+
+
+def ensure_pq_index(spark, t) -> tuple[str, str]:
+    """Build (once per session+sf_dir) the IVF-PQ index on top of
+    :func:`ensure_ivf_index`'s cell layout.
+
+    Returns (codes_path, codebook_path).  The codes table holds
+    (vec_id, label, cell, codes array<int>) partitioned by cell; the
+    codebook table holds (s, k, center array<double>) — m×ksub tiny
+    reference rows, read driver-side at probe time like the IVF
+    centroids.
+    """
+    import numpy as np
+
+    tok = scratch.session_token(spark)
+    key = (tok, t.sf_dir)
+    entry = _PQ_CACHE.get(key)
+    if (
+        entry is not None
+        and os.path.exists(entry[0])
+        and os.path.exists(entry[1])
+    ):
+        return entry
+
+    idx_path, cents_path = ensure_ivf_index(spark, t)
+    assigned = spark.read.parquet(idx_path)
+    cents = spark.read.parquet(cents_path)
+
+    # deterministic ≤2048-vector training sample (portable hash order,
+    # same device as sim_pairwise_label_sampled): TakeOrdered, not a sort
+    sample = (
+        assigned.join(F.broadcast(cents), "cell")
+        .select(
+            F.expr(
+                "zip_with(embedding, center,"
+                " (x, c) -> CAST(x AS DOUBLE) - c)"
+            ).alias("resid")
+        )
+        .orderBy(F.expr(_PORTABLE_SHUFFLE), "vec_id")
+        .limit(2048)
+        .collect()
+    )
+    books = _train_pq(np.asarray([r.resid for r in sample], dtype="float64"))
+
+    # distributed encode: one Arrow-batched pass, vectorized argmin
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    m, ksub, dsub = books.shape
+
+    # explicit-signature form: module-level `from __future__ import
+    # annotations` stringifies hints, which pandas_udf can't inspect
+    def _encode(resid):
+        R = np.stack(resid.to_numpy())  # (n, d)
+        out = np.empty((len(R), m), dtype="int32")
+        for s in range(m):
+            Rs = R[:, s * dsub : (s + 1) * dsub]
+            d2 = ((Rs[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+            out[:, s] = d2.argmin(1)
+        return pd.Series(list(out))
+
+    encode = pandas_udf(_encode, "array<int>")
+
+    tag = f"{tok}_" + t.sf_dir.strip("/").replace("/", "_")
+    codes_path = scratch.fresh_dir(f"tweetdb_pq_{tag}")
+    (
+        assigned.join(F.broadcast(cents), "cell")
+        .withColumn(
+            "resid",
+            F.expr("zip_with(embedding, center, (x, c) -> CAST(x AS DOUBLE) - c)"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "cell",
+            # one scalar per vector: lets ADC rank by approximate COSINE
+            # (the exact metric) instead of L2, at 8 extra bytes/vector
+            l2_norm(F.col("embedding")).alias("norm"),
+            encode("resid").alias("codes"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(codes_path)
+    )
+    books_path = scratch.fresh_dir(f"tweetdb_pqb_{tag}")
+    spark.createDataFrame(
+        [
+            (s, k, [float(x) for x in books[s][k]])
+            for s in range(m)
+            for k in range(ksub)
+        ],
+        "s int, k int, center array<double>",
+    ).write.mode("overwrite").parquet(books_path)
+    _PQ_CACHE[key] = (codes_path, books_path)
+    return codes_path, books_path
+
+
+@query("sim_ann_ivf_pq", oracle=None)  # approx (PQ-scored candidates) → rows-only
+def sim_ann_ivf_pq(spark, t):
+    """ANN top-10 via IVF cells + product-quantized ADC scoring + exact
+    re-rank — the bytes-scale path for L4.
+
+    Probes the 8 nearest cells like sim_ann_ivf, but scores CODES (4 B
+    per vector) against a per-(subspace, code) inner-product lookup
+    table built driver-side from the query — dot(q, x) decomposes as
+    dot(q, cell_centroid) + Σₛ dot(qₛ, bookₛ[codeₛ]), so the ADC ranks
+    by APPROXIMATE COSINE (the exact metric; each vector's true norm
+    rides along as one stored scalar), not by a proxy L2.  The
+    aggregate(sequence, element_at) fold stays in whole-stage codegen;
+    the float embeddings are touched only for the 50 ADC-best
+    candidates, which an exact cosine re-ranks to the final 10.
+    Recall vs the brute-force scan asserted in tests.
+    """
+    import numpy as np
+
+    codes_path, books_path = ensure_pq_index(spark, t)
+    _, cents_path = ensure_ivf_index(spark, t)
+
+    q_row = t["embeddings"].where(F.col("vec_id") == 0).select("embedding").first()
+    qv = np.asarray(q_row.embedding, dtype="float64")
+    cents = spark.read.parquet(cents_path).orderBy("cell").collect()
+    centers = np.stack([np.asarray(r.center) for r in cents])
+    probe = np.argsort(((centers - qv) ** 2).sum(axis=1))[:8].tolist()
+
+    brows = spark.read.parquet(books_path).collect()  # m×ksub tiny rows
+    m, ksub = _PQ_M, _PQ_KSUB
+    dsub = len(qv) // m
+    books = np.zeros((m, ksub, dsub))
+    for r in brows:
+        books[r.s][r.k] = np.asarray(r.center)
+
+    # inner-product ADC: the (m·ksub) dot(qₛ, bookₛ[k]) table is
+    # cell-independent; the per-cell dot(q, centroid) offset is one
+    # double per probed cell.  One broadcast row per cell carries both.
+    qnorm = float(np.sqrt((qv * qv).sum()))
+    flat = [
+        float(qv[s * dsub : (s + 1) * dsub] @ books[s][k])
+        for s in range(m)
+        for k in range(ksub)
+    ]
+    lut_rows = [
+        (int(c), float(qv @ centers[c]), flat) for c in probe
+    ]
+    lut = spark.createDataFrame(
+        lut_rows, "cell int, offset double, lut array<double>"
+    )
+
+    codes = spark.read.parquet(codes_path)
+    adot = F.col("offset") + F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.col("lut"),
+            (s * ksub + F.element_at(F.col("codes"), s + 1) + 1).cast("int"),
+        ),
+    )
+    acos = adot / (F.col("norm") * F.lit(qnorm))
+    cand = (
+        codes.where(F.col("cell").isin(probe) & (F.col("vec_id") != 0))
+        .join(F.broadcast(lut), "cell")
+        .select("vec_id", acos.alias("acos"))
+        .orderBy(F.col("acos").desc(), F.col("vec_id"))
+        .limit(50)
+    )
+
+    q = t["embeddings"].where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    return (
+        t["embeddings"]
+        .join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                dot(F.col("embedding"), F.col("qv"))
+                / (l2_norm(F.col("embedding")) * l2_norm(F.col("qv"))),
+                6,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
