@@ -185,3 +185,55 @@ def test_sim_topk_cosine_batch_pushes_group_limit(q):
     plan = _plan(q("sim_topk_cosine_batch"))
     assert "WindowGroupLimit" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_runtime_bloom_filter_on_shuffle_join(spark, tables):
+    # At cluster scale, a selective filter on the build side of a
+    # shuffle join injects a bloom filter into the probe side's scan
+    # (runtime row-level filtering) — the shuffle then moves only rows
+    # that can match.  The fixture sits below the default size
+    # thresholds and the dim would broadcast, so the test pins the
+    # OPTIMIZER BEHAVIOR by lowering them; production defaults fire in
+    # exactly the big-shuffle regime the fixture can't reach.
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in overrides.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        dim = tables["orders"].where(F.col("o_orderpriority") == "1-URGENT")
+        df = (
+            tables["lineitem"]
+            .join(dim, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = _plan(df)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "bloom_filter_agg" in plan, plan
+    assert "might_contain" in plan.lower() or "bloomFilter" in plan, plan
+
+
+def test_ann_ivf_pq_candidates_partition_pruned(q):
+    # the PQ codes read must be a parquet partition-pruned scan of the
+    # probed cells, like the IVF/LSH probes — never a full-index scan
+    plan = _plan(q("sim_ann_ivf_pq"))
+    frags = [
+        seg.splitlines()[0] for seg in plan.split("PartitionFilters:")[1:]
+    ]
+    assert any("cell#" in f for f in frags), plan

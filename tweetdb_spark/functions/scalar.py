@@ -266,3 +266,44 @@ def fn_cast_decimal(spark, t):
         F.sum(dec).cast("double").alias("total_dec"),
         F.round(F.avg(dec).cast("double"), 2).alias("avg_dec"),
     )
+
+
+@query(
+    "fn_variant_json",
+    oracle="""
+    SELECT CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS INTEGER) / 25)
+                AS INTEGER) AS k_quartile,
+           count(*) AS cnt,
+           SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+    FROM events
+    GROUP BY 1
+    """,
+)
+def fn_variant_json(spark, t):
+    """Semi-structured access via Spark 4 VariantType — the scale path
+    for the JSON surface (F7's sibling).
+
+    ``parse_json`` encodes the document ONCE into Variant's binary
+    form; every ``variant_get`` after that is a path lookup on the
+    encoded bytes — no string re-parse per field access, unlike
+    ``get_json_object`` which re-tokenizes the text for every path.
+    At 100 TB the variant column is also what you'd persist (parquet
+    shreds it columnar), so repeated analytics never pay text parsing
+    again.  Output is plain scalars, so the key stays hash-checkable
+    against DuckDB's text-path extraction.
+    """
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    return (
+        t["events"]
+        .select(k.alias("k"))
+        .groupBy(F.floor(F.col("k") / 25).cast("int").alias("k_quartile"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
