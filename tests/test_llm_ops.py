@@ -455,3 +455,23 @@ def test_ann_ivf_pq_train_amortized_out_of_query_path(q, monkeypatch):
     monkeypatch.setattr(S, "_train_pq", _no_train)
     monkeypatch.setattr(C.KMeans, "fit", _no_fit)
     assert len(q("sim_ann_ivf_pq").collect()) == 10
+
+
+def test_incremental_minhash_consistent_with_banded(q):
+    """The incremental flags must be a pure re-labeling of the banded
+    pair set under the arrival split: a batch doc is dup_of_corpus iff
+    it pairs with a corpus doc, dup_in_batch iff with an EARLIER batch
+    doc (band collision is symmetric, so the two operators see the
+    same pairs)."""
+    pairs = {(r.doc_a, r.doc_b) for r in q("dedup_minhash_banded").collect()}
+    inc = list(q("dedup_incremental_minhash").collect())
+    assert inc, "en batch must be non-empty"
+    for r in inc:
+        partners = {a for (a, b) in pairs if b == r.doc_id} | {
+            b for (a, b) in pairs if a == r.doc_id
+        }
+        corp = any(p % 10 != 0 for p in partners)
+        early = any(p % 10 == 0 and p < r.doc_id for p in partners)
+        assert r.dup_of_corpus == int(corp), (r, sorted(partners))
+        assert r.dup_in_batch == int(early), (r, sorted(partners))
+        assert r.keep == int(not corp and not early)

@@ -29,6 +29,7 @@ LADDER = [
     "dedup_semantic_blocked",
     "sim_topk_cosine",
     "sim_ann_ivf",
+    "sim_ann_ivf_pq",
     "sim_ann_lsh",
     "fn_levenshtein_blocked",
     "text_tf_idf",

@@ -928,3 +928,136 @@ def graph_pagerank(spark, t):
     return p.select(
         F.col("id").alias("doc_id"), (F.round("p", 6) + 0).alias("pagerank")
     )
+
+
+def _mh_incremental_oracle() -> str:
+    bands = _mh_band_sql("duck")
+    band_union = "\n      UNION ALL ".join(
+        f"SELECT doc_id, is_new, {j} AS j, {b} AS v FROM g"
+        for j, b in enumerate(bands)
+    )
+    jac = (
+        "CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) "
+        "/ (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)))"
+    )
+    return f"""
+    WITH g AS (
+      SELECT doc_id, doc_id % 10 = 0 AS is_new, {_DUCK_SHINGLES} AS g
+      FROM documents WHERE lang = 'en'
+    ), bands AS (
+      {band_union}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.is_new AS a_new, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.j = b.j AND a.v = b.v AND b.is_new
+       AND (NOT a.is_new OR a.doc_id < b.doc_id)
+       AND a.doc_id <> b.doc_id
+    ), p AS (
+      SELECT c.doc_b, c.a_new
+      FROM cand c
+      JOIN g ga ON ga.doc_id = c.doc_a
+      JOIN g gb ON gb.doc_id = c.doc_b
+      WHERE {jac} >= 0.7
+    ), flags AS (
+      SELECT doc_b,
+             MAX(CASE WHEN NOT a_new THEN 1 ELSE 0 END) AS dup_of_corpus,
+             MAX(CASE WHEN a_new THEN 1 ELSE 0 END) AS dup_in_batch
+      FROM p GROUP BY doc_b
+    )
+    SELECT g.doc_id,
+           COALESCE(f.dup_of_corpus, 0) AS dup_of_corpus,
+           COALESCE(f.dup_in_batch, 0) AS dup_in_batch,
+           CAST(COALESCE(f.dup_of_corpus, 0) = 0
+                AND COALESCE(f.dup_in_batch, 0) = 0 AS INTEGER) AS keep
+    FROM g LEFT JOIN flags f ON f.doc_b = g.doc_id
+    WHERE g.is_new
+    """
+
+
+@query("dedup_incremental_minhash", oracle=_mh_incremental_oracle())
+def dedup_incremental_minhash(spark, t):
+    """Incremental NEAR-dup: today's batch vs the already-ingested
+    corpus via the banded MinHash index — dedup_incremental's fuzzy
+    sibling, hash-proven end-to-end (the oracle runs the identical
+    portable banding).
+
+    Split is the same deterministic arrival boundary (doc_id % 10 = 0
+    is "today").  Batch docs get three flags: ``dup_of_corpus`` (a
+    corpus doc collides in ≥1 band AND verifies at 3-gram Jaccard ≥
+    0.7), ``dup_in_batch`` (an EARLIER batch doc does — greedy
+    first-keeper, same rule as dedup_incremental's rn = 1), and
+    ``keep``.
+
+    100 TB story: the corpus side is the persisted banded signature
+    index — (doc_id, j, v) keys, append-only, never re-hashed; only
+    the day's batch computes new signatures.  The candidate join
+    shuffles short band keys (batch-sized on one side), and the
+    exact-Jaccard verify joins shingle arrays for CANDIDATES only.
+    Corpus growth = appending the keep-set's band rows, exactly like
+    the exact tier's hash set.
+    """
+    docs = t["documents"].where(F.col("lang") == "en")
+    g = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 10 == 0).alias("is_new"),
+        F.expr(_SPARK_SHINGLES).alias("g"),
+    )
+    banded = g.select(
+        "doc_id",
+        "is_new",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), F.expr(b).alias("v"))
+                    for j, b in enumerate(_mh_band_sql("spark"))
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "is_new", "band.j", "band.v")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.v") == F.col("b.v"))
+            & F.col("b.is_new")
+            & (~F.col("a.is_new") | (F.col("a.doc_id") < F.col("b.doc_id")))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.is_new").alias("a_new"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("g_a"))
+    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g_b"))
+    inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
+    union = F.size(F.col("g_a")) + F.size(F.col("g_b")) - inter
+    jac = inter.cast("double") / union
+    p = (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .where(jac >= 0.7)
+        .select("doc_b", "a_new")
+    )
+    flags = p.groupBy("doc_b").agg(
+        F.max((~F.col("a_new")).cast("int")).alias("dup_of_corpus"),
+        F.max(F.col("a_new").cast("int")).alias("dup_in_batch"),
+    )
+    batch = g.where(F.col("is_new")).select("doc_id")
+    return (
+        batch.join(flags, batch.doc_id == flags.doc_b, "left")
+        .select(
+            "doc_id",
+            F.coalesce("dup_of_corpus", F.lit(0)).alias("dup_of_corpus"),
+            F.coalesce("dup_in_batch", F.lit(0)).alias("dup_in_batch"),
+            (
+                (F.coalesce("dup_of_corpus", F.lit(0)) == 0)
+                & (F.coalesce("dup_in_batch", F.lit(0)) == 0)
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )
