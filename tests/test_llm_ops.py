@@ -475,3 +475,18 @@ def test_incremental_minhash_consistent_with_banded(q):
         assert r.dup_of_corpus == int(corp), (r, sorted(partners))
         assert r.dup_in_batch == int(early), (r, sorted(partners))
         assert r.keep == int(not corp and not early)
+
+
+def test_ann_ivf_pq_batch_recall_vs_exact_batch(q):
+    """Per-query top-3 through the quantized index must recover most
+    of the exact batch result."""
+    exact = {}
+    for r in q("sim_topk_cosine_batch").collect():
+        exact.setdefault(r.q_id, set()).add(r.vec_id)
+    pq = {}
+    for r in q("sim_ann_ivf_pq_batch").collect():
+        pq.setdefault(r.q_id, set()).add(r.vec_id)
+    assert set(pq) == set(exact)
+    hits = sum(len(exact[k] & pq[k]) for k in exact)
+    total = sum(len(exact[k]) for k in exact)
+    assert hits / total >= 0.5, (hits, total, exact, pq)

@@ -908,3 +908,108 @@ def sim_ann_ivf_pq(spark, t):
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+@query("sim_ann_ivf_pq_batch", oracle=None)  # approx → rows-only
+def sim_ann_ivf_pq_batch(spark, t):
+    """Batch IVF-PQ ANN: top-3 neighbors for EACH query (vec_id < 5)
+    through the quantized index, in one plan — the PQ tier of
+    sim_topk_cosine_batch's "a join, not a loop" shape.
+
+    Per query, the driver derives probe cells and the (offset per
+    cell, dot-product LUT, query norm) rows — Q×8 tiny rows that
+    broadcast-join the cell-partitioned codes table, fanning each code
+    row out to exactly the queries probing its cell.  ADC ranks by
+    approximate cosine inside codegen; a row_number window takes the
+    50 ADC-best PER QUERY (WindowGroupLimit pre-prunes below the
+    shuffle); exact cosine re-ranks those to 3.  At 10⁶ queries the
+    only thing that grows is the broadcast LUT side (Q×8 rows of
+    ~1 KB) — the corpus is still read once, partition-pruned to the
+    union of probed cells.
+    """
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    codes_path, books_path = ensure_pq_index(spark, t)
+    _, cents_path = ensure_ivf_index(spark, t)
+
+    qrows = (
+        t["embeddings"].where(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    )
+    cents = spark.read.parquet(cents_path).orderBy("cell").collect()
+    centers = np.stack([np.asarray(r.center) for r in cents])
+    brows = spark.read.parquet(books_path).collect()
+    m, ksub = _PQ_M, _PQ_KSUB
+    d = len(qrows[0].embedding)
+    dsub = d // m
+    books = np.zeros((m, ksub, dsub))
+    for r in brows:
+        books[r.s][r.k] = np.asarray(r.center)
+
+    lut_rows = []
+    for qr in qrows:
+        qv = np.asarray(qr.embedding, dtype="float64")
+        qnorm = float(np.sqrt((qv * qv).sum()))
+        flat = [
+            float(qv[s * dsub : (s + 1) * dsub] @ books[s][k])
+            for s in range(m)
+            for k in range(ksub)
+        ]
+        probe = np.argsort(((centers - qv) ** 2).sum(axis=1))[:8]
+        for c in probe:
+            lut_rows.append(
+                (int(qr.vec_id), int(c), float(qv @ centers[c]), qnorm, flat)
+            )
+    lut = spark.createDataFrame(
+        lut_rows, "q_id bigint, cell int, offset double, qnorm double, lut array<double>"
+    )
+
+    codes = spark.read.parquet(codes_path)
+    adot = F.col("offset") + F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.col("lut"),
+            (s * ksub + F.element_at(F.col("codes"), s + 1) + 1).cast("int"),
+        ),
+    )
+    probed_cells = sorted({c for (_, c, _, _, _) in lut_rows})
+    w_adc = Window.partitionBy("q_id").orderBy(
+        F.col("acos").desc(), F.col("vec_id")
+    )
+    cand = (
+        codes.where(F.col("cell").isin(probed_cells) & (F.col("vec_id") >= 5))
+        .join(F.broadcast(lut), "cell")
+        .select(
+            "q_id",
+            "vec_id",
+            (adot / (F.col("norm") * F.col("qnorm"))).alias("acos"),
+        )
+        .withColumn("arn", F.row_number().over(w_adc))
+        .where(F.col("arn") <= 50)
+        .select("q_id", "vec_id")
+    )
+
+    q = t["embeddings"].where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        t["embeddings"]
+        .join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            F.round(
+                dot(F.col("embedding"), F.col("qv"))
+                / (l2_norm(F.col("embedding")) * l2_norm(F.col("qv"))),
+                6,
+            ).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+    )
