@@ -260,3 +260,41 @@ def test_approx_top_freq_matches_exact_twin(registry, spark):
     assert {p for p, c in exact if c > boundary} == {
         p for p, c in approx if c > boundary
     }
+
+
+def test_table_diff_classification_partitions(q, tables):
+    """Diff classes are disjoint and keyed exactly by the synthesized
+    mutations: %11 keys deleted, %7 (surviving) keys changed, %13 keys
+    re-keyed as adds — and no 'unchanged' rows leak into the output."""
+    rows = q("table_diff").collect()
+    by_change = {}
+    for r in rows:
+        by_change.setdefault(r.change, set()).add(r.o_orderkey)
+    base_keys = {
+        r.o_orderkey for r in tables["orders"].select("o_orderkey").collect()
+    }
+    assert by_change["deleted"] == {k for k in base_keys if k % 11 == 0}
+    assert by_change["changed"] == {
+        k for k in base_keys if k % 11 != 0 and k % 7 == 0
+    }
+    assert by_change["added"] == {
+        k + 100000000 for k in base_keys if k % 13 == 0
+    }
+    # changed rows carry both prices; added/deleted carry exactly one
+    for r in rows:
+        if r.change == "changed":
+            assert r.old_totalprice is not None and r.new_totalprice is not None
+            assert abs(r.new_totalprice - 1.1 * r.old_totalprice) < 0.01
+        elif r.change == "added":
+            assert r.old_totalprice is None and r.new_totalprice is not None
+        else:
+            assert r.new_totalprice is None and r.old_totalprice is not None
+
+
+def test_dq_k_anonymity_group_math(q, tables):
+    """group_n sums to |customer| and at_risk == (group_n < 5)."""
+    rows = q("dq_k_anonymity").collect()
+    assert sum(r.group_n for r in rows) == tables["customer"].count()
+    assert all(r.at_risk == (r.group_n < 5) for r in rows)
+    # QI tuples are unique in the report
+    assert len({(r.c_nationkey, r.c_mktsegment) for r in rows}) == len(rows)

@@ -916,3 +916,129 @@ def agg_hll_union(spark, t):
     return daily.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk", False)).alias("est_users")
     )
+
+
+@query(
+    "table_diff",
+    oracle="""
+    WITH b AS (  -- synthesized snapshot B: deletes, updates, inserts
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN FLOOR(o_totalprice * 1.1 * 100 + 0.5) / 100
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 11 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+             o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 13 = 0
+    )
+    SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'deleted'
+                ELSE 'changed' END AS change,
+           a.o_totalprice AS old_totalprice,
+           b.o_totalprice AS new_totalprice
+    FROM orders a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR (a.o_custkey, a.o_orderstatus, a.o_totalprice,
+           a.o_orderdate, a.o_orderpriority)
+          <> (b.o_custkey, b.o_orderstatus, b.o_totalprice,
+              b.o_orderdate, b.o_orderpriority)
+    """,
+)
+def table_diff(spark, t):
+    """Snapshot diff — classify rows added / deleted / changed between
+    two table versions (the pipeline-regression primitive: "what did
+    today's ingest actually change?").
+
+    Each side is reduced to (pk, fingerprint, carried columns) before
+    the full-outer join on the primary key, where fingerprint is a
+    single xxhash64 over every non-PK column — so 'changed' detection
+    compares ONE 8-byte column regardless of row width, and the join
+    shuffles keys + hashes, not wide rows.  At 100 TB: snapshots
+    written bucketed by PK make the diff co-located (zero Exchange,
+    see join_bucketed_colocated); unchanged rows — the overwhelming
+    majority — are dropped before any wide-column materialization.
+    Snapshot B is synthesized deterministically (every 11th key
+    deleted, every 7th re-priced, every 13th re-keyed as an insert) so
+    the classification is oracle-checkable.
+    """
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    a = t["orders"]
+    b = a.where(F.col("o_orderkey") % 11 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.floor(F.col("o_totalprice") * 1.1 * 100 + 0.5) / 100,
+        ).otherwise(F.col("o_totalprice")),
+    ).unionByName(
+        a.where(F.col("o_orderkey") % 13 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 100000000
+        )
+    )
+
+    def keyed(df, side):
+        return df.select(
+            F.col("o_orderkey").alias(f"{side}_pk"),
+            F.xxhash64(*cols).alias(f"{side}_fp"),
+            F.col("o_totalprice").alias(f"{side}_price"),
+        )
+
+    j = keyed(a, "a").join(
+        keyed(b, "b"), F.col("a_pk") == F.col("b_pk"), "full_outer"
+    )
+    return (
+        j.where(
+            F.col("a_pk").isNull()
+            | F.col("b_pk").isNull()
+            | (F.col("a_fp") != F.col("b_fp"))
+        )
+        .select(
+            F.coalesce("b_pk", "a_pk").alias("o_orderkey"),
+            F.when(F.col("a_pk").isNull(), "added")
+            .when(F.col("b_pk").isNull(), "deleted")
+            .otherwise("changed")
+            .alias("change"),
+            F.col("a_price").alias("old_totalprice"),
+            F.col("b_price").alias("new_totalprice"),
+        )
+    )
+
+
+@query(
+    "dq_k_anonymity",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS group_n,
+           count(*) < 5 AS at_risk
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def dq_k_anonymity(spark, t):
+    """k-anonymity audit over quasi-identifier columns (privacy gate
+    for releasing or training on user-derived tables).
+
+    A row is k-anonymous iff at least k rows share its full
+    quasi-identifier tuple (nationkey x mktsegment here); groups under
+    k are re-identification risks that a release pipeline must
+    generalize or suppress.  One 2-phase hash aggregate — partial
+    counts map-side, one shuffle on the QI tuple; at 100 TB this is
+    the same plan as any groupBy-count, and the report is
+    |distinct QI tuples|, not |rows|.  Pairs with pii_scrub (text
+    fields) the way real curation stacks audit both structured and
+    free-text leakage.
+    """
+    return (
+        t["customer"]
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("group_n"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_n",
+            (F.col("group_n") < 5).alias("at_risk"),
+        )
+    )
