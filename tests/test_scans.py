@@ -30,3 +30,46 @@ def test_compact_files_reduces_file_count(q):
     n_frag = len(glob.glob(f"{frags[-1]}/*.parquet"))
     n_compact = len(glob.glob(f"{compacts[-1]}/*.parquet"))
     assert n_compact <= 4 < n_frag
+
+
+def test_snapshot_time_travel_versions(spark, tables):
+    """v0 read is byte-stable after v1's commit; v1 applies the COW
+    reprice to exactly the F group; untouched file groups are SHARED
+    between the two manifests (copy-on-write, not copy-everything)."""
+    import json
+    import os
+
+    from tweetdb_spark.operators.scans import _snapshot_root, read_snapshot
+
+    root = _snapshot_root(spark, tables)
+    v0 = read_snapshot(spark, root, 0)
+    v1 = read_snapshot(spark, root, 1)
+    assert v0.count() == v1.count() == tables["orders"].count()
+    # v0 matches the source table exactly
+    src = {
+        (r.o_orderkey, r.o_totalprice)
+        for r in tables["orders"].select("o_orderkey", "o_totalprice").collect()
+    }
+    assert {(r.o_orderkey, r.o_totalprice) for r in v0.collect()} == src
+    # v1: F rows repriced, O/P rows untouched
+    changed = {
+        r.o_orderkey: r.o_totalprice
+        for r in v1.where("o_orderstatus = 'F'").collect()
+    }
+    orig = {
+        r.o_orderkey: r.o_totalprice
+        for r in tables["orders"].where("o_orderstatus = 'F'").collect()
+    }
+    assert set(changed) == set(orig)
+    import math
+
+    assert all(
+        abs(changed[k] - math.floor(orig[k] * 1.1 * 100 + 0.5) / 100) < 1e-9
+        for k in orig
+    )
+    # manifests share the untouched O/P files
+    mdir = os.path.join(root, "_manifests")
+    f0 = set(json.load(open(os.path.join(mdir, "v0.json")))["files"])
+    f1 = set(json.load(open(os.path.join(mdir, "v1.json")))["files"])
+    shared = f0 & f1
+    assert shared and all("v0_F" not in f for f in f1)

@@ -720,9 +720,9 @@ def corpus_pack(spark, t):
     oracle="""
     WITH d AS (
       SELECT lang,
-             CASE WHEN (doc_id * 2654435761) % 2147483647 % 100 < 90
+             CASE WHEN ((doc_id % 2147483647) * 2654435761) % 2147483647 % 100 < 90
                     THEN 'train'
-                  WHEN (doc_id * 2654435761) % 2147483647 % 100 < 95
+                  WHEN ((doc_id % 2147483647) * 2654435761) % 2147483647 % 100 < 95
                     THEN 'val'
                   ELSE 'test' END AS split,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -744,7 +744,7 @@ def corpus_split(spark, t):
     group-by; the per-doc assignment is a narrow map usable as a
     partition column at write time.
     """
-    bucket = F.expr("(doc_id * 2654435761) % 2147483647 % 100")
+    bucket = F.expr("((doc_id % 2147483647) * 2654435761) % 2147483647 % 100")
     split = (
         F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
     )
@@ -769,7 +769,7 @@ def corpus_split(spark, t):
     WITH d AS (
       SELECT doc_id, lang,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-             (doc_id * 2654435761) % 2147483647 AS h
+             ((doc_id % 2147483647) * 2654435761) % 2147483647 AS h
       FROM documents
     ), c AS (
       SELECT doc_id, lang, n_tokens,
@@ -799,7 +799,7 @@ def corpus_token_budget(spark, t):
         "doc_id",
         "lang",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
-        F.expr("(doc_id * 2654435761) % 2147483647").alias("h"),
+        F.expr("((doc_id % 2147483647) * 2654435761) % 2147483647").alias("h"),
     )
     w = (
         Window.partitionBy("lang")
@@ -1126,7 +1126,7 @@ def text_lm_interpolated(spark, t):
       SELECT a.doc_id AS anchor_id, b.doc_id AS neg_id, b.lang AS neg_lang,
              row_number() OVER (
                PARTITION BY a.doc_id
-               ORDER BY ((a.doc_id * 131 + b.doc_id) * 2654435761)
+               ORDER BY (((a.doc_id * 131 + b.doc_id) % 2147483647) * 2654435761)
                         % 2147483647,
                         b.doc_id
              ) AS rn
@@ -1158,7 +1158,8 @@ def corpus_negative_pairs(spark, t):
     )
     a, b = d.alias("a"), d.alias("b")
     pair_hash = (
-        (F.col("a.doc_id") * 131 + F.col("b.doc_id")) * 2654435761
+        ((F.col("a.doc_id") * 131 + F.col("b.doc_id")) % 2147483647)
+        * 2654435761
     ) % 2147483647
     w = Window.partitionBy("a.doc_id").orderBy(pair_hash, F.col("b.doc_id"))
     return (

@@ -370,3 +370,87 @@ def sink_orc_roundtrip(spark, t):
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
         F.min("o_orderdate").alias("first_order"),
     )
+
+
+def _snapshot_root(spark, t) -> str:
+    """Build a 2-version manifest-tracked snapshot store for orders
+    (once per call site; fixture-scale, see snapshot_time_travel).
+
+    Layout:  <root>/data/...parquet   (immutable data files)
+             <root>/_manifests/v{N}.json  ({"files": [...]})
+    v0 = orders split into one file-group per orderstatus.
+    v1 = copy-on-write: only the 'F' group is rewritten (repriced
+    +10%); v1's manifest re-lists v0's untouched 'O'/'P' files.
+    """
+    import glob
+    import json
+
+    from tweetdb_spark import scratch
+
+    root = scratch.fresh_dir("tweetdb_snap")
+    data = os.path.join(root, "data")
+    man = os.path.join(root, "_manifests")
+    os.makedirs(man, exist_ok=True)
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    base = t["orders"].select(*cols)
+
+    def write_group(df, name) -> list[str]:
+        out = os.path.join(data, name)
+        df.coalesce(1).write.mode("overwrite").parquet(out)
+        return sorted(glob.glob(os.path.join(out, "*.parquet")))
+
+    groups = {
+        s: write_group(base.where(F.col("o_orderstatus") == s), f"v0_{s}")
+        for s in ("O", "F", "P")
+    }
+    v1_f = write_group(
+        base.where(F.col("o_orderstatus") == "F").withColumn(
+            "o_totalprice",
+            F.floor(F.col("o_totalprice") * 1.1 * 100 + 0.5) / 100,
+        ),
+        "v1_F",
+    )
+    with open(os.path.join(man, "v0.json"), "w") as fh:
+        json.dump({"version": 0, "files": sum(groups.values(), [])}, fh)
+    with open(os.path.join(man, "v1.json"), "w") as fh:
+        json.dump(
+            {"version": 1, "files": groups["O"] + groups["P"] + v1_f}, fh
+        )
+    return root
+
+
+def read_snapshot(spark, root: str, version: int):
+    """Plan a read from the manifest's file list alone — no directory
+    listing, no partition discovery: the metadata IS the table."""
+    import json
+
+    with open(os.path.join(root, "_manifests", f"v{version}.json")) as fh:
+        files = json.load(fh)["files"]
+    return spark.read.parquet(*files)
+
+
+@query(
+    "snapshot_time_travel",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    """,
+)
+def snapshot_time_travel(spark, t):
+    """Time travel on plain parquet via manifest commit logs (the
+    Iceberg/Delta core idea, format-free).
+
+    Snapshots are immutable file sets named by per-version manifests;
+    a new version copy-on-writes only the file groups it touches and
+    re-lists the rest, so historical reads stay exact forever at the
+    cost of rewriting only changed data.  The reader plans from the
+    manifest's explicit file list — at 100 TB that means no O(files)
+    directory listing on the object store, snapshot isolation against
+    concurrent writers (their files aren't in your manifest), and
+    file-level pruning still applies on top.  This key reads v0 AFTER
+    v1 was committed — the hash vs the original table proves the old
+    version is byte-stable under later writes.  tests/test_scans
+    assert v1 semantics and cross-version file sharing.
+    """
+    root = _snapshot_root(spark, t)
+    return read_snapshot(spark, root, 0)
