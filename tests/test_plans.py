@@ -237,3 +237,65 @@ def test_ann_ivf_pq_candidates_partition_pruned(q):
         seg.splitlines()[0] for seg in plan.split("PartitionFilters:")[1:]
     ]
     assert any("cell#" in f for f in frags), plan
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tables):
+    """Z-order bounds BOTH (custkey, orderdate) per file, so footer
+    min/max stats prune files for a filter on EITHER dim; a
+    custkey-only sort leaves every file spanning the full date range
+    (zero date pruning).  Measured on the actual parquet footers."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from tweetdb_spark import scratch
+    from tweetdb_spark.operators.physical import write_zorder_layout
+
+    zdir = write_zorder_layout(spark, tables, n_files=16)
+    sdir = scratch.fresh_dir("tweetdb_singlesort")
+    (
+        tables["orders"]
+        .repartitionByRange(16, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(sdir)
+    )
+
+    def file_ranges(d, col):
+        out = []
+        for f in sorted(glob.glob(f"{d}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics:
+                        s = c.statistics
+                        # µs-timestamp stats come back tz-aware (UTC);
+                        # collected rows are naive UTC wall-clock
+                        mn = s.min.replace(tzinfo=None)
+                        mx = s.max.replace(tzinfo=None)
+                        lo = mn if lo is None else min(lo, mn)
+                        hi = mx if hi is None else max(hi, mx)
+            if lo is not None:  # zero-row files survive no filter
+                out.append((lo, hi))
+        return out
+
+    # box filter: middle ~25% of each dim
+    dates = sorted(
+        r.o_orderdate
+        for r in tables["orders"].select("o_orderdate").collect()
+    )
+    d_lo, d_hi = dates[len(dates) // 2], dates[5 * len(dates) // 8]
+
+    def surviving(d):
+        rng = file_ranges(d, "o_orderdate")
+        return sum(1 for lo, hi in rng if lo <= d_hi and hi >= d_lo), len(rng)
+
+    z_hit, z_total = surviving(zdir)
+    s_hit, s_total = surviving(sdir)
+    # custkey-sorted: every file spans the full date range -> no pruning
+    assert s_hit == s_total
+    # z-order: a real fraction of files is pruned on the date dim
+    assert z_hit < z_total
+    assert z_hit / z_total <= 0.8

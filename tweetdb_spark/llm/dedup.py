@@ -1061,3 +1061,89 @@ def dedup_incremental_minhash(spark, t):
             .alias("keep"),
         )
     )
+
+
+@query(
+    "dedup_containment",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, length(text) - 1),
+               i -> substr(text, CAST(i AS INT), 3))) AS g
+      FROM documents WHERE lang = 'en'
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                 / LEAST(len(a.g), len(b.g)), 6) AS containment
+    FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+          / LEAST(len(a.g), len(b.g)) >= 0.6
+    """,
+)
+def dedup_containment(spark, t):
+    """Asymmetric containment near-dup — |A∩B| / min(|A|,|B|) ≥ 0.6 —
+    the doc-in-doc detector Jaccard misses (a paragraph quoted inside
+    a long page scores near-zero Jaccard but high containment).
+
+    Candidate generation is PREFIX FILTERING (PPJoin family), not
+    all-pairs: grams get a global rarity order (document frequency,
+    then gram); each doc probes with only its |g|−⌈τ·|g|⌉+1 rarest
+    grams, against an inverted index of ALL grams.  Completeness is a
+    theorem, not a recall estimate: if none of the smaller set's
+    prefix grams hit the other doc, the overlap is < ⌈τ·min⌉ — so the
+    oracle's all-pairs result is matched exactly and the whole
+    blocking scheme is value-hash-checked.  Cost is Θ(Σ_g df(g)·
+    prefix_count(g)) — linear-ish equi-joins on gram keys, no N².
+    At 100 TB: df table is one groupBy, prefixes shrink as τ grows,
+    and hot grams never enter probes (rarest-first order).
+    """
+    from pyspark.sql.window import Window
+
+    tau = 0.6
+    docs = (
+        t["documents"]
+        .where(F.col("lang") == "en")
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, length(text) - 2), "
+                    "i -> substring(text, i, 3))"
+                )
+            ).alias("g"),
+        )
+    )
+    grams = docs.select(
+        "doc_id", F.size("g").alias("n"), F.explode("g").alias("gram")
+    )
+    df_tbl = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    ranked = grams.join(df_tbl, "gram")
+    w = Window.partitionBy("doc_id").orderBy("df", "gram")
+    prefix = (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.col("n") - F.ceil(tau * F.col("n")) + 1)
+        .select("doc_id", "gram")
+    )
+    cand = (
+        prefix.alias("p")
+        .join(grams.select("doc_id", "gram").alias("i"), "gram")
+        .where(F.col("p.doc_id") != F.col("i.doc_id"))
+        .select(
+            F.least("p.doc_id", "i.doc_id").alias("doc_a"),
+            F.greatest("p.doc_id", "i.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    mn = F.least(F.size("ga"), F.size("gb"))
+    contain = inter.cast("double") / mn
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .where(contain >= tau)
+        .select(
+            "doc_a", "doc_b", F.round(contain, 6).alias("containment")
+        )
+    )

@@ -1013,3 +1013,91 @@ def sim_ann_ivf_pq_batch(spark, t):
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 3)
     )
+
+
+@query(
+    "sim_maxsim_multivector",
+    oracle="""
+    WITH tok AS (  -- 64-d vector as 4 x 16-d 'token' sub-vectors
+      SELECT vec_id, j, embedding[(j*16+1):(j*16+16)] AS sv
+      FROM embeddings, (SELECT unnest(range(4)) AS j)
+    ), qtok AS (
+      SELECT vec_id AS q_id, j AS qi, sv AS qv FROM tok WHERE vec_id < 3
+    ), dtok AS (
+      SELECT vec_id, j, sv FROM tok WHERE vec_id >= 3
+    ), best AS (  -- per (query, doc, query-token): best doc-token match
+      SELECT q.q_id, d.vec_id, q.qi,
+             MAX(list_sum(list_transform(list_zip(q.qv, d.sv),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) AS m
+      FROM qtok q CROSS JOIN dtok d
+      GROUP BY q.q_id, d.vec_id, q.qi
+    ), score AS (
+      SELECT q_id, vec_id, ROUND(SUM(m), 6) AS maxsim
+      FROM best GROUP BY q_id, vec_id
+    ), r AS (
+      SELECT q_id, vec_id, maxsim,
+             row_number() OVER (
+               PARTITION BY q_id ORDER BY maxsim DESC, vec_id
+             ) AS rn
+      FROM score
+    )
+    SELECT q_id, vec_id, maxsim, CAST(rn AS INT) AS rank
+    FROM r WHERE rn <= 5
+    """,
+)
+def sim_maxsim_multivector(spark, t):
+    """Late-interaction (ColBERT-style MaxSim) retrieval: documents and
+    queries are SETS of token vectors; score(q,d) = Σ_i max_j ⟨q_i,d_j⟩.
+
+    The retrieval model behind multi-vector RAG indexes, where a
+    single pooled vector loses token-level evidence.  Token vectors
+    here are 4×16-d slices of the fixture embedding (deterministic, no
+    model needed); the plan is the scale shape that matters: query
+    tokens are a BROADCAST dim (Q·4 rows), doc tokens a narrow explode
+    of the corpus (no shuffle to score), then max-per-query-token and
+    sum-per-doc are two partial aggregates that combine map-side; only
+    (q,d) score rows — never token pairs — cross an exchange, and the
+    top-5 window gets the WindowGroupLimit pushdown like every top-k
+    here.  At 100 TB the explode factor is the token count (32-128 for
+    real ColBERT), so doc tokens stay co-partitioned with docs and the
+    candidate set comes from an ANN tier (sim_ann_*) first; this
+    operator is the exact re-scorer on those candidates.
+    """
+    from pyspark.sql.window import Window
+
+    e = t["embeddings"]
+    tok = e.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j"),
+    ).select(
+        "vec_id",
+        "j",
+        F.expr("slice(embedding, j*16 + 1, 16)").alias("sv"),
+    )
+    qtok = tok.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("j").alias("qi"),
+        F.col("sv").alias("qv"),
+    )
+    dtok = tok.where(F.col("vec_id") >= 3)
+    pair_dot = F.aggregate(
+        F.zip_with("qv", "sv", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = (
+        dtok.crossJoin(F.broadcast(qtok))
+        .select("q_id", "vec_id", "qi", pair_dot.alias("d"))
+        .groupBy("q_id", "vec_id", "qi")
+        .agg(F.max("d").alias("m"))
+    )
+    score = best.groupBy("q_id", "vec_id").agg(
+        F.round(F.sum("m"), 6).alias("maxsim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("maxsim").desc(), "vec_id")
+    return (
+        score.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("q_id", "vec_id", "maxsim", "rank")
+    )

@@ -189,3 +189,91 @@ def join_dpp_partitioned(spark, t):
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+def _spread_bits_16(col):
+    """Interleave-ready bit spread: 16-bit value -> 32 bits with a zero
+    between every bit (x -> ..x3_0_x2_0_x1_0_x0).  Pure shift/mask —
+    whole-stage codegen, no UDF."""
+    x = col.cast("long")
+    x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF))
+    x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x33333333))
+    x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+def zorder_key(c1, c2, min1, max1, min2, max2):
+    """Morton z-value of two columns, each min-max scaled to 16 bits.
+
+    Scaling keeps the interleave meaningful for arbitrary ranges;
+    65535 buckets per dim is far finer than any realistic file count,
+    so no locality is lost to quantization at write granularity."""
+
+    def scale(c, lo, hi):
+        return F.floor(
+            (c.cast("double") - lo) / (hi - lo) * 65535
+        ).cast("long")
+
+    return _spread_bits_16(scale(c1, min1, max1)).bitwiseOR(
+        F.shiftleft(_spread_bits_16(scale(c2, min2, max2)), 1)
+    )
+
+
+def write_zorder_layout(spark, t, n_files: int = 16) -> str:
+    """Write orders z-ordered on (custkey, orderdate) into a scratch
+    dir of ``n_files`` range-partitioned files; returns the dir."""
+    out = scratch.fresh_dir("tweetdb_zorder")
+    o = t["orders"]
+    # bounds via a 1-row broadcast agg (no driver round-trip in the plan)
+    bounds = o.agg(
+        F.min("o_custkey").alias("min_ck"),
+        F.max("o_custkey").alias("max_ck"),
+        F.min(F.unix_date(F.to_date("o_orderdate"))).alias("min_day"),
+        F.max(F.unix_date(F.to_date("o_orderdate"))).alias("max_day"),
+    )
+    z = zorder_key(
+        F.col("o_custkey"),
+        F.unix_date(F.to_date("o_orderdate")),
+        F.col("min_ck"),
+        F.col("max_ck"),
+        F.col("min_day"),
+        F.col("max_day"),
+    )
+    (
+        o.crossJoin(F.broadcast(bounds))
+        .withColumn("zval", z)
+        .repartitionByRange(n_files, "zval")
+        .sortWithinPartitions("zval")
+        .drop("zval", "min_ck", "max_ck", "min_day", "max_day")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
+@query(
+    "layout_zorder",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    """,
+)
+def layout_zorder(spark, t):
+    """Z-order (Morton-interleaved) data layout — multi-dimensional
+    file-level pruning from a one-dimensional sort.
+
+    Sorting by custkey alone makes every file span the FULL date
+    range: a date filter prunes nothing.  Sorting by the interleaved
+    bits of (custkey, orderdate) bounds BOTH dimensions per file, so
+    min/max footer stats prune files for filters on either column —
+    the Delta/Iceberg OPTIMIZE ZORDER idea on plain parquet.  The
+    z-value is pure shift/mask codegen; the write is one range
+    repartition (a sort-shuffle that at 100 TB replaces a full sort
+    with reservoir-sampled range bounds).  The key reads the layout
+    back in full — the hash vs the original table proves the rewrite
+    lossless; tests/test_plans.py measures the actual pruning: the
+    fraction of files whose footer range intersects a 2-D box filter,
+    z-order vs single-column sort.
+    """
+    back = spark.read.parquet(write_zorder_layout(spark, t))
+    return back.select("o_orderkey", "o_custkey", "o_totalprice")

@@ -42,6 +42,12 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Partial aggregation pushdown below distinct aggregates etc.
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # Spark's default INT96 timestamps carry NO parquet min/max stats,
+    # so every timestamp write forfeits row-group/file pruning.  µs
+    # timestamps are the modern type, stats included — at 100 TB this
+    # is the difference between pruning on event time and full scans
+    # (measured by tests/test_plans.py's z-order footer test).
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

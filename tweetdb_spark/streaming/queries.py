@@ -530,3 +530,104 @@ def sink_jdbc_batch(spark, t):
 def _sf_dir(t) -> str:
     """sf_dir travels on the Tables object (registry.Tables.sf_dir)."""
     return t.sf_dir
+
+
+@query(
+    "stream_cdc_apply",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             FLOOR(o_totalprice * 1.1 * 100 + 0.5) / 100 AS o_totalprice, 2 AS version
+      FROM orders WHERE o_orderkey % 7 = 0
+    ), base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 1 AS version
+      FROM orders
+    ), unioned AS (
+      SELECT * FROM base UNION ALL SELECT * FROM updates
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY o_orderkey ORDER BY version DESC
+             ) AS rn
+      FROM unioned
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, version
+    FROM ranked WHERE rn = 1
+    """,
+)
+def stream_cdc_apply(spark, t):
+    """Streaming CDC apply: a change feed merged into a base snapshot,
+    micro-batch by micro-batch (the streaming MERGE INTO shape —
+    foreachBatch + latest-wins upsert on plain parquet).
+
+    The change feed (merge_upsert's deterministic updates, split
+    across files so multiple micro-batches fire) is consumed with a
+    file stream; each batch merges into the CURRENT snapshot version
+    and commits a NEW immutable snapshot dir — copy-on-write, so a
+    crashed batch never corrupts the readable state, and re-applying
+    a batch is idempotent (latest-wins by version).  Unusually for a
+    streaming key, the FINAL state is exactly SQL-expressible, so
+    this one is oracle-HASH-checked, not rows-only: the stream's
+    materialized table must match the batch MERGE to the byte.
+    At 100 TB the per-batch rewrite cost is what Delta/Iceberg MERGE
+    amortizes via file-level pruning; the snapshot-chain structure
+    (and its manifest form, snapshot_time_travel) is identical.
+    """
+    import os
+
+    from pyspark.sql.window import Window
+
+    from tweetdb_spark import scratch
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    root = scratch.fresh_dir("tweetdb_cdc")
+    ckpt = scratch.fresh_dir("tweetdb_cdcchk")
+    base_dir = os.path.join(root, "v0")
+    feed_dir = os.path.join(root, "feed")
+    base = t["orders"].select(*cols, F.lit(1).alias("version"))
+    base.write.mode("overwrite").parquet(base_dir)
+    (
+        t["orders"]
+        .where(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            (F.floor(F.col("o_totalprice") * 1.1 * 100 + 0.5) / 100).alias(
+                "o_totalprice"
+            ),
+            F.lit(2).alias("version"),
+        )
+        .repartition(4)  # several feed files -> several micro-batches
+        .write.mode("overwrite")
+        .parquet(feed_dir)
+    )
+    state = {"cur": base_dir, "n": 0}
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
+
+    def apply_batch(bdf, batch_id):
+        cur = bdf.sparkSession.read.parquet(state["cur"])
+        nxt = os.path.join(root, f"v{state['n'] + 1}")
+        (
+            cur.unionByName(bdf)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+            .write.mode("overwrite")
+            .parquet(nxt)
+        )
+        state["cur"] = nxt
+        state["n"] += 1
+
+    feed = (
+        spark.readStream.schema(spark.read.parquet(feed_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    q = (
+        feed.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state["cur"])
