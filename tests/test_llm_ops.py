@@ -522,3 +522,54 @@ def test_maxsim_bounded_by_four_token_dots(q):
     assert set(by_q) == {0, 1, 2}
     for ranks in by_q.values():
         assert sorted(ranks) == [1, 2, 3, 4, 5]
+
+
+def test_bpe_train_matches_pure_python_reference(q, tables):
+    """The distributed BPE learner must reproduce the classic
+    single-machine algorithm EXACTLY: same merge rules, same order,
+    same pair counts (greedy left-to-right, ties (count desc, pair
+    asc))."""
+    from collections import Counter
+
+    freqs = Counter()
+    for r in tables["documents"].where("lang = 'en'").select("text").collect():
+        for w in r.text.split(" "):
+            if w:
+                freqs[w] += 1
+    words = {w: list(w) for w in freqs}
+
+    def ref_rules(n):
+        out = []
+        for step in range(n):
+            pc = Counter()
+            for w, syms in words.items():
+                f = freqs[w]
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += f
+            if not pc:
+                break
+            (l, r), cnt = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            out.append((step, l, r, l + r, cnt))
+            for w, syms in words.items():
+                new, i = [], 0
+                while i < len(syms):
+                    if (
+                        new
+                        and new[-1] == l
+                        and syms[i] == r
+                    ):
+                        new[-1] = l + r
+                    else:
+                        new.append(syms[i])
+                    i += 1
+                words[w] = new
+        return out
+
+    expected = ref_rules(12)
+    got = [
+        (r.step, r.left, r.right, r.merged, r.pair_count)
+        for r in q("text_bpe_train").collect()
+    ]
+    assert got == expected

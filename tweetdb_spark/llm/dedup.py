@@ -1147,3 +1147,71 @@ def dedup_containment(spark, t):
             "doc_a", "doc_b", F.round(contain, 6).alias("containment")
         )
     )
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY doc_id, token
+    ), th AS (
+      SELECT token, {_DUCK_TOKHASH} AS h FROM (SELECT DISTINCT token FROM tf)
+    ), bits AS (
+      SELECT tf.doc_id, b.b,
+             SUM(CASE WHEN (th.h >> CAST(b.b AS INT)) & 1 = 1
+                      THEN tf.cnt ELSE -tf.cnt END) AS s
+      FROM tf JOIN th USING (token)
+      CROSS JOIN (SELECT unnest(range(0, 32)) AS b) b
+      GROUP BY tf.doc_id, b.b
+    ), fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    ), edges AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM fp a JOIN fp b
+        ON a.doc_id < b.doc_id
+       AND bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM edges e1
+    JOIN edges e2 ON e1.v = e2.u
+    JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+)
+def graph_triangle_count(spark, t):
+    """Triangle counting over the near-dup graph — the standard graph
+    statistic behind clustering-coefficient / community-density checks
+    on a dedup pair graph (dense triangles = true duplicate cliques;
+    sparse bridges = likely false-positive edges worth re-verifying).
+
+    Edges come from the engine's own banded-simhash pipeline; the
+    oracle rebuilds them ALL-PAIRS, so this hash check proves band
+    completeness AND the count in one shot.  The count itself is the
+    compact-forward join: with edges oriented u < v, each triangle
+    {{a<b<c}} is counted exactly once as e1=(a,b), e2=(b,c), e3=(a,c).
+    Both joins are equi-joins on node ids — at 100 TB this shuffles
+    the edge list twice (partitioned by join node), never materializes
+    wedges beyond the e1⋈e2 frontier, and the oriented form bounds
+    wedge fan-out by out-degree (the classic skew fix: high-degree
+    nodes get mostly IN-edges, so their wedge count collapses).
+    """
+    fp = _simhash_fingerprints(spark, t)
+    cand = _simhash_band_candidates(spark, fp)
+    hamming = F.expr("bit_count(sh_a ^ sh_b)")
+    e = (
+        cand.where(hamming <= _HAMMING_MAX)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )

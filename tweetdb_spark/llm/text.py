@@ -1176,3 +1176,81 @@ def corpus_negative_pairs(spark, t):
             F.col("b.lang").alias("neg_lang"),
         )
     )
+
+
+@query("text_bpe_train", oracle=None)  # iterative; exact-equality pytest twin
+def text_bpe_train(spark, t):
+    """Distributed BPE vocabulary training: learn the first 12 merge
+    rules from the corpus (the tokenizer-training pass every LLM data
+    pipeline runs before anything else).
+
+    The classic scale decomposition: BPE never needs the corpus after
+    pre-tokenization — only the WORD-FREQUENCY dict (orders of
+    magnitude smaller; Zipf means the dict grows ~sqrt-ish while the
+    corpus grows linearly).  Each round is (1) one groupBy over
+    adjacent symbol pairs weighted by word frequency — a 2-phase agg
+    that combines map-side, (2) a 1-row argmax to the driver (the
+    merge RULE, bytes, not data), (3) one narrow map applying the rule
+    to each word's symbol array via a left-to-right aggregate() fold —
+    greedy, order-correct for overlapping pairs ('aaa' + (a,a) ->
+    [aa, a]).  State per round is the dict DataFrame, localCheckpointed
+    so 12 rounds don't stack lineage.  Ties broken (count desc, pair
+    asc) so the learned vocabulary is deterministic across engines and
+    cluster layouts — tests/test_llm_ops.py re-derives it with a
+    pure-Python BPE and asserts EXACT rule-sequence equality.
+    """
+    n_merges = 12
+    words = (
+        t["documents"]
+        .where(F.col("lang") == "en")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(F.expr("transform(split(w, ''), x -> x)").alias("syms"), "freq")
+    )
+    # split('') yields a trailing empty string in some engines; filter
+    words = words.select(
+        F.expr("filter(syms, x -> x <> '')").alias("syms"), "freq"
+    )
+    rules = []
+    for step in range(n_merges):
+        pairs = (
+            words.select(
+                F.explode(
+                    # sequence(1, 0) counts DOWN, so guard 1-symbol words
+                    F.expr(
+                        "IF(size(syms) < 2, "
+                        "cast(array() as array<struct<l:string, r:string>>), "
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(syms[i-1] as l, syms[i] as r)))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        l, r, cnt = pairs[0].l, pairs[0].r, pairs[0].cnt
+        rules.append((step, l, r, l + r, cnt))
+        le, re_ = l.replace("'", "\\'"), r.replace("'", "\\'")
+        merged = (l + r).replace("'", "\\'")
+        words = words.select(
+            F.expr(
+                "aggregate(syms, cast(array() as array<string>), "
+                "(acc, x) -> IF(size(acc) > 0 "
+                f"AND element_at(acc, -1) = '{le}' AND x = '{re_}', "
+                f"concat(slice(acc, 1, size(acc) - 1), array('{merged}')), "
+                "concat(acc, array(x)))"
+                ")"
+            ).alias("syms"),
+            "freq",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        rules, "step int, left string, right string, merged string, pair_count bigint"
+    )
