@@ -1086,14 +1086,18 @@ def sim_maxsim_multivector(spark, t):
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    best = (
-        dtok.crossJoin(F.broadcast(qtok))
-        .select("q_id", "vec_id", "qi", pair_dot.alias("d"))
-        .groupBy("q_id", "vec_id", "qi")
-        .agg(F.max("d").alias("m"))
+    # ONE aggregation, not max-per-token then sum: the 4 per-token
+    # maxima pivot into columns of a single groupBy(q_id, vec_id), so
+    # token-pair scores cross exactly one Exchange (verified in
+    # PLANS.md) and partials combine map-side.
+    scored_tok = dtok.crossJoin(F.broadcast(qtok)).select(
+        "q_id", "vec_id", "qi", pair_dot.alias("d")
     )
-    score = best.groupBy("q_id", "vec_id").agg(
-        F.round(F.sum("m"), 6).alias("maxsim")
+    maxsim = sum(
+        F.max(F.when(F.col("qi") == j, F.col("d"))) for j in range(4)
+    )
+    score = scored_tok.groupBy("q_id", "vec_id").agg(
+        F.round(maxsim, 6).alias("maxsim")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("maxsim").desc(), "vec_id")
     return (
