@@ -523,3 +523,89 @@ def events_interpolate(spark, t):
         .alias("revenue_interp"),
         F.when(F.col("revenue").isNull(), 1).otherwise(0).alias("was_gap"),
     )
+
+
+@query(
+    "events_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+      SELECT user_id, event_id, event_type, ts
+      FROM events WHERE event_type IN ('click', 'view')
+    ), joined AS (
+      SELECT p.purchase_id, p.user_id, t.event_type, t.ts, t.event_id,
+             row_number() OVER (
+               PARTITION BY p.purchase_id ORDER BY t.ts, t.event_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY p.purchase_id) AS n_touches
+      FROM p JOIN touch t
+        ON p.user_id = t.user_id
+       AND t.ts < p.p_ts
+       AND t.ts >= p.p_ts - INTERVAL 7 DAY
+    )
+    SELECT purchase_id, user_id,
+           MAX(CASE WHEN rn = 1 THEN event_type END) AS first_touch,
+           MAX(CASE WHEN rn = n_touches THEN event_type END) AS last_touch,
+           CAST(MAX(n_touches) AS BIGINT) AS n_touches
+    FROM joined
+    GROUP BY purchase_id, user_id
+    """,
+)
+def events_attribution(spark, t):
+    """Marketing attribution: for each purchase, the FIRST-touch and
+    LAST-touch engagement event in the 7-day lookback window.
+
+    An interval self-join (same equi-conjunct discipline as
+    join_interval: the user_id equi-key carries the hash join, the
+    time bounds ride as filters — no nested loop), then one window
+    per purchase for deterministic first/last (ordered ts, event_id —
+    never "whichever row arrived").  At 100 TB the lookback bound is
+    what keeps state finite: bucket both sides by (user_id, day) and
+    the join is co-located per day-pair; the per-purchase window
+    partitions by purchase_id, bounded by touches-per-user-week, not
+    corpus size.  First/last-touch generalizes to any position-based
+    attribution (linear/U-shaped) by weighting rn.
+    """
+    p = (
+        t["events"]
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    touch = (
+        t["events"]
+        .where(F.col("event_type").isin("click", "view"))
+        .select(
+            F.col("user_id").alias("t_user"),
+            F.col("event_id").alias("t_event_id"),
+            "event_type",
+            F.col("ts").alias("t_ts"),
+        )
+    )
+    joined = p.join(
+        touch,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAY")),
+    )
+    w = Window.partitionBy("purchase_id").orderBy("t_ts", "t_event_id")
+    wall = Window.partitionBy("purchase_id")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_touches", F.count("*").over(wall))
+        .groupBy("purchase_id", "user_id")
+        .agg(
+            F.max(
+                F.when(F.col("rn") == 1, F.col("event_type"))
+            ).alias("first_touch"),
+            F.max(
+                F.when(F.col("rn") == F.col("n_touches"), F.col("event_type"))
+            ).alias("last_touch"),
+            F.max("n_touches").cast("bigint").alias("n_touches"),
+        )
+    )
