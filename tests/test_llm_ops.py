@@ -573,3 +573,46 @@ def test_bpe_train_matches_pure_python_reference(q, tables):
         for r in q("text_bpe_train").collect()
     ]
     assert got == expected
+
+
+def test_corpus_shuffle_is_permutation(q):
+    """(shard, pos) must be a bijection onto docs: every shard's
+    positions are exactly 1..count(shard), and each doc appears once."""
+    rows = q("corpus_shuffle").collect()
+    assert len({r.doc_id for r in rows}) == len(rows)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), f"shard {shard} has gaps"
+
+
+def test_sample_weighted_bias_toward_heavy_docs(q, spark, tables):
+    """E-S sampling with weight=n_chars must overselect long docs: the
+    sampled mean n_chars exceeds the corpus mean (in expectation by
+    construction; deterministic here because the draw is seeded)."""
+    sampled = q("sample_weighted").collect()
+    docs = {r.doc_id: r.n_chars for r in tables["documents"].select("doc_id", "n_chars").collect()}
+    k = len(sampled)
+    assert 0 < k <= 1000
+    mean_sampled = sum(docs[r.doc_id] for r in sampled) / k
+    mean_corpus = sum(docs.values()) / len(docs)
+    if k < len(docs):  # a full take is trivially unbiased
+        assert mean_sampled > mean_corpus, (mean_sampled, mean_corpus)
+
+
+def test_ppl_bucket_terciles_and_ordering(q):
+    """Buckets within a lang must be contiguous in score: max(head) <=
+    min(middle) <= ... and sizes differ by at most 1 (NTILE contract)."""
+    rows = q("corpus_ppl_bucket").collect()
+    langs = {}
+    for r in rows:
+        langs.setdefault(r.lang, {}).setdefault(r.bucket, []).append(r.avg_neg_logprob)
+    for lang, buckets in langs.items():
+        assert set(buckets) <= {"head", "middle", "tail"}
+        sizes = [len(v) for v in buckets.values()]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        if {"head", "middle"} <= set(buckets):
+            assert max(buckets["head"]) <= min(buckets["middle"]) + 1e-9
+        if {"middle", "tail"} <= set(buckets):
+            assert max(buckets["middle"]) <= min(buckets["tail"]) + 1e-9

@@ -1254,3 +1254,186 @@ def text_bpe_train(spark, t):
     return spark.createDataFrame(
         rules, "step int, left string, right string, merged string, pair_count bigint"
     )
+
+
+@query(
+    "corpus_shuffle",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             ((doc_id % 2147483647) * 69621) % 2147483647 AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(h % 16 AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY h % 16 ORDER BY h, doc_id)
+                AS BIGINT) AS pos
+    FROM d
+    """,
+)
+def corpus_shuffle(spark, t):
+    """Seeded global corpus shuffle: assign every doc a (shard, pos)
+    slot in a pseudorandom permutation of the corpus.
+
+    The pre-training write-side primitive: training loaders want the
+    corpus globally shuffled ONCE into shards so epoch reads are
+    sequential I/O, not random seeks.  The permutation is a pure
+    function of doc_id (portable multiplicative hash, multiplier
+    69621 — a distinct stream from corpus_split's 2654435761, so
+    shuffle order is independent of split assignment), making it
+    reproducible across engines, runs, and re-shards.  The hash is
+    range-reduced mod p = 2^31-1 BEFORE the multiply, so it cannot
+    overflow int64 at any key scale (the sf1 sweep's lesson).
+
+    Scale shape: one hash-partition exchange on `shard` plus a
+    per-shard sort — exactly the shuffle+sort a sharded write does
+    anyway, so the permutation is free at write time.  16 shards here;
+    at 100 TB the shard count is (total / target_file_size), and
+    row_number stays per-shard, never global.
+    """
+    h = "((doc_id % 2147483647) * 69621) % 2147483647"
+    d = t["documents"].select(
+        "doc_id",
+        F.expr(h).alias("h"),
+        F.expr(f"CAST(({h}) % 16 AS INT)").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return d.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+@query(
+    "sample_weighted",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, GREATEST(n_chars, 1) AS w,
+             ((doc_id % 2147483647) * 40503) % 2147483647 AS h
+      FROM documents
+    ), k AS (
+      SELECT doc_id, lang, w,
+             ln((h + 1.0) / 2147483648.0) / w AS key
+      FROM d
+    )
+    SELECT doc_id, lang, CAST(w AS BIGINT) AS weight,
+           ROUND(key, 6) + 0 AS sample_key
+    FROM k ORDER BY key DESC, doc_id LIMIT 1000
+    """,
+)
+def sample_weighted(spark, t):
+    """Weighted sampling WITHOUT replacement (k=1000, weight=n_chars)
+    via Efraimidis–Spirakis order statistics: each doc draws a
+    deterministic uniform u in (0,1] from a portable hash and keys
+    itself with ln(u)/w; the k LARGEST keys are exactly a weighted
+    sample without replacement (Efraimidis & Spirakis, IPL 2006).
+
+    The curation primitive for "sample 10B tokens proportional to
+    quality score": one narrow map computes the key, then a global
+    top-k — which Spark plans as TakeOrderedAndProject (per-partition
+    heap of k, driver merge), NEVER a global sort.  At 100 TB with
+    huge k, the same key survives a two-pass variant: approximate the
+    k-th key threshold from a sample, filter key >= threshold, exact
+    top-k on the survivors — the per-doc key needs no rescan.
+    Membership is decided on the UNROUNDED key (ulp-stable: adjacent
+    order statistics at this density are ~1e-5 apart, libm ulps are
+    ~1e-16 relative); ROUND(.,6) only canonicalizes the emitted
+    column, and GREATEST(w,1) guards zero-length docs.
+    """
+    hexpr = "((doc_id % 2147483647) * 40503) % 2147483647"
+    d = t["documents"].select(
+        "doc_id",
+        "lang",
+        F.greatest("n_chars", F.lit(1)).alias("w"),
+        F.expr(hexpr).alias("h"),
+    )
+    key = F.log((F.col("h") + F.lit(1.0)) / F.lit(2147483648.0)) / F.col("w")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.col("w").cast("bigint").alias("weight"),
+            key.alias("_key"),
+        )
+        .orderBy(F.col("_key").desc(), "doc_id")
+        .limit(1000)
+        .select(
+            "doc_id",
+            "lang",
+            "weight",
+            (F.round("_key", 6) + 0).alias("sample_key"),
+        )
+    )
+
+
+@query(
+    "corpus_ppl_bucket",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ), counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS t,
+             CAST(count(DISTINCT token) AS BIGINT) AS v
+      FROM tok
+    ), ppl AS (
+      SELECT doc_id, lang,
+             ROUND(-SUM(ln(CAST(c + 1 AS DOUBLE) / (t + v))) / count(*), 6)
+               + 0 AS avg_neg_logprob
+      FROM tok JOIN counts USING (token), tot
+      GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang, avg_neg_logprob,
+           CASE NTILE(3) OVER (PARTITION BY lang
+                               ORDER BY avg_neg_logprob, doc_id)
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM ppl
+    """,
+)
+def corpus_ppl_bucket(spark, t):
+    """CCNet-style perplexity bucketing: score every doc with the
+    corpus-fit unigram LM (same expression as text_unigram_logprob),
+    then split each language into head/middle/tail fluency terciles.
+
+    The quality-tiering primitive (CCNet, Wenzek et al. 2020): 'head'
+    feeds pre-training directly, 'middle' gets a second-stage filter,
+    'tail' is dropped or mined for hard negatives.  Terciles use
+    NTILE over (lang), ordered by the ROUNDED score then doc_id so
+    bucket boundaries are deterministic across engines (a raw-double
+    ordering could flip adjacent docs on a libm ulp).  Per-lang NTILE
+    needs the language's total count in one ordered partition; at
+    100 TB the CCNet recipe itself switches to fixed thresholds
+    estimated from a sample (approx_percentile per lang, broadcast,
+    then a narrow map compare) — same buckets, no per-lang sort; the
+    windowed form here is the oracle-exact tier.
+    """
+    tok = t["documents"].select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count("*").alias("c"))
+    tot = tok.agg(
+        F.count("*").alias("t"), F.countDistinct("token").alias("v")
+    )
+    p = (F.col("c") + 1).cast("double") / (F.col("t") + F.col("v"))
+    ppl = (
+        tok.join(counts, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            (F.round(-F.sum(F.log(p)) / F.count("*"), 6) + 0).alias(
+                "avg_neg_logprob"
+            )
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("avg_neg_logprob", "doc_id")
+    n = F.ntile(3).over(w)
+    return ppl.select(
+        "doc_id",
+        "lang",
+        "avg_neg_logprob",
+        F.when(n == 1, "head").when(n == 2, "middle").otherwise("tail").alias("bucket"),
+    )
