@@ -299,3 +299,23 @@ def test_zorder_layout_prunes_both_dimensions(spark, tables):
     # z-order: a real fraction of files is pruned on the date dim
     assert z_hit < z_total
     assert z_hit / z_total <= 0.8
+
+
+def test_sample_weighted_is_take_ordered_not_global_sort(q):
+    """The E-S top-k must plan as TakeOrderedAndProject (per-partition
+    heap + driver merge of k) — a global Sort would shuffle the whole
+    corpus to rank 1000 rows."""
+    plan = _plan(q("sample_weighted"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_corpus_shuffle_single_exchange(q):
+    """The permutation costs exactly the one hash exchange a sharded
+    write performs anyway (plus its per-shard sort)."""
+    plan = _plan(q("corpus_shuffle"))
+    # formatted mode prints each node once in the tree and once in the
+    # detail list — count the detail headers "(n) Exchange"
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
