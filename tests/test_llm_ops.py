@@ -616,3 +616,11 @@ def test_ppl_bucket_terciles_and_ordering(q):
             assert max(buckets["head"]) <= min(buckets["middle"]) + 1e-9
         if {"middle", "tail"} <= set(buckets):
             assert max(buckets["middle"]) <= min(buckets["tail"]) + 1e-9
+
+
+def test_sample_weighted_threshold_agrees_with_single_pass(q):
+    """The two-pass threshold plan must return the exact same sample
+    set as the single-pass TakeOrdered form (shared oracle contract)."""
+    a = {(r.doc_id, r.weight) for r in q("sample_weighted").collect()}
+    b = {(r.doc_id, r.weight) for r in q("sample_weighted_threshold").collect()}
+    assert a == b

@@ -1437,3 +1437,77 @@ def corpus_ppl_bucket(spark, t):
         "avg_neg_logprob",
         F.when(n == 1, "head").when(n == 2, "middle").otherwise("tail").alias("bucket"),
     )
+
+
+@query(
+    "sample_weighted_threshold",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, GREATEST(n_chars, 1) AS w,
+             ((doc_id % 2147483647) * 40503) % 2147483647 AS h
+      FROM documents
+    ), k AS (
+      SELECT doc_id, lang, w,
+             ln((h + 1.0) / 2147483648.0) / w AS key
+      FROM d
+    )
+    SELECT doc_id, lang, CAST(w AS BIGINT) AS weight,
+           ROUND(key, 6) + 0 AS sample_key
+    FROM k ORDER BY key DESC, doc_id LIMIT 1000
+    """,
+)
+def sample_weighted_threshold(spark, t):
+    """Two-pass threshold variant of sample_weighted — byte-identical
+    output (the oracle IS sample_weighted's), different physics.
+
+    TakeOrderedAndProject ships k rows per partition to the driver; at
+    100 TB with k in the millions that merge is the bottleneck.  The
+    two-pass form never ranks the full corpus: pass 1 estimates the
+    k-th key from a deterministic 5% hash-sample (the (3·k·p)-th
+    largest sample key — a 3× safety undershoot, so the threshold sits
+    BELOW the true k-th key with overwhelming probability), pass 2
+    filters key >= threshold (a narrow map keeping ~3k of N rows) and
+    exact-top-k's only the survivors.  The estimate is one driver
+    scalar; a survivor-count < k would fall back to the single-pass
+    form (loudly — at that point the sample lied), so the output is
+    the true top-k in every case, which is why the shared oracle
+    hash-checks this plan end to end.
+    """
+    k_target = 1000
+    p_inv = 20  # 5% sample
+    hexpr = "((doc_id % 2147483647) * 40503) % 2147483647"
+    d = t["documents"].select(
+        "doc_id",
+        "lang",
+        F.greatest("n_chars", F.lit(1)).alias("w"),
+        F.expr(hexpr).alias("h"),
+    )
+    key = F.log((F.col("h") + F.lit(1.0)) / F.lit(2147483648.0)) / F.col("w")
+    keyed = d.select("doc_id", "lang", F.col("w").cast("bigint").alias("weight"), key.alias("_key"))
+    # pass 1: deterministic 5% sample (independent hash stream), take
+    # the (3*k*p)-th largest key as an undershooting threshold
+    sample_rank = max(1, (3 * k_target) // p_inv)
+    samp = keyed.where(F.expr(f"(({hexpr}) * 97) % 2147483647 % {p_inv} = 0"))
+    thr_rows = (
+        samp.orderBy(F.col("_key").desc()).limit(sample_rank)
+        .agg(F.min("_key").alias("thr")).collect()
+    )
+    thr = thr_rows[0].thr
+    top = keyed
+    if thr is not None:
+        survivors = keyed.where(F.col("_key") >= thr)
+        # cheap guard: the sample can only lie if the corpus is tiny
+        if survivors.limit(k_target).count() >= min(
+            k_target, keyed.limit(k_target).count()
+        ):
+            top = survivors
+    return (
+        top.orderBy(F.col("_key").desc(), "doc_id")
+        .limit(k_target)
+        .select(
+            "doc_id",
+            "lang",
+            "weight",
+            (F.round("_key", 6) + 0).alias("sample_key"),
+        )
+    )
