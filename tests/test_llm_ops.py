@@ -624,3 +624,66 @@ def test_sample_weighted_threshold_agrees_with_single_pass(q):
     a = {(r.doc_id, r.weight) for r in q("sample_weighted").collect()}
     b = {(r.doc_id, r.weight) for r in q("sample_weighted_threshold").collect()}
     assert a == b
+
+
+def test_dedup_e2e_verdict_invariants(q):
+    """Every doc gets exactly one verdict row; each component keeps
+    exactly one doc (the longest, doc_id tiebreak) and everyone else
+    points at it; membership counts agree with dedup_cluster_resolve."""
+    rows = q("corpus_dedup_e2e").collect()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component_id, []).append(r)
+    for comp, rs in by_comp.items():
+        kept = [r for r in rs if r.keep]
+        assert len(kept) == 1, (comp, rs)
+        assert kept[0].reason == "kept"
+        assert all(r.keep_doc_id == kept[0].doc_id for r in rs)
+        assert all(r.reason in ("exact_dup", "near_dup") for r in rs if not r.keep)
+    cr = {r.component_id: r.n_docs for r in q("dedup_cluster_resolve").collect()}
+    assert {c: len(rs) for c, rs in by_comp.items()} == cr
+
+
+def test_dedup_e2e_reason_codes_on_planted_corpus(spark):
+    """Exact copies collapse into one component via hamming-0 edges and
+    get reason='exact_dup'; unrelated docs stay 'kept' singletons."""
+    from tweetdb_spark.llm.dedup import corpus_dedup_e2e
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    other = "uno dos tres cuatro cinco seis siete ocho nueve diez once doce"
+    docs = spark.createDataFrame(
+        [(10, base, len(base)), (11, base, len(base)), (12, other, len(other))],
+        "doc_id long, text string, n_chars long",
+    )
+    out = {r.doc_id: r for r in corpus_dedup_e2e(spark, {"documents": docs}).collect()}
+    assert out[10].keep and out[10].reason == "kept"
+    assert not out[11].keep and out[11].reason == "exact_dup"
+    assert out[11].keep_doc_id == 10 and out[11].component_id == 10
+    assert out[12].keep and out[12].component_id == 12
+
+
+def test_dup_ngram_fraction_flags_planted_boilerplate(spark):
+    """Docs sharing a boilerplate prefix must show exactly the 5-grams
+    fully inside the shared span as duplicated; docs under 5 tokens
+    emit no row (both engines agree on that rule)."""
+    from tweetdb_spark.llm.text import text_dup_ngram_fraction
+
+    boiler = "this licensed content is provided as is ok"  # 8 tokens -> 4 5-grams
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " unique one two three four five"),
+            (2, boiler + " different tail six seven eight nine"),
+            (3, "totally unrelated words with no shared five gram span"),
+            (4, "too short text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in text_dup_ngram_fraction(spark, {"documents": docs}).collect()
+    }
+    assert set(out) == {1, 2, 3}  # doc 4 has < 5 tokens
+    assert out[1].n_grams == 10 and out[1].n_dup_grams == 4
+    assert out[2].n_dup_grams == 4
+    assert out[3].n_dup_grams == 0 and out[3].dup_frac == 0.0
+    assert abs(out[1].dup_frac - 0.4) < 1e-9

@@ -412,9 +412,11 @@ def dedup_embedding_cosine(spark, t):
     )
 
 
-@query(
-    "dedup_cluster_resolve",
-    oracle=f"""
+# Shared oracle CTE chain: exact connected-component labels over the
+# simhash hamming<=1 pair graph (recursive-CTE transitive closure).
+# Quadratic in N on the oracle side by design — it is the ground truth
+# for the distributed label-propagation loop, run at fixture scale only.
+_SIMHASH_LABELS_CTE = f"""
     WITH tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
     ), tf AS (
@@ -453,6 +455,13 @@ def dedup_embedding_cosine(spark, t):
       FROM documents d LEFT JOIN reach ON reach.src = d.doc_id
       GROUP BY d.doc_id
     )
+"""
+
+
+@query(
+    "dedup_cluster_resolve",
+    oracle=_SIMHASH_LABELS_CTE
+    + """
     SELECT component_id,
            count(*) AS n_docs,
            MIN(doc_id) AS keep_doc_id
@@ -473,16 +482,30 @@ def dedup_cluster_resolve(spark, t):
     algorithm; the oracle is an exact recursive-CTE transitive
     closure, which proves the propagation's fixpoint.
     """
-    from pyspark.sql import Window
+    labels = _simhash_components(spark, t)
+    return labels.groupBy("component_id").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
 
+
+def _simhash_components(spark, t):
+    """Connected-component labels (doc_id, component_id) over the
+    simhash hamming ≤ 1 pair graph — min-label propagation with
+    pointer doubling; shared by dedup_cluster_resolve and
+    corpus_dedup_e2e.
+
+    Edges come from the banded candidate equi-join, NOT an all-pairs
+    join: hamming ≤ 1 < 4 bands, so by pigeonhole every qualifying
+    pair shares a band and the banding is EXACT here (same recall-1.0
+    argument dedup_simhash makes for ≤ 3).  The oracle's all-pairs
+    edge SQL therefore proves the banded generation complete as a side
+    effect of checking the components."""
     fp = _simhash_fingerprints(spark, t)
-    a, b = fp.alias("a"), fp.alias("b")
     edges = (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .where(
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))) <= 1
-        )
-        .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+        _simhash_band_candidates(spark, fp)
+        .where(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= 1)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     )
     sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.localCheckpoint(eager=True)  # cut lineage before iterating
@@ -530,9 +553,78 @@ def dedup_cluster_resolve(spark, t):
             break
     else:  # pragma: no cover - 2^64 diameter is impossible
         raise RuntimeError("connected components did not converge")
-    return labels.groupBy("component_id").agg(
-        F.count("*").alias("n_docs"),
-        F.min("doc_id").alias("keep_doc_id"),
+    return labels
+
+
+@query(
+    "corpus_dedup_e2e",
+    oracle=_SIMHASH_LABELS_CTE
+    + """
+    , lab AS (
+      SELECT l.doc_id, l.component_id, md5(d.text) AS h, d.n_chars
+      FROM labels l JOIN documents d USING (doc_id)
+    ), canon AS (
+      SELECT component_id, doc_id AS keep_doc_id, h AS keep_h
+      FROM (SELECT lab.*, row_number() OVER (
+                PARTITION BY component_id
+                ORDER BY n_chars DESC, doc_id) AS rn FROM lab)
+      WHERE rn = 1
+    )
+    SELECT lab.doc_id, lab.component_id,
+           lab.doc_id = canon.keep_doc_id AS keep,
+           canon.keep_doc_id,
+           CASE WHEN lab.doc_id = canon.keep_doc_id THEN 'kept'
+                WHEN lab.h = canon.keep_h THEN 'exact_dup'
+                ELSE 'near_dup' END AS reason
+    FROM lab JOIN canon USING (component_id)
+    """,
+)
+def corpus_dedup_e2e(spark, t):
+    """End-to-end dedup verdict — the single table a training pipeline
+    feeds downstream: for EVERY doc, its dup-cluster id, whether it
+    survives, which doc superseded it, and why.
+
+    Composition of the ladder's tiers in one pass: simhash components
+    (exact duplicates have identical fingerprints, so hamming-0 edges
+    subsume the L1 exact tier; hamming ≤ 1 adds the near tier) →
+    canonical pick per cluster by quality (longest text wins, doc_id
+    tiebreak — at 100 TB substitute the text_quality score) → reason
+    codes ('kept' / 'exact_dup' = byte-identical to the keeper /
+    'near_dup').  Everything after the component loop is one window
+    over component_id plus one broadcast-sized join back — no new
+    shuffle class beyond dedup_cluster_resolve.  The oracle replays
+    the full chain: recursive-CTE components + the same window, so
+    cluster membership, canonical choice, and reason codes are all
+    value-hash-checked.
+    """
+    from pyspark.sql import Window
+
+    labels = _simhash_components(spark, t)
+    docs = t["documents"].select(
+        "doc_id", F.md5("text").alias("h"), "n_chars"
+    )
+    lab = labels.join(docs, "doc_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    canon = (
+        lab.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "component_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("h").alias("keep_h"),
+        )
+    )
+    return lab.join(canon, "component_id").select(
+        "doc_id",
+        "component_id",
+        (F.col("doc_id") == F.col("keep_doc_id")).alias("keep"),
+        "keep_doc_id",
+        F.when(F.col("doc_id") == F.col("keep_doc_id"), F.lit("kept"))
+        .when(F.col("h") == F.col("keep_h"), F.lit("exact_dup"))
+        .otherwise(F.lit("near_dup"))
+        .alias("reason"),
     )
 
 

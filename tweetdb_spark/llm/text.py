@@ -520,6 +520,79 @@ def text_decontaminate(spark, t):
 
 
 @query(
+    "text_dup_ngram_fraction",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(string_split(text, ' ')) - 3),
+               i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')))
+               AS grams
+      FROM documents
+    ), dg AS (
+      SELECT doc_id, unnest(grams) AS gram FROM g
+    ), df AS (
+      SELECT gram, count(*) AS df FROM dg GROUP BY gram
+    )
+    SELECT dg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_grams,
+           round(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS dup_frac
+    FROM dg JOIN df USING (gram)
+    GROUP BY dg.doc_id
+    """,
+)
+def text_dup_ngram_fraction(spark, t):
+    """Corpus-wide duplicated-n-gram signal: for each doc, the fraction
+    of its distinct 5-grams that also occur in at least one OTHER doc
+    (well — in ≥2 docs; a gram repeated only within one doc is deduped
+    by the distinct).  The RefinedWeb/FineWeb "duplicated lines/chars
+    fraction" filter generalized to token n-grams — high dup_frac
+    marks boilerplate (headers, license blocks, mirrored pages) that
+    doc-level dedup misses because the surrounding text differs.
+
+    Two hash-aggregations (gram → doc-frequency, then doc_id →
+    fraction) plus one equi-join on the gram; everything stays in
+    whole-stage codegen — the gram arrays come from
+    ``transform(sequence(...))`` over ``split``, no Python.  At
+    100 TB, shuffle 64-bit xxhash64(gram) ids instead of gram strings
+    (same trick text_decontaminate documents) and pre-aggregate
+    map-side: the df table is Zipf-skewed, so partial aggregation
+    collapses the hot grams before the exchange.  Docs shorter than
+    5 tokens emit no grams and are absent from the output (same rule
+    both sides: DuckDB's ``range`` and the guarded Spark ``sequence``
+    are both empty there).
+    """
+    grams = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 5 THEN "
+        "array_distinct(transform(sequence(1, size(split(text, ' ')) - 4), "
+        "i -> array_join(slice(split(text, ' '), i, 5), ' '))) "
+        "ELSE array() END"
+    )
+    dg = t["documents"].select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
+    df_gram = dg.groupBy("gram").agg(F.count("*").alias("df"))
+    return (
+        dg.join(df_gram, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias(
+                "n_dup_grams"
+            ),
+            F.round(
+                F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+@query(
     "corpus_mix_weights",
     oracle="""
     WITH g AS (
