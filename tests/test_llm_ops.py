@@ -687,3 +687,26 @@ def test_dup_ngram_fraction_flags_planted_boilerplate(spark):
     assert out[2].n_dup_grams == 4
     assert out[3].n_dup_grams == 0 and out[3].dup_frac == 0.0
     assert abs(out[1].dup_frac - 0.4) < 1e-9
+
+
+def test_pipeline_audit_consistent_with_stage_ops(q):
+    """selected must be exactly the conjunction of its stage columns,
+    shard in 0..7 iff selected (else -1), and the stage columns must
+    agree with the standalone operators they compose."""
+    audit = {r.doc_id: r for r in q("corpus_pipeline_audit").collect()}
+    for r in audit.values():
+        assert r.selected == (
+            r.is_train and r.quality_pass == 1 and r.dedup_keep and r.decontam_clean
+        )
+        assert (0 <= r.shard <= 7) if r.selected else r.shard == -1
+        assert r.is_train == (r.doc_id % 7 != 0)
+    dedup = {r.doc_id: r.keep for r in q("corpus_dedup_e2e").collect()}
+    assert all(audit[d].dedup_keep == k for d, k in dedup.items())
+    quality = {r.doc_id: r.quality_pass for r in q("text_quality").collect()}
+    assert all(audit[d].quality_pass == qp for d, qp in quality.items())
+    contaminated = {r.doc_id for r in q("text_decontaminate").collect()}
+    for d, r in audit.items():
+        if r.is_train:
+            assert r.decontam_clean == (d not in contaminated)
+    assert any(r.selected for r in audit.values())
+    assert any(not r.selected for r in audit.values())

@@ -628,6 +628,159 @@ def corpus_dedup_e2e(spark, t):
     )
 
 
+@query(
+    "corpus_pipeline_audit",
+    oracle=_SIMHASH_LABELS_CTE
+    + """
+    , lab AS (
+      SELECT l.doc_id, l.component_id, d.n_chars
+      FROM labels l JOIN documents d USING (doc_id)
+    ), canon AS (
+      SELECT component_id, doc_id AS keep_doc_id
+      FROM (SELECT lab.*, row_number() OVER (
+                PARTITION BY component_id
+                ORDER BY n_chars DESC, doc_id) AS rn FROM lab)
+      WHERE rn = 1
+    ), stats AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             count(*) AS n_distinct
+      FROM tf GROUP BY doc_id
+    ), g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(string_split(text, ' ')) - 6),
+               i -> array_to_string(string_split(text, ' ')[i:i+7], ' ')))
+               AS grams
+      FROM documents
+    ), bench AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 7 = 0
+    ), contaminated AS (
+      SELECT DISTINCT tr.doc_id
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM g
+            WHERE doc_id % 7 <> 0) tr
+      JOIN bench USING (gram)
+    ), audit AS (
+      SELECT d.doc_id, d.lang,
+             d.doc_id % 7 <> 0 AS is_train,
+             CASE WHEN s.n_tokens BETWEEN 20 AND 1000
+                   AND CAST(s.n_distinct AS DOUBLE) / s.n_tokens > 0.2
+                  THEN 1 ELSE 0 END AS quality_pass,
+             lab.doc_id = canon.keep_doc_id AS dedup_keep,
+             c.doc_id IS NULL AS decontam_clean
+      FROM documents d
+      JOIN stats s USING (doc_id)
+      JOIN lab ON lab.doc_id = d.doc_id
+      JOIN canon ON canon.component_id = lab.component_id
+      LEFT JOIN contaminated c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, lang, is_train, quality_pass, dedup_keep,
+           decontam_clean,
+           (is_train AND quality_pass = 1 AND dedup_keep
+            AND decontam_clean) AS selected,
+           CASE WHEN is_train AND quality_pass = 1 AND dedup_keep
+                 AND decontam_clean
+                THEN ((doc_id % 2147483647) * 2654435761) % 2147483647 % 8
+                ELSE -1 END AS shard
+    FROM audit
+    """,
+)
+def corpus_pipeline_audit(spark, t):
+    """Flagship curation audit: EVERY doc's disposition through the
+    full training-data pipeline in one table — benchmark split,
+    quality gate, near-dup verdict, decontamination, and the output
+    shard the survivors land in.
+
+    Composes the suite's stages end-to-end: is_train (deterministic
+    doc_id % 7 holdout, matching text_decontaminate's bench split) →
+    quality_pass (corpus_curate's length + diversity gate) →
+    dedup_keep (corpus_dedup_e2e's component-canonical verdict, so
+    exact AND near duplicates drop) → decontam_clean (no 8-gram
+    shared with the bench split; vacuously true for bench docs, which
+    is_train already excludes) → selected = the conjunction → shard =
+    portable multiplicative hash % 8 for selected docs, -1 otherwise
+    (sentinel, not NULL — a nullable int column lands as float64 in
+    one engine's pandas view and not the other's).
+
+    One pass per signal, each an equi-join back to doc_id: the audit
+    is the union of the stages' shuffles, nothing quadratic — at
+    100 TB the `selected`+`shard` pair drives the final partitioned
+    write, and this table IS the pipeline's audit trail (why did doc
+    X drop? which stage?).  The oracle replays every stage, so the
+    whole pipeline composition is value-hash-checked.
+    """
+    d = t["documents"]
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    stats = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct"),
+    )
+    verdict = corpus_dedup_e2e(spark, t).select(
+        "doc_id", F.col("keep").alias("dedup_keep")
+    )
+    grams = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 8 THEN "
+        "array_distinct(transform(sequence(1, size(split(text, ' ')) - 7), "
+        "i -> array_join(slice(split(text, ' '), i, 8), ' '))) "
+        "ELSE array() END"
+    )
+    g = d.select("doc_id", grams.alias("grams"))
+    bench = (
+        g.where(F.col("doc_id") % 7 == 0)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    contaminated = (
+        g.where(F.col("doc_id") % 7 != 0)
+        .select("doc_id", F.explode("grams").alias("gram"))
+        .join(bench, "gram")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contaminated", F.lit(1))
+    )
+    is_train = (F.col("doc_id") % 7) != 0
+    quality_pass = F.when(
+        F.col("n_tokens").between(20, 1000)
+        & (F.col("n_distinct").cast("double") / F.col("n_tokens") > 0.2),
+        1,
+    ).otherwise(0)
+    audit = (
+        d.select("doc_id", "lang")
+        .join(stats, "doc_id")
+        .join(verdict, "doc_id")
+        .join(contaminated, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            is_train.alias("is_train"),
+            quality_pass.alias("quality_pass"),
+            "dedup_keep",
+            F.col("is_contaminated").isNull().alias("decontam_clean"),
+        )
+    )
+    selected = (
+        F.col("is_train")
+        & (F.col("quality_pass") == 1)
+        & F.col("dedup_keep")
+        & F.col("decontam_clean")
+    )
+    return audit.select(
+        "doc_id",
+        "lang",
+        "is_train",
+        "quality_pass",
+        "dedup_keep",
+        "decontam_clean",
+        selected.alias("selected"),
+        F.when(
+            selected,
+            F.expr("((doc_id % 2147483647) * 2654435761) % 2147483647 % 8"),
+        )
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("shard"),
+    )
+
+
 @query("dedup_semantic_blocked", oracle=None)  # cell-blocked ≈ → rows-only
 def dedup_semantic_blocked(spark, t):
     """Cell-blocked semantic near-dup — the 100 TB path for
