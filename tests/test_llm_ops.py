@@ -710,3 +710,46 @@ def test_pipeline_audit_consistent_with_stage_ops(q):
             assert r.decontam_clean == (d not in contaminated)
     assert any(r.selected for r in audit.values())
     assert any(not r.selected for r in audit.values())
+
+
+def test_stratified_sample_rates_and_determinism(q, tables):
+    """Observed per-stratum rates must track the 50/25/10% targets
+    (hash buckets are uniform-ish, fixture strata are small, so wide
+    tolerance), and membership must be identical across runs."""
+    rows = q("corpus_sample_stratified").collect()
+    again = q("corpus_sample_stratified").collect()
+    assert {r.doc_id for r in rows} == {r.doc_id for r in again}
+    totals = {}
+    for r in tables["documents"].select("doc_id", "lang").collect():
+        totals[r.lang] = totals.get(r.lang, 0) + 1
+    kept = {}
+    for r in rows:
+        kept[r.lang] = kept.get(r.lang, 0) + 1
+        assert r.bucket < {"en": 5000, "de": 2500}.get(r.lang, 1000)
+    for lang, target in (("en", 0.5), ("de", 0.25)):
+        if totals.get(lang, 0) >= 50:
+            rate = kept.get(lang, 0) / totals[lang]
+            assert abs(rate - target) < 0.15, (lang, rate)
+
+
+def test_ngram_topk_names_planted_boilerplate(spark):
+    """On a corpus where 3 of 4 docs share a boilerplate sentence, the
+    shared 5-grams must head the ranking with doc_freq 3."""
+    from tweetdb_spark.llm.text import text_ngram_topk
+
+    boiler = "all rights reserved by the original content author here"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " apple banana cherry"),
+            (2, boiler + " dog elephant fox"),
+            (3, boiler + " green house igloo"),
+            (4, "completely different words in this document body text"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = text_ngram_topk(spark, {"documents": docs}).collect()
+    freqs = [r.doc_freq for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    top = [r.gram for r in rows if r.doc_freq == 3]
+    assert "all rights reserved by the" in top
+    assert len(top) == 5  # 9-token boilerplate -> 5 shared 5-grams

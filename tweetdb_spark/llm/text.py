@@ -520,6 +520,95 @@ def text_decontaminate(spark, t):
 
 
 @query(
+    "corpus_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang,
+           ((doc_id % 2147483647) * 2654435761) % 2147483647 % 10000
+             AS bucket
+    FROM documents
+    WHERE ((doc_id % 2147483647) * 2654435761) % 2147483647 % 10000
+          < CASE lang WHEN 'en' THEN 5000
+                      WHEN 'de' THEN 2500
+                      ELSE 1000 END
+    """,
+)
+def corpus_sample_stratified(spark, t):
+    """Stratified downsampling at per-language rates (50% en, 25% de,
+    10% everything else) — the `sampleBy` primitive, made reproducible.
+
+    Language rebalancing is how pre-training mixes are actually built
+    (upweight scarce languages by downsampling the dominant one), and
+    a production sample must be DETERMINISTIC so reruns, audits, and
+    incremental appends agree — so membership is a pure function of
+    doc_id: the same Knuth multiplicative hash (mod-p-reduced; the
+    naive form overflowed int64 at replica-offset ids) bucketed to
+    1/10000ths and thresholded per stratum.  A narrow filter — no
+    shuffle, no RNG state, trivially pushed to the scan — unlike
+    ``df.sampleBy``, whose per-partition RNG reshuffles membership
+    whenever partitioning changes.  New docs sample themselves
+    independently (no global pass), which is what makes this the
+    incremental-ingest form.
+    """
+    bucket = F.expr("((doc_id % 2147483647) * 2654435761) % 2147483647 % 10000")
+    rate = (
+        F.when(F.col("lang") == "en", 5000)
+        .when(F.col("lang") == "de", 2500)
+        .otherwise(1000)
+    )
+    return (
+        t["documents"]
+        .select("doc_id", "lang", bucket.alias("bucket"))
+        .where(F.col("bucket") < rate)
+    )
+
+
+@query(
+    "text_ngram_topk",
+    oracle="""
+    WITH dg AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, len(string_split(text, ' ')) - 3),
+                 i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')))
+                 AS gram
+        FROM documents)
+    )
+    SELECT gram, CAST(count(*) AS BIGINT) AS doc_freq
+    FROM dg GROUP BY gram
+    ORDER BY doc_freq DESC, gram
+    LIMIT 20
+    """,
+)
+def text_ngram_topk(spark, t):
+    """Boilerplate mining: the 20 most document-frequent 5-grams in
+    the corpus (deterministic doc_freq DESC, gram ASC tie-break).
+
+    The companion to text_dup_ngram_fraction — that op scores docs by
+    how much duplicated material they carry; this one names the
+    material, which is how a curation team builds its boilerplate
+    blocklist (license headers, navigation chrome, scraper banners).
+    Per-doc distinct grams → one 2-phase count agg → TakeOrdered:
+    the global top-k never sorts the full gram table, and partial
+    aggregation collapses the Zipf head map-side before the exchange.
+    """
+    grams = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 5 THEN "
+        "array_distinct(transform(sequence(1, size(split(text, ' ')) - 4), "
+        "i -> array_join(slice(split(text, ' '), i, 5), ' '))) "
+        "ELSE array() END"
+    )
+    return (
+        t["documents"]
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("gram"))
+        .limit(20)
+    )
+
+
+@query(
     "text_dup_ngram_fraction",
     oracle="""
     WITH g AS (
