@@ -404,3 +404,36 @@ def test_stream_cdc_apply_equals_batch_merge(registry, spark):
         for r in registry.QUERIES["merge_upsert"](spark, SF_DIR).collect()
     }
     assert stream == batch
+
+
+def test_stream_corpus_ingest_equals_batch_curation(registry, spark):
+    """The streamed ingest's final corpus state (built across 4
+    micro-batches with a commutative merge) must equal the one-shot
+    batch quality ∧ exact-dedup query row-for-row."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from tweetdb_spark.catalog import load_tables
+
+    stream = {
+        (r.text_hash, r.keep_doc_id, r.n_copies)
+        for r in registry.QUERIES["stream_corpus_ingest"](spark, SF_DIR).collect()
+    }
+    d = load_tables(spark, SF_DIR, ["documents"])["documents"]
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    stats = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct"),
+    )
+    quality = (F.col("n_tokens").between(20, 1000)) & (
+        F.col("n_distinct").cast("double") / F.col("n_tokens") > 0.2
+    )
+    batch = {
+        (r.text_hash, r.keep_doc_id, r.n_copies)
+        for r in d.join(stats, "doc_id")
+        .where(quality)
+        .groupBy(F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .collect()
+    }
+    assert stream == batch and len(stream) > 0

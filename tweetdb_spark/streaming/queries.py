@@ -631,3 +631,106 @@ def stream_cdc_apply(spark, t):
     )
     q.awaitTermination()
     return spark.read.parquet(state["cur"])
+
+
+@query(
+    "stream_corpus_ingest",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), stats AS (
+      SELECT doc_id, count(*) AS n_tokens, count(DISTINCT token) AS n_distinct
+      FROM tok GROUP BY doc_id
+    ), q AS (
+      SELECT d.doc_id, d.text FROM documents d JOIN stats s USING (doc_id)
+      WHERE s.n_tokens BETWEEN 20 AND 1000
+        AND CAST(s.n_distinct AS DOUBLE) / s.n_tokens > 0.2
+    )
+    SELECT sha256(lower(trim(text))) AS text_hash,
+           MIN(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM q GROUP BY 1
+    """,
+)
+def stream_corpus_ingest(spark, t):
+    """Streaming corpus ingest: document micro-batches → quality gate
+    → exact dedup merged into an accumulating corpus state — the
+    daily-crawl-drop shape, as Structured Streaming.
+
+    Each micro-batch filters to quality-passing docs (corpus_curate's
+    gate), pre-aggregates per normalized hash (min doc_id, count),
+    and merges into the corpus state with a commutative reduce
+    (LEAST on the keeper, SUM on the count) — so the final state is
+    **independent of how the feed was batched**, which is exactly
+    what lets a SQL oracle hash-check a streaming operator: the
+    result equals the batch quality ∧ dedup_exact query no matter
+    the trigger schedule.  State commits are copy-on-write snapshot
+    dirs (stream_cdc_apply's pattern) and replayed batch_ids are
+    skipped, so a crash-restart never double-counts.  At 100 TB the
+    state table is 32-byte hashes + two ints per distinct doc —
+    three orders smaller than the corpus — and the merge is an
+    equi-shuffle on the hash; bucket the state by text_hash and the
+    per-batch merge stops reshuffling the accumulated side entirely
+    (dedup_incremental's layout, fed by a stream).
+    """
+    import os
+
+    from tweetdb_spark import scratch
+
+    root = scratch.fresh_dir("tweetdb_ingest")
+    ckpt = scratch.fresh_dir("tweetdb_ingestchk")
+    feed_dir = os.path.join(root, "feed")
+    docs = t["documents"].select("doc_id", "text")
+    docs.repartition(4).write.mode("overwrite").parquet(feed_dir)
+
+    state = {"cur": None, "n": 0, "applied": set()}
+
+    def apply_batch(bdf, batch_id):
+        if batch_id in state["applied"]:  # replay after restart: no-op
+            return
+        tok = bdf.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        stats = tok.groupBy("doc_id").agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("token").alias("n_distinct"),
+        )
+        quality = (F.col("n_tokens").between(20, 1000)) & (
+            F.col("n_distinct").cast("double") / F.col("n_tokens") > 0.2
+        )
+        agg = (
+            bdf.join(stats, "doc_id")
+            .where(quality)
+            .groupBy(F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("text_hash"))
+            .agg(
+                F.min("doc_id").alias("keep_doc_id"),
+                F.count("*").alias("n_copies"),
+            )
+        )
+        if state["cur"] is not None:
+            cur = bdf.sparkSession.read.parquet(state["cur"])
+            agg = (
+                cur.unionByName(agg)
+                .groupBy("text_hash")
+                .agg(
+                    F.min("keep_doc_id").alias("keep_doc_id"),
+                    F.sum("n_copies").cast("long").alias("n_copies"),
+                )
+            )
+        nxt = os.path.join(root, f"v{state['n'] + 1}")
+        agg.write.mode("overwrite").parquet(nxt)
+        state["cur"] = nxt
+        state["n"] += 1
+        state["applied"].add(batch_id)
+
+    feed = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    q = (
+        feed.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state["cur"])
