@@ -753,3 +753,34 @@ def test_ngram_topk_names_planted_boilerplate(spark):
     top = [r.gram for r in rows if r.doc_freq == 3]
     assert "all rights reserved by the" in top
     assert len(top) == 5  # 9-token boilerplate -> 5 shared 5-grams
+
+
+def test_jl_projection_preserves_distances(q, tables):
+    """The 64->16 sign projection must bound distortion like a random
+    JL matrix: distance ratios centered on 1 with small spread.  (On
+    this fixture pairwise distances are nearly uniform — CV ~6% — so
+    CORRELATION is the wrong metric: even a true Gaussian projection
+    scores ~0.4.  The broken period-8 sign matrix this test caught
+    shows ratio std 0.38 and only 82% of pairs within +/-0.5; the
+    proper matrix shows 0.16 / 99.6%.)"""
+    import numpy as np
+
+    orig = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in tables["embeddings"].select("vec_id", "embedding").limit(40).collect()
+    }
+    proj = {}
+    for r in q("embed_project_jl").collect():
+        if r.vec_id in orig:
+            proj.setdefault(r.vec_id, [0.0] * 16)[r.k] = r.proj
+    ids = sorted(orig)
+    ratios = []
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            d0 = np.linalg.norm(orig[ids[a]] - orig[ids[b]])
+            d1 = np.linalg.norm(np.array(proj[ids[a]]) - np.array(proj[ids[b]]))
+            ratios.append(d1 / d0)
+    r = np.array(ratios)
+    assert 0.8 < r.mean() < 1.2, r.mean()
+    assert r.std() < 0.25, r.std()
+    assert np.mean(np.abs(r - 1) < 0.5) >= 0.95, np.mean(np.abs(r - 1) < 0.5)

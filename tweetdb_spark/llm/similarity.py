@@ -421,6 +421,58 @@ def sim_pairwise_label_sampled(spark, t):
 
 
 @query(
+    "embed_project_jl",
+    oracle="""
+    SELECT e.vec_id, kk.k,
+           ROUND(list_sum(list_transform(range(0, 64), i ->
+             (CASE WHEN ((((i * 2654435761 + (kk.k + 1) * 2654876161)
+                           % 2147483647)
+                          * ((i * 2654435761 + (kk.k + 1) * 2654876161)
+                             % 2147483647))
+                         % 2147483647) % 2 = 0
+                   THEN 1.0 ELSE -1.0 END)
+             * CAST(e.embedding[CAST(i AS INT) + 1] AS DOUBLE)))
+             / 4.0, 6) + 0 AS proj
+    FROM embeddings e
+    CROSS JOIN (SELECT unnest(range(0, 16)) AS k) kk
+    """,
+)
+def embed_project_jl(spark, t):
+    """Johnson–Lindenstrauss sign-projection sketch: 64-dim float
+    embeddings → 16-dim via a DETERMINISTIC ±1 matrix (sign of a
+    portable integer hash of (i, k)), scaled by 1/√16.
+
+    The cheap-dimensionality-reduction primitive for 100 TB embedding
+    pipelines (Achlioptas-style database-friendly projection): pure
+    per-row array math in codegen — no matrix broadcast, no Python,
+    no shuffle; the "matrix" is an arithmetic expression both engines
+    evaluate identically, and the fold adds the 64 terms in fixed
+    index order so the doubles match bit-for-bit before the final
+    ROUND.  Output is long-format (vec_id, k, proj) — scalar cells
+    hash across engines; the array form is one groupBy away.
+    Distance preservation (the reason JL exists) is asserted by
+    pytest against exact cosines, not assumed.
+    """
+    # sign bit = parity of h² mod p, h = (i·K₁ + (k+1)·K₂) mod p: the
+    # SQUARE is load-bearing — parities of the affine h alone repeat
+    # with period 8 in i, collapsing the matrix to shifted copies of
+    # one row (distance correlation 0.15; caught by the pytest).
+    # h ≤ p-1 so h² < 2^62: no int64 overflow in either engine.
+    h = "((i * 2654435761L + (k + 1) * 2654876161L) % 2147483647)"
+    proj = F.expr(
+        "transform(sequence(0, 15), k -> "
+        "round(aggregate(sequence(0, 63), cast(0 as double), (acc, i) -> "
+        f"acc + (CASE WHEN (({h} * {h}) % 2147483647) % 2 = 0 "
+        "THEN 1.0D ELSE -1.0D END) "
+        "* CAST(element_at(embedding, CAST(i AS INT) + 1) AS DOUBLE)) "
+        "/ 4.0, 6) + 0)"
+    )
+    return t["embeddings"].select(
+        "vec_id", F.posexplode(proj).alias("k", "proj")
+    ).select("vec_id", F.col("k").cast("bigint").alias("k"), "proj")
+
+
+@query(
     "embed_quantize_i8",
     oracle="""
     WITH b AS (
