@@ -1042,3 +1042,109 @@ def dq_k_anonymity(spark, t):
             (F.col("group_n") < 5).alias("at_risk"),
         )
     )
+
+
+@query(
+    "table_drift_psi",
+    oracle="""
+    WITH mm AS (
+      SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+             CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+      FROM orders
+    ), priced AS (
+      SELECT CASE WHEN o.o_orderdate < TIMESTAMP '1998-01-01' THEN 0 ELSE 1 END AS cur,
+             LEAST(9, CAST(FLOOR((CAST(o.o_totalprice AS DOUBLE) - mm.lo)
+                                 / ((mm.hi - mm.lo) / 10)) AS BIGINT)) AS bucket
+      FROM orders o CROSS JOIN mm
+    ), pb AS (
+      SELECT 'o_totalprice' AS col_name, bucket,
+             CAST(SUM(1 - cur) AS DOUBLE) AS nb,
+             CAST(SUM(cur) AS DOUBLE) AS nc
+      FROM priced GROUP BY bucket
+    ), sb AS (
+      SELECT 'o_orderstatus' AS col_name, o_orderstatus AS bucket_s,
+             CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                           THEN 1 ELSE 0 END) AS DOUBLE) AS nb,
+             CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                           THEN 0 ELSE 1 END) AS DOUBLE) AS nc
+      FROM orders GROUP BY o_orderstatus
+    ), buckets AS (
+      SELECT col_name, nb, nc FROM pb
+      UNION ALL
+      SELECT col_name, nb, nc FROM sb
+    ), tot AS (
+      SELECT col_name, SUM(nb) AS tb, SUM(nc) AS tc,
+             CAST(count(*) AS DOUBLE) AS k
+      FROM buckets GROUP BY col_name
+    )
+    SELECT b.col_name,
+           CAST(t.k AS BIGINT) AS n_buckets,
+           ROUND(SUM(
+             ((b.nc + 0.5) / (t.tc + 0.5 * t.k)
+              - (b.nb + 0.5) / (t.tb + 0.5 * t.k))
+             * LN(((b.nc + 0.5) / (t.tc + 0.5 * t.k))
+                  / ((b.nb + 0.5) / (t.tb + 0.5 * t.k)))
+           ), 6) + 0 AS psi
+    FROM buckets b JOIN tot t USING (col_name)
+    GROUP BY b.col_name, t.k
+    """,
+)
+def table_drift_psi(spark, t):
+    """Distribution-drift monitor: population stability index between
+    the pre-1998 baseline and the post-1998 current slice of orders,
+    one PSI per watched column (10 equal-width buckets for the
+    numeric column, categories as-is for the categorical one).
+
+    The continuous-training guardrail: PSI < 0.1 is stable, > 0.25
+    triggers retraining/investigation (industry convention).  The
+    plan is three tiny aggregations: global min/max (1-row broadcast
+    to bucket the numeric column without a second scan-parameter
+    pass), per-(column, bucket) counts for both slices in ONE pass
+    each (conditional sums, no per-slice scans), then the PSI fold
+    over ≤ 13 bucket rows.  Add-half smoothing keeps empty buckets
+    finite and is exact rational arithmetic until the final LN, so
+    cross-engine floats agree to the 6-decimal round.  At 100 TB the
+    bucket counts are the only shuffle and their cardinality is
+    O(buckets), not O(rows); watch-column lists extend by adding
+    conditional aggregates, not scans.
+    """
+    o = t["orders"]
+    cut = F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    mm = o.agg(
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
+    )
+    priced = o.crossJoin(F.broadcast(mm)).select(
+        F.when(cut, 0).otherwise(1).alias("cur"),
+        F.least(
+            F.lit(9),
+            F.floor(
+                (F.col("o_totalprice").cast("double") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / 10)
+            ).cast("bigint"),
+        ).alias("bucket"),
+    )
+    pb = priced.groupBy("bucket").agg(
+        F.sum(1 - F.col("cur")).cast("double").alias("nb"),
+        F.sum("cur").cast("double").alias("nc"),
+    ).select(F.lit("o_totalprice").alias("col_name"), "nb", "nc")
+    sb = o.groupBy("o_orderstatus").agg(
+        F.sum(F.when(cut, 1).otherwise(0)).cast("double").alias("nb"),
+        F.sum(F.when(cut, 0).otherwise(1)).cast("double").alias("nc"),
+    ).select(F.lit("o_orderstatus").alias("col_name"), "nb", "nc")
+    buckets = pb.unionByName(sb)
+    tot = buckets.groupBy("col_name").agg(
+        F.sum("nb").alias("tb"),
+        F.sum("nc").alias("tc"),
+        F.count("*").cast("double").alias("k"),
+    )
+    j = buckets.join(F.broadcast(tot), "col_name")
+    p_cur = (F.col("nc") + 0.5) / (F.col("tc") + 0.5 * F.col("k"))
+    p_base = (F.col("nb") + 0.5) / (F.col("tb") + 0.5 * F.col("k"))
+    return j.groupBy("col_name", "k").agg(
+        F.round(F.sum((p_cur - p_base) * F.log(p_cur / p_base)), 6).alias("psi")
+    ).select(
+        "col_name",
+        F.col("k").cast("bigint").alias("n_buckets"),
+        (F.col("psi") + 0).alias("psi"),
+    )
