@@ -33,3 +33,35 @@ def test_drift_psi_detects_planted_shift(spark):
     )
     calm = {r.col_name: r.psi for r in table_drift_psi(spark, {"orders": same}).collect()}
     assert all(v < 0.05 for v in calm.values()), calm
+
+
+def test_recursive_chain_equals_window_form(registry, spark):
+    """Spark's recursive-CTE walk must equal Spark's own window
+    closed-form (the oracle already pins it against DuckDB; this pins
+    recursion against windows within one engine)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from tests.conftest import SF_DIR
+    from tweetdb_spark.catalog import load_tables
+
+    rec = {
+        (r.o_orderkey, r.seq, r.cum_spend)
+        for r in registry.QUERIES["cte_recursive_chain"](spark, SF_DIR).collect()
+    }
+    o = load_tables(spark, SF_DIR, ["orders"])["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    win = {
+        (r.o_orderkey, r.seq, r.cum_spend)
+        for r in o.select(
+            "o_orderkey",
+            F.row_number().over(w).cast("bigint").alias("seq"),
+            F.round(
+                F.sum("o_totalprice").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+                2,
+            ).alias("cum_spend"),
+        ).collect()
+    }
+    assert rec == win and len(rec) > 0

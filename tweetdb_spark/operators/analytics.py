@@ -1148,3 +1148,65 @@ def table_drift_psi(spark, t):
         F.col("k").cast("bigint").alias("n_buckets"),
         (F.col("psi") + 0).alias("psi"),
     )
+
+
+@query(
+    "cte_recursive_chain",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(row_number() OVER w AS BIGINT) AS seq,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) + 0
+             AS cum_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def cte_recursive_chain(spark, t):
+    """Spark 4 recursive CTE surface: walk each customer's order
+    chain (temporal successor links) accumulating sequence number and
+    running spend — recursion computing what a window closed-form
+    also computes, so the recursive execution is value-checked
+    against an independent formulation (the DuckDB oracle uses the
+    window form; a pytest pins Spark-recursion == Spark-window too).
+
+    The successor relation (next order of the same customer by
+    (date, key)) is built with one LEAD window in the non-recursive
+    prelude; the recursion then walks the per-customer chains — an
+    ACYCLIC relation, which matters: Spark's recursive CTEs support
+    UNION ALL only (a cyclic walk, e.g. graph closure over symmetric
+    edges, would enumerate paths forever — that use stays with the
+    label-propagation loop in dedup_cluster_resolve).  Depth =
+    max orders per customer (~30 here), each step one equi-join on
+    the successor key; state per step is one row per chain, so the
+    iteration is shuffle-light at any corpus width — recursion depth,
+    not data volume, is the scaling axis to watch.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    succ = t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.lead("o_orderkey").over(w).alias("next_key"),
+        F.row_number().over(w).alias("rn"),
+    )
+    succ.createOrReplaceTempView("tweetdb_cte_succ")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(o_orderkey, o_custkey, seq, cum_spend, next_key) AS (
+          SELECT o_orderkey, o_custkey, CAST(1 AS BIGINT) AS seq,
+                 o_totalprice AS cum_spend, next_key
+          FROM tweetdb_cte_succ WHERE rn = 1
+          UNION ALL
+          SELECT s.o_orderkey, s.o_custkey, c.seq + 1,
+                 c.cum_spend + s.o_totalprice, s.next_key
+          FROM chain c JOIN tweetdb_cte_succ s ON s.o_orderkey = c.next_key
+        )
+        SELECT o_orderkey, o_custkey, seq,
+               ROUND(cum_spend, 2) + 0 AS cum_spend
+        FROM chain
+        """
+    )
