@@ -1185,6 +1185,10 @@ def cte_recursive_chain(spark, t):
     """
     from pyspark.sql.window import Window
 
+    # the recursion emits one row per order over its lifetime; the
+    # default safety valve (spark.sql.cteRecursionRowLimit = 1e6)
+    # trips on fixtures >1M orders even though per-step state is tiny
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     succ = t["orders"].select(
         "o_orderkey",
