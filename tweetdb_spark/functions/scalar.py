@@ -274,7 +274,8 @@ def fn_cast_decimal(spark, t):
     SELECT CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS INTEGER) / 25)
                 AS INTEGER) AS k_quartile,
            count(*) AS cnt,
-           SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS BIGINT) AS sum_k,
            MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
            MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
     FROM events
