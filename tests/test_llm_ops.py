@@ -784,3 +784,41 @@ def test_jl_projection_preserves_distances(q, tables):
     assert 0.8 < r.mean() < 1.2, r.mean()
     assert r.std() < 0.25, r.std()
     assert np.mean(np.abs(r - 1) < 0.5) >= 0.95, np.mean(np.abs(r - 1) < 0.5)
+
+
+def test_bpe_encode_matches_pure_python_reference(q, tables):
+    """Encoding with the learned vocabulary must yield EXACTLY the
+    token counts a single-machine greedy BPE encode produces (the
+    same merge-application loop the trainer test verifies, applied
+    rule-by-rule in learned order)."""
+    rules = [(r.left, r.right) for r in q("text_bpe_train").collect()]
+
+    def encode_len(word):
+        syms = list(word)
+        for l, r in rules:
+            new = []
+            for s in syms:
+                if new and new[-1] == l and s == r:
+                    new[-1] = l + r
+                else:
+                    new.append(s)
+            syms = new
+        return len(syms)
+
+    got = {r.doc_id: (r.n_words, r.n_tokens) for r in q("text_bpe_encode").collect()}
+    docs = {
+        r.doc_id: [w for w in r.text.split(" ") if w]
+        for r in tables["documents"].select("doc_id", "text").collect()
+    }
+    checked = 0
+    for doc_id, words in docs.items():
+        if not words:
+            assert doc_id not in got
+            continue
+        want = (len(words), sum(encode_len(w) for w in words))
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
+        checked += 1
+    assert checked > 100
+    # tokens never exceed chars, never undercut words (merges only shrink)
+    for r in q("text_bpe_encode").collect():
+        assert r.n_words <= r.n_tokens <= r.n_chars_sym

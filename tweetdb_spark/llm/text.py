@@ -1418,6 +1418,73 @@ def text_bpe_train(spark, t):
     )
 
 
+@query("text_bpe_encode", oracle=None)  # applies the iterative vocab; pytest twin
+def text_bpe_encode(spark, t):
+    """Apply the trained BPE vocabulary: tokenize every doc with the
+    merge rules text_bpe_train learned, reporting per-doc token
+    counts and the compression the vocabulary buys.
+
+    The encode side of the tokenizer pair, decomposed the scale-right
+    way: merges are applied to the DISTINCT-WORD dict (Zipf-small),
+    not to every word occurrence — one fold chain over the dict, one
+    equi-join back to (doc, word), one groupBy doc.  The 12 rules
+    ride the query plan as literals (bytes from the driver, like any
+    broadcast dim); the fold is the same greedy left-to-right
+    aggregate() the trainer uses, so train and encode cannot disagree
+    on merge semantics.  tests/test_llm_ops.py re-encodes docs with a
+    pure-Python BPE and asserts exact token counts.
+    """
+    rules = [
+        (r.left, r.right, r.merged)
+        for r in text_bpe_train(spark, t).collect()
+    ]
+    doc_words = (
+        t["documents"]
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") > 0)
+    )
+    vocab = doc_words.select("w").distinct().select(
+        "w",
+        F.expr("filter(transform(split(w, ''), x -> x), x -> x <> '')").alias(
+            "syms"
+        ),
+    )
+    for l, r, merged in rules:
+        le, re_, me = (
+            l.replace("'", "\\'"),
+            r.replace("'", "\\'"),
+            merged.replace("'", "\\'"),
+        )
+        vocab = vocab.select(
+            "w",
+            F.expr(
+                "aggregate(syms, cast(array() as array<string>), "
+                "(acc, x) -> IF(size(acc) > 0 "
+                f"AND element_at(acc, -1) = '{le}' AND x = '{re_}', "
+                f"concat(slice(acc, 1, size(acc) - 1), array('{me}')), "
+                "concat(acc, array(x)))"
+                ")"
+            ).alias("syms"),
+        )
+    vocab = vocab.select(
+        "w",
+        F.size("syms").alias("w_tokens"),
+        F.length("w").alias("w_chars"),
+    )
+    return (
+        doc_words.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("w_chars").cast("bigint").alias("n_chars_sym"),
+            F.sum("w_tokens").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum("w_chars") / F.sum("w_tokens"), 4
+            ).alias("chars_per_token"),
+        )
+    )
+
+
 @query(
     "corpus_shuffle",
     oracle="""
