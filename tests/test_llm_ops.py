@@ -822,3 +822,27 @@ def test_bpe_encode_matches_pure_python_reference(q, tables):
     # tokens never exceed chars, never undercut words (merges only shrink)
     for r in q("text_bpe_encode").collect():
         assert r.n_words <= r.n_tokens <= r.n_chars_sym
+
+
+def test_interleave_prefix_proportions_track_weights(q):
+    """Any sufficiently long prefix of the interleaved order must
+    contain each source roughly in proportion to its weight — the
+    stride-scheduling contract; also global_pos must be the sort
+    order of (mix_key, source, doc_id) with no gaps."""
+    rows = sorted(q("corpus_interleave").collect(), key=lambda r: r.global_pos)
+    assert [r.global_pos for r in rows] == list(range(1, len(rows) + 1))
+    keys = [(r.mix_key, r.source, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+    weights = {r.source: 1 + int(r.source[3:]) % 4 for r in rows}
+    total_w = sum(weights.values())
+    prefix = rows[: len(rows) // 2]
+    counts = {}
+    for r in prefix:
+        counts[r.source] = counts.get(r.source, 0) + 1
+    for src, w in weights.items():
+        expected = len(prefix) * w / total_w
+        got = counts.get(src, 0)
+        # sources are small (25 docs each); allow wide but meaningful
+        # tolerance — and exhausted sources can't exceed their size
+        assert got <= min(expected * 1.6 + 3, 25), (src, got, expected)
+        assert got >= expected * 0.4 - 3, (src, got, expected)

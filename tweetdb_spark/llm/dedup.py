@@ -905,11 +905,12 @@ def dedup_minhash_lsh(spark, t):
 
 # --- Portable banded MinHash (hash-checkable LSH) ----------------------
 #
-# dedup_minhash_lsh above uses Spark ML's MinHashLSH — JVM-internal
-# hashing, so its oracle can only be rows-only.  This variant builds
-# the same banded-signature algorithm from portable integer
-# arithmetic, so DuckDB can run the IDENTICAL computation and the
-# driver hash-checks the full LSH pipeline end-to-end:
+# dedup_minhash_lsh above tokenizes with xxhash64 — JVM-internal, so
+# its oracle can only be rows-only even now that it rides the shared
+# banded machinery.  This variant builds the same banded-signature
+# algorithm from portable integer arithmetic, so DuckDB can run the
+# IDENTICAL computation and the driver hash-checks the full LSH
+# pipeline end-to-end:
 #   shingle id: 3-gram -> ascii polynomial, base 257 (injective for
 #               printable ASCII: c1*257^2 + c2*257 + c3)
 #   minhash_k:  min over shingles of (a_k * id + b_k) % (2^31 - 1)

@@ -1486,6 +1486,76 @@ def text_bpe_encode(spark, t):
 
 
 @query(
+    "corpus_interleave",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             1 + CAST(substr(source, 4) AS INTEGER) % 4 AS w,
+             ((doc_id % 2147483647) * 69621) % 2147483647 AS h
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, source, w,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS src_rank
+      FROM d
+    )
+    SELECT doc_id, source, src_rank,
+           ROUND((src_rank - 0.5) / w, 6) + 0 AS mix_key,
+           CAST(row_number() OVER (
+             ORDER BY (src_rank - 0.5) / w, source, doc_id) AS BIGINT)
+             AS global_pos
+    FROM ranked
+    """,
+)
+def corpus_interleave(spark, t):
+    """Mixture scheduling: interleave sources into one training order
+    at per-source rates — the loader-side application of
+    corpus_mix_weights (stride scheduling, the deterministic form of
+    'sample source s with probability ∝ w_s').
+
+    Each source's docs get a shuffled rank (same portable hash as
+    corpus_shuffle), and doc r of a weight-w source is scheduled at
+    mix_key = (r − 0.5)/w — sorting by mix_key yields a stream where
+    any prefix contains each source in proportion to its weight
+    (upweighted sources recur w× as often), with no RNG state and
+    stable under re-runs and appends.  One shuffle for the per-source
+    rank; the global_pos window is a single-partition sort kept for
+    fixture-scale parity — at 100 TB you stop there: range-partition
+    BY mix_key into shards (corpus_shuffle's layout) and let loaders
+    sort shard-locally, since mix_key itself already encodes the
+    interleave order.
+    """
+    from pyspark.sql.window import Window
+
+    d = t["documents"].select(
+        "doc_id",
+        "source",
+        (1 + F.expr("CAST(substr(source, 4) AS INT)") % 4).alias("w"),
+        F.expr("((doc_id % 2147483647) * 69621) % 2147483647").alias("h"),
+    )
+    ranked = d.select(
+        "doc_id",
+        "source",
+        "w",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("h", "doc_id"))
+        .cast("bigint")
+        .alias("src_rank"),
+    )
+    mix_key = (F.col("src_rank") - 0.5) / F.col("w")
+    return ranked.select(
+        "doc_id",
+        "source",
+        "src_rank",
+        (F.round(mix_key, 6) + 0).alias("mix_key"),
+        F.row_number()
+        .over(Window.orderBy(mix_key, "source", "doc_id"))
+        .cast("bigint")
+        .alias("global_pos"),
+    )
+
+
+@query(
     "corpus_shuffle",
     oracle="""
     WITH d AS (
