@@ -35,6 +35,17 @@ LADDER = [
     "text_tf_idf",
     "text_quality",
     "corpus_pack",
+    "text_dup_ngram_fraction",
+    "text_ngram_topk",
+    "corpus_sample_stratified",
+    "corpus_interleave",
+    "corpus_dedup_e2e",
+    "corpus_pipeline_audit",
+    "embed_project_jl",
+    "table_drift_psi",
+    "stream_corpus_ingest",
+    "cte_recursive_chain",
+    "text_bpe_encode",
 ]
 
 
