@@ -73,3 +73,32 @@ def test_snapshot_time_travel_versions(spark, tables):
     f1 = set(json.load(open(os.path.join(mdir, "v1.json")))["files"])
     shared = f0 & f1
     assert shared and all("v0_F" not in f for f in f1)
+
+
+def test_snapshot_expire_deletes_only_unreferenced_files(spark, tables):
+    """Expiry must delete exactly the files exclusive to dropped
+    versions: v0's manifest and its pre-reprice 'F' file go, the
+    'O'/'P' files v1 re-listed survive, v1 still reads, v0 cannot."""
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    from tweetdb_spark.operators.scans import (
+        _snapshot_root,
+        expire_snapshots,
+        read_snapshot,
+    )
+
+    root = _snapshot_root(spark, tables)
+    before = set(glob.glob(os.path.join(root, "data", "*", "*.parquet")))
+    report = expire_snapshots(root, keep_last=1)
+    after = set(glob.glob(os.path.join(root, "data", "*", "*.parquet")))
+    assert report["removed_manifests"] == 1
+    assert report["removed_files"] >= 1
+    gone = before - after
+    assert gone and all("v0_F" in f for f in gone)  # only v0-exclusive files
+    assert any("v0_O" in f for f in after) and any("v0_P" in f for f in after)
+    assert read_snapshot(spark, root, 1).count() == tables["orders"].count()
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot(spark, root, 0)
