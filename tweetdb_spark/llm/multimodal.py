@@ -224,3 +224,44 @@ def multimodal_decode_stub(spark, t):
             yield pd.DataFrame(out)
 
     return src.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+@query(
+    "multimodal_dedup",
+    oracle="""
+    SELECT md5(text) AS payload_md5,
+           MIN(doc_id) AS keep_doc_id,
+           count(*) AS n_copies,
+           CAST(MIN(length(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def multimodal_dedup(spark, t):
+    """Exact dedup on opaque binary payloads: group by payload md5,
+    keep the first doc_id — dedup_exact's shape applied to the
+    multimodal column (same fixture stand-in as multimodal_meta:
+    ``encode(text)`` materializes the bytes; a real table would carry
+    image/audio bytes or object-store URIs plus a content hash).
+
+    The shuffle carries a 32-hex digest + two ints per row, never the
+    payload — the property that makes binary dedup viable at 100 TB,
+    where payloads are MBs and the hash column is what you'd persist
+    at ingest so dedup never re-reads the blobs at all (byte length
+    rides along as the tiebreak-stable metadata the keeper inherits).
+    """
+    payload = F.encode("text", "utf-8")
+    return (
+        t["documents"]
+        .select(
+            F.md5(payload).alias("payload_md5"),
+            "doc_id",
+            F.octet_length(payload).alias("n_bytes"),
+        )
+        .groupBy("payload_md5")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+            F.min("n_bytes").cast("bigint").alias("n_bytes"),
+        )
+    )

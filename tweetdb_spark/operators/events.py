@@ -609,3 +609,48 @@ def events_attribution(spark, t):
             F.max("n_touches").cast("bigint").alias("n_touches"),
         )
     )
+
+
+@query(
+    "events_rate_limit",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_id, user_id, ts,
+             row_number() OVER (
+               PARTITION BY user_id, date_trunc('hour', ts)
+               ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(rn AS BIGINT) AS rn,
+           rn <= 5 AS admitted
+    FROM ranked
+    """,
+)
+def events_rate_limit(spark, t):
+    """Per-user rate limiting: admit at most 5 events per user per
+    hour, flag the overflow — the bot-throttling / abuse-control
+    primitive every ingestion pipeline runs before events reach the
+    warehouse (and a training pipeline runs to cap any single actor's
+    footprint in the corpus).
+
+    One window keyed (user_id, hour): the shuffle is the same
+    user-keyed exchange sessionization pays, and the hour truncation
+    keeps any single window partition bounded no matter how long a
+    hot user stays hot — at 100 TB the same expression runs in
+    Structured Streaming as a windowed row_number via
+    applyInPandasWithState, or cheaper as a count-per-(user, window)
+    aggregate when only the boolean is needed.  Ties inside the same
+    timestamp break on event_id so admission is deterministic.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(
+        "user_id", F.date_trunc("hour", F.col("ts"))
+    ).orderBy("ts", "event_id")
+    return t["events"].select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        (F.row_number().over(w) <= 5).alias("admitted"),
+    )
