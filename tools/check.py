@@ -162,6 +162,20 @@ def main() -> int:
         # tools/make_scale.py output) are directories of part files
         pat = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
+        if t == "events":
+            # mirror the catalog's ns-long shim: scaled fixtures
+            # (make_scale.py) write ts as raw int64 NANOS, which the
+            # Spark side normalizes but a naive DuckDB view would
+            # expose as BIGINT — breaking every ts-typed oracle at sf1
+            (ts_type,) = con.execute(
+                "SELECT typeof(ts) FROM events LIMIT 1"
+            ).fetchone()
+            if ts_type == "BIGINT":
+                con.execute(
+                    f"CREATE OR REPLACE VIEW events AS "
+                    f"SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
+                    f"FROM '{pat}'"
+                )
 
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():
