@@ -437,3 +437,26 @@ def test_stream_corpus_ingest_equals_batch_curation(registry, spark):
         .collect()
     }
     assert stream == batch and len(stream) > 0
+
+
+def test_stream_rate_limit_equals_batch_ranking(registry, spark):
+    """The streamed per-(user, hour) admission decisions must equal
+    the batch row_number ranking event-for-event (the feed is
+    time-ordered, so online order == event order)."""
+    from tests.conftest import SF_DIR
+
+    stream = {
+        r.event_id: r.admitted
+        for r in registry.QUERIES["stream_rate_limit"](spark, SF_DIR).collect()
+    }
+    batch = {
+        r.event_id: r.admitted
+        for r in registry.QUERIES["events_rate_limit"](spark, SF_DIR).collect()
+    }
+    assert set(stream) == set(batch)
+    mismatches = [e for e in batch if stream[e] != batch[e]]
+    assert not mismatches, mismatches[:10]
+    # the limit bites iff some (user, hour) exceeds 5 events — at the
+    # tiny test SF it may not; assert the two signals agree either way
+    rns = registry.QUERIES["events_rate_limit"](spark, SF_DIR).collect()
+    assert (max(r.rn for r in rns) > 5) == any(not a for a in batch.values())

@@ -623,12 +623,12 @@ def events_attribution(spark, t):
     )
     SELECT event_id, user_id,
            CAST(rn AS BIGINT) AS rn,
-           rn <= 5 AS admitted
+           rn <= 2 AS admitted
     FROM ranked
     """,
 )
 def events_rate_limit(spark, t):
-    """Per-user rate limiting: admit at most 5 events per user per
+    """Per-user rate limiting: admit at most 2 events per user per
     hour, flag the overflow — the bot-throttling / abuse-control
     primitive every ingestion pipeline runs before events reach the
     warehouse (and a training pipeline runs to cap any single actor's
@@ -652,5 +652,5 @@ def events_rate_limit(spark, t):
         "event_id",
         "user_id",
         F.row_number().over(w).cast("bigint").alias("rn"),
-        (F.row_number().over(w) <= 5).alias("admitted"),
+        (F.row_number().over(w) <= 2).alias("admitted"),
     )

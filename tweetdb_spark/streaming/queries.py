@@ -186,6 +186,55 @@ def stream_stateful(spark, t):
     return _latest_totals_per_user(mem)
 
 
+@query("stream_rate_limit", oracle=None)  # stateful; batch twin = events_rate_limit
+def stream_rate_limit(spark, t):
+    """Streaming admission control: at most 2 events per user per
+    hour, decided as events ARRIVE — the online form of
+    events_rate_limit (its hash-checked batch twin).
+
+    Per-(user, hour) counter in ``applyInPandasWithState``; each
+    micro-batch sorts its group slice by (ts, event_id) and admits
+    until the persisted counter hits 2.  The staged feed delivers
+    time-ordered files, so arrival order matches event order and the
+    streamed admission set must equal the batch row_number ranking
+    exactly — pinned by pytest, the strongest check an online
+    operator can get.  State is two ints per active (user, hour) and
+    the hour in the key means state for past hours goes cold
+    naturally (production adds a state TTL; the batch twin documents
+    the aggregate-only cheap form).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    s = read_events_stream(spark, _sf_dir(t), files_per_trigger=5)
+    keyed = s.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+    )
+
+    def admit(key, pdfs, state: GroupState):
+        (cnt,) = state.get if state.exists else (0,)
+        out_ids, out_adm = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid in pdf["event_id"]:
+                cnt += 1
+                out_ids.append(int(eid))
+                out_adm.append(cnt <= 2)
+        state.update((cnt,))
+        yield pd.DataFrame({"event_id": out_ids, "admitted": out_adm})
+
+    out = keyed.groupBy("user_id", "hour").applyInPandasWithState(
+        admit,
+        outputStructType="event_id long, admitted boolean",
+        stateStructType="cnt long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(out, "append")
+
+
 @query("source_stream_custom", oracle=None)
 def source_stream_custom(spark, t):
     """Custom *streaming* connector: the tweetgen Python DataSource
