@@ -73,12 +73,12 @@ def query(name: str, oracle: Optional[str] = None):
 #   r06: reverse swap — the five r03-parked keys had gone three rounds
 #        without driver evidence (round-5 verdict ask #1); the five
 #        rotated out are green r03+r05.
-#   r08 (PLANNED, per round-6 verdict ask #3): reverse swap again —
+#   r08: reverse swap executed (round-7 verdict ask #1) —
 #        join_cross/sort_multicol/setop_union/setop_intersect/
-#        setop_except back IN (they will be 3 rounds driver-stale by
-#        r08); scan_parquet/project_arith/filter_like/agg_global/
-#        topk_global OUT (green r01+r02+r06).  Do the swap at the START
-#        of round 8 and update this log.
+#        setop_except back IN (were 3 rounds driver-stale);
+#        scan_parquet/project_arith/filter_like/agg_global/
+#        topk_global OUT (green r01+r02+r06+r07).
+#   r10 (PLANNED): reverse again if the window policy is unchanged.
 # If the driver's window size or selection policy ever differs,
 # ``tools/check.py --strict`` still verifies ALL registered hashable keys
 # locally regardless of position — that local sweep, not this ordering,
@@ -86,13 +86,10 @@ def query(name: str, oracle: Optional[str] = None):
 # ---------------------------------------------------------------------------
 CONTRACT_ORDER: list[str] = [
     # --- SURVEY §2 hash-checkable rows, positions 1-50 ---
-    "scan_parquet",          # S1  (rotated in r06; r01+r02 pass + local strict)
     "scan_pruned",           # S2
     "ingest_json",           # S3
     "sink_parquet_part",     # S6
-    "project_arith",         # P1  (rotated in r06; r01+r02 pass + local strict)
     "filter_compound",       # P2
-    "filter_like",           # P3  (rotated in r06; r01+r02 pass + local strict)
     "join_inner_broadcast",  # J1
     "join_multiway",         # J2
     "join_left_outer",       # J3
@@ -102,7 +99,6 @@ CONTRACT_ORDER: list[str] = [
     "join_theta_range",      # J8
     "join_asof",             # J9
     "join_interval",         # J10
-    "agg_global",            # A1  (rotated in r06; r01+r02 pass + local strict)
     "agg_grouped",           # A2 (flagship)
     "agg_having",            # A3
     "agg_distinct",          # A4
@@ -115,7 +111,11 @@ CONTRACT_ORDER: list[str] = [
     "win_lag_lead",          # W3
     "win_frame_rows",        # W4
     "win_frame_range",       # W5
-    "topk_global",           # O2  (rotated in r06; r01+r02 pass + local strict)
+    "join_cross",            # J7  (rotated IN r08; r01+r03+r05 pass)
+    "sort_multicol",         # O1  (rotated IN r08; r01+r03+r05 pass)
+    "setop_union",           # O3  (rotated IN r08; r01+r03+r05 pass)
+    "setop_intersect",       # O4  (rotated IN r08; r01+r03+r05 pass)
+    "setop_except",          # O5  (rotated IN r08; r01+r03+r05 pass)
     "fn_string",             # F1
     "fn_split_explode",      # F2
     "fn_datetime",           # F3
@@ -136,13 +136,14 @@ CONTRACT_ORDER: list[str] = [
     "text_sentiment_lexicon",# L7
     "text_stats",            # L8
     "multimodal_norm",       # L9
-    # --- positions 51-55: hashable contract rows rotated OUT in r06 ---
-    # (each driver-green in BOTH r03 and r05, and still in check.py --strict)
-    "join_cross",            # J7  (r01+r03+r05 pass)
-    "sort_multicol",         # O1  (r01+r03+r05 pass)
-    "setop_union",           # O3  (r01+r03+r05 pass)
-    "setop_intersect",       # O4  (r01+r03+r05 pass)
-    "setop_except",          # O5  (r01+r03+r05 pass)
+    # --- positions 51-55: hashable contract rows rotated OUT in r08 ---
+    # (each driver-green in r01, r02, r06 AND r07, and still in
+    # check.py --strict every round)
+    "scan_parquet",          # S1  (r01+r02+r06+r07 pass)
+    "project_arith",         # P1  (r01+r02+r06+r07 pass)
+    "filter_like",           # P3  (r01+r02+r06+r07 pass)
+    "agg_global",            # A1  (r01+r02+r06+r07 pass)
+    "topk_global",           # O2  (r01+r02+r06+r07 pass)
     # --- SURVEY §2 rows-only rows (no faithful ANSI-SQL oracle) ---
     "source_stream_file",    # S4
     "sink_jdbc_batch",       # S5
