@@ -1352,9 +1352,15 @@ def dedup_containment(spark, t):
         .select(
             "doc_id",
             F.array_distinct(
+                # sequence(1, 0) counts DOWN in Spark ([1, 0]), so texts
+                # shorter than 3 chars would emit spurious grams the
+                # oracle's range() (empty) never produces — guard like
+                # the 5/8-gram ops in text.py do.
                 F.expr(
+                    "CASE WHEN length(text) >= 3 THEN "
                     "transform(sequence(1, length(text) - 2), "
-                    "i -> substring(text, i, 3))"
+                    "i -> substring(text, i, 3)) "
+                    "ELSE array() END"
                 )
             ).alias("g"),
         )

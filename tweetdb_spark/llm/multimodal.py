@@ -232,7 +232,7 @@ def multimodal_decode_stub(spark, t):
     SELECT md5(text) AS payload_md5,
            MIN(doc_id) AS keep_doc_id,
            count(*) AS n_copies,
-           CAST(MIN(length(text)) AS BIGINT) AS n_bytes
+           CAST(MIN(octet_length(encode(text))) AS BIGINT) AS n_bytes
     FROM documents
     GROUP BY 1
     """,

@@ -1185,12 +1185,22 @@ def cte_recursive_chain(spark, t):
     """
     from pyspark.sql.window import Window
 
+    from tweetdb_spark.catalog import load_tables
+
     # the recursion emits one row per order over its lifetime; the
     # default safety valve (spark.sql.cteRecursionRowLimit = 1e6)
-    # trips on fixtures >1M orders even though per-step state is tiny
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
+    # trips on fixtures >1M orders even though per-step state is tiny.
+    # The raised valve (and the helper temp view) must not leak into
+    # the caller's session as a side effect, and the conf is read at
+    # EXECUTION time (the driver collects the returned frame later),
+    # so a set/restore around definition wouldn't hold — scope both to
+    # a dedicated child session instead (same SparkContext, isolated
+    # conf + temp-view catalog).
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
+    orders = load_tables(sess, t.sf_dir)["orders"]
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    succ = t["orders"].select(
+    succ = orders.select(
         "o_orderkey",
         "o_custkey",
         "o_totalprice",
@@ -1198,7 +1208,7 @@ def cte_recursive_chain(spark, t):
         F.row_number().over(w).alias("rn"),
     )
     succ.createOrReplaceTempView("tweetdb_cte_succ")
-    return spark.sql(
+    return sess.sql(
         """
         WITH RECURSIVE chain(o_orderkey, o_custkey, seq, cum_spend, next_key) AS (
           SELECT o_orderkey, o_custkey, CAST(1 AS BIGINT) AS seq,

@@ -215,13 +215,17 @@ def stream_rate_limit(spark, t):
 
     def admit(key, pdfs, state: GroupState):
         (cnt,) = state.get if state.exists else (0,)
+        # A group's micro-batch slice arrives as MULTIPLE arbitrarily
+        # ordered pandas chunks; sorting each chunk independently would
+        # diverge from the batch row_number ranking whenever a
+        # (user, hour) slice spans chunks.  Concatenate, then sort once.
+        full = pd.concat(list(pdfs), ignore_index=True)
+        full = full.sort_values(["ts", "event_id"])
         out_ids, out_adm = [], []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for eid in pdf["event_id"]:
-                cnt += 1
-                out_ids.append(int(eid))
-                out_adm.append(cnt <= 2)
+        for eid in full["event_id"]:
+            cnt += 1
+            out_ids.append(int(eid))
+            out_adm.append(cnt <= 2)
         state.update((cnt,))
         yield pd.DataFrame({"event_id": out_ids, "admitted": out_adm})
 
