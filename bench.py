@@ -4,15 +4,27 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Timing = wall clock of the *second* execution per query (warm plans,
-matching BASELINE.md's methodology); value = sum of warm per-query
-times.
+Timing methodology (self-normalizing since round 8):
+- per query: one untimed warm-up execution (plans + JIT warm, matching
+  BASELINE.md's warm-run methodology), then THREE timed executions;
+  the reported per-query number is the MEDIAN of the three, so a
+  single noisy run can't skew the artifact.
+- ``calibration``: the median-of-3 time of a FIXED synthetic workload
+  (range → modulo keys → groupBy sum/avg over 64M rows) that never
+  changes with repo code.  Host-speed swings (the round-7 incident: a
+  uniform ~2x degradation that read as a regression until an A/B
+  rebench of the prior commit disproved it) show up directly in this
+  number, so cross-round BENCH_r*.json comparisons can divide it out
+  instead of requiring forensics.
+- ``runs``: the raw per-query samples, so the artifact itself shows
+  run-to-run spread.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -33,6 +45,38 @@ HEADLINE = {
     "json_extract": "fn_map_json",
 }
 
+N_RUNS = 3
+
+
+def _timed_runs(action) -> tuple[float, list[float]]:
+    """(median, samples) of N_RUNS executions, after one warm-up."""
+    action()
+    samples = []
+    for _ in range(N_RUNS):
+        t0 = time.time()
+        action()
+        samples.append(round(time.time() - t0, 3))
+    return round(statistics.median(samples), 3), samples
+
+
+def _calibration(spark) -> float:
+    """Median-of-3 time of a fixed host-speed probe, independent of any
+    repo code: 64M-row range → 1000-key modulo groupBy → sum/avg.
+    Exercises codegen arithmetic + one exchange + hash aggregation."""
+    from pyspark.sql import functions as F
+
+    def run():
+        (
+            spark.range(0, 64_000_000, 1, 32)
+            .withColumn("k", F.col("id") % 1000)
+            .groupBy("k")
+            .agg(F.sum("id").alias("s"), F.avg("id").alias("a"))
+            .collect()
+        )
+
+    med, _ = _timed_runs(run)
+    return med
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -45,15 +89,13 @@ def main() -> None:
     spark = get_spark("tweetdb-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    calibration = _calibration(spark)
+
     times: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name, key in HEADLINE.items():
-        # BASELINE.md methodology: plan built once, wall clock of
-        # collect() on the second execution (plans + JIT warm)
         df = tweetdb_spark.QUERIES[key](spark, sf_dir)
-        df.collect()
-        t0 = time.time()
-        df.collect()
-        times[name] = round(time.time() - t0, 3)
+        times[name], runs[name] = _timed_runs(df.collect)
 
     print(
         json.dumps(
@@ -63,6 +105,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "calibration": calibration,
+                "runs": runs,
+                "methodology": "median of 3 warm runs per query; "
+                "calibration = fixed 64M-row groupBy probe (host-speed "
+                "normalizer, code-independent)",
             }
         )
     )
