@@ -135,6 +135,48 @@ def test_minhash_lsh_recall_not_below_ml_tier(q, spark, tables):
     assert r_banded >= r_ml, f"banded recall {r_banded} < ML tier {r_ml}"
 
 
+def test_minhash_verdicts_consistent_with_pair_form(q, tables):
+    """The verdict form (per-doc keep/dup_of) must agree with the
+    pair-emitting L3 on the same fixture: every pair's endpoints land
+    in one component, exactly one keeper per component, singletons
+    keep, and reason codes match the keeper's hash.  This pins the
+    exact-collapse-then-LSH-on-uniques path to the pair form's
+    connectivity (the collapse provably preserves it: clones share
+    their representative's token set and band signatures)."""
+    from collections import Counter
+
+    verdicts = q("dedup_minhash_verdicts").collect()
+    pairs = q("dedup_minhash_lsh").collect()
+    n_docs = tables["documents"].count()
+    assert len(verdicts) == n_docs, "one verdict row per document"
+
+    comp = {r.doc_id: r.component_id for r in verdicts}
+    assert not [
+        (p.doc_a, p.doc_b) for p in pairs if comp[p.doc_a] != comp[p.doc_b]
+    ], "a verified near-dup pair was split across components"
+
+    keepers = Counter(r.component_id for r in verdicts if r.keep)
+    assert set(keepers) == set(comp.values()), "component without a keeper"
+    assert all(v == 1 for v in keepers.values()), "multiple keepers"
+
+    sizes = Counter(comp.values())
+    assert all(
+        r.keep for r in verdicts if sizes[r.component_id] == 1
+    ), "a singleton doc was dropped"
+    assert all((r.reason == "kept") == bool(r.keep) for r in verdicts)
+    # exact_dup iff byte-identical to the keeper
+    text_h = {
+        r.doc_id: r.h
+        for r in tables["documents"]
+        .selectExpr("doc_id", "md5(text) AS h")
+        .collect()
+    }
+    for r in verdicts:
+        if not r.keep:
+            same = text_h[r.doc_id] == text_h[r.keep_doc_id]
+            assert (r.reason == "exact_dup") == same, r
+
+
 def test_simhash_pairs_are_discriminative(q, spark, tables):
     """SimHash must *rank* similarity: candidate pairs more similar
     than random pairs, and hamming-0 pairs nearly identical.

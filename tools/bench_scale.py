@@ -25,7 +25,14 @@ LADDER = [
     "dedup_exact",
     "dedup_simhash",
     "dedup_minhash_banded",
-    "dedup_minhash_lsh",
+    # dedup_minhash_lsh (pair-emitting) is deliberately NOT on the
+    # ladder: on the 10x-cloned sf1 fixture it materializes 297M raw
+    # pairs — an output format no production consumer wants (r7: 1428 s,
+    # all of it pair materialization at 4.8 µs/pair).  The verdict form
+    # below is the production shape (per-doc keep/dup_of); the pair form
+    # stays registered + checked at fixture scale (tools/check.py, pytest
+    # recall tests) as the ground-truth twin.
+    "dedup_minhash_verdicts",
     "dedup_semantic_blocked",
     "sim_topk_cosine",
     "sim_ann_ivf",

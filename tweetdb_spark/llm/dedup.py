@@ -507,12 +507,22 @@ def _simhash_components(spark, t):
         .where(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= 1)
         .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     )
+    nodes = t["documents"].select("doc_id")
+    return _min_label_components(nodes, edges)
+
+
+def _min_label_components(nodes, edges):
+    """Connected-component labels (doc_id, component_id) over an
+    undirected edge set — min-label propagation with pointer doubling,
+    shared by the simhash tier and the MinHash verdict tier.
+
+    ``nodes`` is (doc_id); ``edges`` is (u, v) with one row per
+    undirected pair.  component_id comes out as the minimum doc_id of
+    the component."""
     sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.localCheckpoint(eager=True)  # cut lineage before iterating
 
-    labels = t["documents"].select(
-        "doc_id", F.col("doc_id").alias("component_id")
-    )
+    labels = nodes.select("doc_id", F.col("doc_id").alias("component_id"))
     # Min-label propagation + pointer doubling.  Plain propagation
     # moves a label one hop per round (a d-hop chain needs d rounds —
     # a fixed iteration cap silently returns WRONG components, caught
@@ -900,6 +910,107 @@ def dedup_minhash_lsh(spark, t):
         .join(tb, "doc_b")
         .where(dist <= 0.2)
         .select("doc_a", "doc_b", F.round(dist, 6).alias("jaccard_dist"))
+    )
+
+
+@query("dedup_minhash_verdicts", oracle=None)  # LSH tier → rows-only
+def dedup_minhash_verdicts(spark, t):
+    """L3's PRODUCTION output form: one dedup verdict per document
+    (keep / dup_of / reason) — never a pair list.
+
+    On dup-heavy corpora the pair list is the scale-killer even when
+    candidate generation is banded: the sf1 fixture (10 byte-identical
+    clones of every doc) makes ``dedup_minhash_lsh`` materialize 297M
+    pairs that no training pipeline wants — the consumer wants "which
+    docs survive".  This operator computes exactly that, in three
+    output-bounded stages:
+
+    1. **Exact collapse first** (the production ordering): group by
+       md5(text), elect min-doc_id representative.  Byte-identical
+       clones never enter the LSH tier — on the sf1 fixture this cuts
+       candidate-pair volume ~100x because pair count is quadratic in
+       clone multiplicity.
+    2. **LSH on unique representatives only**: identical machinery and
+       thresholds to dedup_minhash_lsh (xxhash64 token ids, 16
+       minhashes in 8 bands of 2, exact token-Jaccard dist <= 0.2
+       verify on candidates).  Connectivity is PROVABLY unchanged by
+       the collapse: clones share their representative's token set, so
+       every clone-pair edge maps to the same rep (intra-group) or to
+       a rep-rep edge with identical Jaccard and identical band
+       signatures (inter-group) — recall is the pair form's recall.
+    3. **Components + verdicts**: min-label propagation with pointer
+       doubling over the verified rep-rep edges (the shared
+       _min_label_components loop), canonical keeper per component by
+       (n_chars DESC, doc_id) — corpus_dedup_e2e's quality rule — then
+       every doc inherits its representative's component.
+
+    Output is one row per input doc (fixed-size in N, not in pair
+    count): doc_id, component_id (min doc_id of the dup cluster), keep
+    flag, keep_doc_id, reason ('kept' / 'exact_dup' = byte-identical
+    to the keeper / 'near_dup').  Rows-only check (the tier is
+    approximate by nature, like L3); pytest pins consistency against
+    the pair form — every dedup_minhash_lsh pair lands in one
+    component, one keeper per component, singletons keep.
+    """
+    from pyspark.sql import Window
+
+    docs = t["documents"].select(
+        "doc_id", F.md5("text").alias("h"), "n_chars", "text"
+    )
+    groups = docs.groupBy("h").agg(F.min("doc_id").alias("rep_id"))
+    member = docs.join(groups, "h").select("doc_id", "h", "n_chars", "rep_id")
+
+    reps = docs.join(
+        groups.select("rep_id"), docs.doc_id == F.col("rep_id")
+    ).select("doc_id", "text")
+    toks = reps.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
+    )
+    g = toks.select(
+        "doc_id",
+        F.expr("transform(tokens, w -> xxhash64(w) & 2147483647)").alias("g"),
+    )
+    cand = _banded_candidate_pairs(g, n_bands=8)
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tokens").alias("t_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tokens").alias("t_b"))
+    inter = F.size(F.array_intersect(F.col("t_a"), F.col("t_b")))
+    union = F.size(F.col("t_a")) + F.size(F.col("t_b")) - inter
+    dist = 1.0 - inter.cast("double") / union
+    edges = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .where(dist <= 0.2)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    )
+
+    rep_labels = _min_label_components(reps.select("doc_id"), edges)
+    lab = member.join(
+        rep_labels.select(
+            F.col("doc_id").alias("rep_id"), "component_id"
+        ),
+        "rep_id",
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    canon = (
+        lab.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "component_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("h").alias("keep_h"),
+        )
+    )
+    return lab.join(canon, "component_id").select(
+        "doc_id",
+        "component_id",
+        (F.col("doc_id") == F.col("keep_doc_id")).alias("keep"),
+        "keep_doc_id",
+        F.when(F.col("doc_id") == F.col("keep_doc_id"), F.lit("kept"))
+        .when(F.col("h") == F.col("keep_h"), F.lit("exact_dup"))
+        .otherwise(F.lit("near_dup"))
+        .alias("reason"),
     )
 
 
