@@ -95,6 +95,9 @@ def test_stream_watermark_late_emits_closed_windows(q, tables):
 
 
 def test_sink_jdbc_batch_idempotent_totals(q, tables):
+    """Branch-agnostic: whichever sink branch the container's jars
+    select (literal Derby JDBC or the SQLite stand-in), the sunk
+    totals must equal the batch aggregation."""
     from pyspark.sql import functions as F
 
     sunk = _rows(q("sink_jdbc_batch"), "user_id", "n_purchases", "total_value")
@@ -111,6 +114,119 @@ def test_sink_jdbc_batch_idempotent_totals(q, tables):
         "total_value",
     )
     assert sunk == batch
+
+
+def test_sink_jdbc_sqlite_fallback_matches_batch(registry, spark, tables):
+    """The SQLite fallback branch stays green even while the container
+    has Derby (the gate would otherwise be the only thing exercising
+    it)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from tweetdb_spark.registry import Tables
+    from tweetdb_spark.streaming.queries import _sink_jdbc_sqlite
+
+    t = Tables(
+        {name: df for name, df in {"events": tables["events"]}.items()}
+    )
+    t.sf_dir = SF_DIR
+    sunk = _rows(
+        _sink_jdbc_sqlite(spark, t), "user_id", "n_purchases", "total_value"
+    )
+    batch = _rows(
+        tables["events"]
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ),
+        "user_id",
+        "n_purchases",
+        "total_value",
+    )
+    assert sunk == batch
+
+
+def test_sink_jdbc_derby_upsert_redelivery_idempotent(spark):
+    """The literal branch's exactly-once contract: re-delivering the
+    SAME micro-batch (staging overwrite + DELETE+INSERT replay) must
+    leave the target table unchanged, and a later batch updating a key
+    must win.  Also exercised at multi-page staging size (1000 rows,
+    8 writer partitions) — the regime where Derby 10.16's MERGE
+    statement mis-reads stored pages (XSDA7), which is why the sink
+    uses DELETE+INSERT.  Skips only if the container has no Derby
+    driver."""
+    import tempfile
+    import uuid
+
+    import pytest
+
+    from tweetdb_spark.streaming.queries import _derby_available
+
+    if not _derby_available(spark):
+        pytest.skip("no embedded Derby driver on the classpath")
+
+    jvm = spark._jvm
+    home = tempfile.mkdtemp(prefix="tweetdb_derby_test_")
+    jvm.java.lang.System.setProperty("derby.system.home", home)
+    url = f"jdbc:derby:{home}/t_{uuid.uuid4().hex[:8]};create=true"
+
+    con = jvm.java.sql.DriverManager.getConnection(url)
+    con.setAutoCommit(False)
+    st = con.createStatement()
+    st.executeUpdate(
+        'CREATE TABLE purchase_totals ("user_id" BIGINT PRIMARY KEY, '
+        '"n" BIGINT, "total" DOUBLE, "batch_id" BIGINT)'
+    )
+    con.commit()
+
+    def upsert(bid):
+        st.executeUpdate(
+            "DELETE FROM purchase_totals "
+            'WHERE "user_id" IN (SELECT "user_id" FROM staging)'
+        )
+        st.executeUpdate(
+            "INSERT INTO purchase_totals "
+            f'SELECT "user_id", "n", "total", {bid} FROM staging'
+        )
+        con.commit()
+
+    def snapshot():
+        return sorted(
+            map(tuple, spark.read.jdbc(url, "purchase_totals").collect())
+        )
+
+    b0 = spark.createDataFrame(
+        [(1, 2, 3.5), (2, 1, 9.0)], "user_id long, n long, total double"
+    )
+    b0.write.jdbc(url, "staging", mode="overwrite")
+    upsert(0)
+    first = snapshot()
+    # redelivery: same staging content, same upsert → same end state
+    b0.write.jdbc(url, "staging", mode="overwrite")
+    upsert(0)
+    assert snapshot() == first, "redelivered batch changed the table"
+    # a newer batch updating user 1 and adding user 3 wins
+    b1 = spark.createDataFrame(
+        [(1, 3, 5.0), (3, 1, 1.0)], "user_id long, n long, total double"
+    )
+    b1.write.jdbc(url, "staging", mode="overwrite")
+    upsert(1)
+    assert snapshot() == [(1, 3, 5.0, 1), (2, 1, 9.0, 0), (3, 1, 1.0, 1)]
+    # multi-page staging (the size class where Derby MERGE corrupts):
+    # 1000 keys, 8 concurrent writer partitions, applied twice
+    big = spark.range(0, 1000).selectExpr(
+        "id AS user_id", "id*2 AS n", "cast(id AS double)/7 AS total"
+    )
+    for _ in range(2):
+        big.coalesce(8).write.jdbc(url, "staging", mode="overwrite")
+        upsert(2)
+    # users 1,2,3 all fall inside 0..999, so the target is exactly the
+    # 1000 staged keys after the replay
+    assert len(snapshot()) == 1000
+    st.close()
+    con.close()
 
 
 def test_tweet_pipeline_stream_matches_batch_counts(q, tables):
