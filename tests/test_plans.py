@@ -319,3 +319,45 @@ def test_corpus_shuffle_single_exchange(q):
     import re
 
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_aqe_skew_join_split_fires_on_skewed_fact(q, registry, spark):
+    """SCALE.md's joins header claims "AQE converts to skew-join on hot
+    keys" — this pins it: execute join_skewed_fact's shape with skew
+    thresholds lowered into fixture range (production defaults fire in
+    exactly the oversized-partition regime the fixture can't reach),
+    broadcast disabled so the join actually shuffles, and assert the
+    final adaptive plan marks the join skew=true (AQE split the hot
+    partition into multiple tasks at runtime)."""
+    overrides = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        # fixture shuffle blocks compress to bytes, so thresholds must
+        # drop to byte scale for any partition to register as skewed;
+        # coalescing must stay ENABLED — the skew split rides the same
+        # AQEShuffleRead machinery and never fires with it disabled
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "100",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "10",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in overrides.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        df = registry.QUERIES["join_skewed_fact"](spark, SF_DIR)
+        df.collect()  # AQE re-plans at runtime; must execute
+        final = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "isFinalPlan=true" in final, final[:2000]
+    assert "skew=true" in final, final[:4000]

@@ -603,3 +603,70 @@ def join_asof_tolerance(spark, t):
         .where(F.col("rn") == 1)
         .select("purchase_id", "user_id", "purchase_ts", "signup_ts")
     )
+
+
+@query(
+    "join_skewed_fact",
+    oracle="""
+    WITH li AS (
+      SELECT CASE WHEN l_orderkey % 100 = 0 THEN l_orderkey ELSE 0 END
+               AS skew_key,
+             l_quantity
+      FROM lineitem
+    ), d AS (
+      SELECT o_orderkey AS skew_key, o_totalprice AS dim_val
+      FROM orders WHERE o_orderkey % 100 = 0
+      UNION ALL
+      SELECT 0, 0.0
+    )
+    SELECT count(*) AS n_rows,
+           ROUND(SUM(l_quantity), 2) + 0 AS sum_qty,
+           ROUND(SUM(dim_val), 2) + 0 AS sum_dim
+    FROM li JOIN d ON li.skew_key = d.skew_key
+    """,
+)
+def join_skewed_fact(spark, t):
+    """Deliberately skewed shuffle join — the AQE skew-split stress
+    shape: ~99% of lineitem rows collapse onto one hot key (0), the
+    rest keep their orderkey, and the other side is a plain projected
+    key table (many-to-one: exactly one row per key, so the hot key
+    skews one shuffle partition without exploding output).
+
+    The shape is chosen so AQE's OptimizeSkewedJoin can actually act
+    on it, which is narrower than "any skewed join": (a) the dim side
+    is a plain scan+union, not an aggregate — the rule pattern-matches
+    ``Sort(ShuffleStage)`` children and an intervening HashAggregate
+    disqualifies the join; (b) downstream of the join is only a
+    GLOBAL aggregate — a same-key groupBy would require the join's
+    hash partitioning and vetoes the split (splitting would force an
+    extra shuffle; ``forceOptimizeSkewedJoin`` exists for that).
+    tests/test_plans.py executes this query under byte-scale skew
+    thresholds with broadcast disabled and asserts the final adaptive
+    plan shows ``SortMergeJoin(skew=true)`` — so the module header's
+    "AQE handles skew splitting at runtime" is checked, not narrated.
+    At 100 TB the same split fires at production thresholds (256 MB
+    partitions) exactly when the hot partition becomes the straggler.
+    The manual alternative (salting: spray the hot key into k subkeys,
+    replicate the build row k times) is only needed where AQE is
+    unavailable, e.g. stateful streaming joins.
+    """
+    skew = F.when(
+        F.col("l_orderkey") % 100 == 0, F.col("l_orderkey")
+    ).otherwise(F.lit(0))
+    li = t["lineitem"].select(skew.alias("skew_key"), "l_quantity")
+    d = (
+        t["orders"]
+        .where(F.col("o_orderkey") % 100 == 0)
+        .select(
+            F.col("o_orderkey").alias("skew_key"),
+            F.col("o_totalprice").alias("dim_val"),
+        )
+        .unionAll(
+            spark.createDataFrame([(0, 0.0)], "skew_key long, dim_val double")
+        )
+    )
+    return li.join(d, "skew_key").agg(
+        F.count("*").alias("n_rows"),
+        (F.round(F.sum("l_quantity"), 2) + F.lit(0)).alias("sum_qty"),
+        (F.round(F.sum("dim_val"), 2) + F.lit(0)).alias("sum_dim"),
+    )
