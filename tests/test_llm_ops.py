@@ -617,6 +617,23 @@ def test_bpe_train_matches_pure_python_reference(q, tables):
     assert got == expected
 
 
+def test_bpe_train_dict_equals_distributed_trainer(q):
+    """The two-level trainer (one distributed word-freq dict, merge
+    loop driver-local) must learn rule-for-rule the SAME vocabulary as
+    the per-merge-distributed trainer — the rewrite changes execution
+    shape (zero Spark round-trips per merge, the 30k-merge posture),
+    not the result."""
+    a = [
+        (r.step, r.left, r.right, r.merged, r.pair_count)
+        for r in q("text_bpe_train").collect()
+    ]
+    b = [
+        (r.step, r.left, r.right, r.merged, r.pair_count)
+        for r in q("text_bpe_train_dict").collect()
+    ]
+    assert a == b
+
+
 def test_corpus_shuffle_is_permutation(q):
     """(shard, pos) must be a bijection onto docs: every shard's
     positions are exactly 1..count(shard), and each doc appears once."""
