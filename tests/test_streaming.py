@@ -577,3 +577,28 @@ def test_stream_rate_limit_equals_batch_ranking(registry, spark):
     # the two signals agree either way
     rns = registry.QUERIES["events_rate_limit"](spark, SF_DIR).collect()
     assert (max(r.rn for r in rns) > 2) == any(not a for a in batch.values())
+
+
+def test_stream_vector_ingest_matches_batch_index(registry, spark):
+    """Streamed IVF assignments must equal the KMeans model's own batch
+    assignment (the persisted index) vector-for-vector: online index
+    maintenance may never diverge from what a refit would produce for
+    the same centroids."""
+    from tests.conftest import SF_DIR
+    from tweetdb_spark.catalog import load_tables
+    from tweetdb_spark.llm.similarity import ensure_ivf_index
+    from tweetdb_spark.registry import Tables
+
+    streamed = {
+        r.vec_id: r.cell
+        for r in registry.QUERIES["stream_vector_ingest"](spark, SF_DIR).collect()
+    }
+    t = Tables(load_tables(spark, SF_DIR))
+    t.sf_dir = SF_DIR
+    idx_path, _ = ensure_ivf_index(spark, t)
+    batch = {
+        r.vec_id: r.cell for r in spark.read.parquet(idx_path).collect()
+    }
+    assert set(streamed) == set(batch), "vector sets differ"
+    mismatches = [v for v in batch if streamed[v] != batch[v]]
+    assert not mismatches, f"{len(mismatches)} assignment mismatches: {mismatches[:5]}"

@@ -151,6 +151,63 @@ def agg_approx_distinct(spark, t):
 
 
 @query(
+    "sketch_distinct_merge",
+    oracle="""
+    SELECT count(DISTINCT user_id) AS exact_distinct,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_shards,
+           TRUE AS merged_equals_single,
+           TRUE AS err_within_bound
+    FROM events
+    """,
+)
+def sketch_distinct_merge(spark, t):
+    """Two-level sketch rollup — THE incremental-distinct pattern at
+    100 TB: build one HLL sketch per shard (here: per day; in
+    production, per ingest partition, persisted alongside the data),
+    then answer the global question by UNIONING the fixed-size
+    sketches — never rescanning the shards.
+
+    Why it matters at scale: a daily pipeline keeps a ~KB sketch per
+    (day, dimension); "distinct users this quarter" becomes a merge of
+    90 sketches instead of a 90-day scan, and backfilling one day
+    re-sketches one shard.  The load-bearing invariant is that the
+    union is LOSSLESS for same-precision sketches (register-wise max),
+    so per-shard-then-merge equals one global pass EXACTLY — not
+    approximately — which this operator computes and asserts as a
+    column: the oracle declares `merged_equals_single = TRUE`, so the
+    driver's value-hash check verifies the invariant on every run
+    (along with the exact distinct count and a 5% HLL error bound —
+    datasketches HLL_4 at default lgConfigK=12 gives ~1.6% RSE).
+    Estimates themselves are engine-internal, hence not emitted as
+    compared values.
+    """
+    ev = t["events"].select(
+        F.to_date("ts").alias("day"), F.col("user_id")
+    )
+    per_shard = ev.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = per_shard.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.count("*").alias("n_shards"),
+    )
+    single = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    m, s = merged.alias("m"), single.alias("s")
+    return m.crossJoin(s).select(  # two 1-row sides
+        F.col("s.exact").alias("exact_distinct"),
+        F.col("m.n_shards").alias("n_shards"),
+        (F.col("m.est") == F.col("s.est")).alias("merged_equals_single"),
+        (
+            F.abs(F.col("m.est") - F.col("s.exact"))
+            <= 0.05 * F.col("s.exact")
+        ).alias("err_within_bound"),
+    )
+
+
+@query(
     "agg_rollup",
     oracle="""
     SELECT n_name, c_mktsegment,

@@ -898,3 +898,81 @@ def stream_corpus_ingest(spark, t):
     )
     q.awaitTermination()
     return spark.read.parquet(state["cur"])
+
+
+@query("stream_vector_ingest", oracle=None)  # streamed index maintenance
+def stream_vector_ingest(spark, t):
+    """Streaming ANN index maintenance — vectors arrive as a stream
+    and are assigned to the EXISTING IVF cells without any refit: the
+    online half of the sim_ann_ivf story.
+
+    At 100 TB the coarse quantizer is fit once (or per epoch) and the
+    index then grows by ingestion: every new batch is a narrow
+    broadcast-join against the 16-row centroid table plus an argmin —
+    no shuffle of the corpus, no KMeans rerun, and the cell-partitioned
+    layout keeps probe-side pruning valid as the index grows.  Here
+    each micro-batch computes squared-L2 argmin against the persisted
+    centroids (codegen zip_with/aggregate, deterministic (d², cell)
+    struct-min tie-break) inside ``foreachBatch`` and appends the
+    assignments to the index dir — exactly how a production pipeline
+    extends an IVF index between refits.  The pytest pins streamed
+    assignments vector-for-vector to the KMeans model's own batch
+    assignment (the persisted index), so online == offline, the same
+    invariant the other streaming twins enforce.  Rows-only key
+    (centroids are engine-internal; no faithful ANSI oracle).
+    """
+    import os as _os
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from tweetdb_spark.llm.similarity import ensure_ivf_index
+    from tweetdb_spark.streaming.sources import stage_embeddings_parquet
+    from tweetdb_spark.schemas import TABLE_SCHEMAS
+
+    _idx_path, cents_path = ensure_ivf_index(spark, t)
+    centroids = spark.read.parquet(cents_path)
+
+    src = stage_embeddings_parquet(spark, _sf_dir(t))
+    feed = (
+        spark.readStream.schema(TABLE_SCHEMAS["embeddings"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    out_dir = f"{_tf.gettempdir()}/tweetdb_vec_ingest_{_uuid.uuid4().hex[:8]}"
+    ckpt = f"{_tf.gettempdir()}/tweetdb_ckpt_vec_{_uuid.uuid4().hex[:8]}"
+
+    d2 = F.aggregate(
+        F.zip_with(
+            "embedding", "center", lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def assign(batch_df, batch_id: int) -> None:
+        scored = batch_df.crossJoin(F.broadcast(centroids)).select(
+            "vec_id", "label", d2.alias("d2"), "cell"
+        )
+        best = scored.groupBy("vec_id").agg(
+            F.min(F.struct("d2", "cell")).getField("cell").alias("cell"),
+            F.min("label").alias("label"),
+        )
+        best.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = (
+        feed.writeStream.foreachBatch(assign)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not _os.path.isdir(out_dir):  # defensive: empty feed
+        return spark.createDataFrame(
+            [], "vec_id long, cell int, label int, batch_id int"
+        )
+    return spark.read.parquet(out_dir).select(
+        "vec_id", F.col("cell").cast("int").alias("cell"), "label"
+    )

@@ -159,6 +159,48 @@ def stage_events_json(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+def stage_embeddings_parquet(spark: SparkSession, sf_dir: str, n_files: int = 5) -> str:
+    """Export embeddings as ``n_files`` parquet files for file-stream
+    sources (the vector-ingest analog of :func:`stage_events_json`;
+    same fingerprint-suffixed idempotence, no time-ordering contract —
+    vectors are bucketed by ``vec_id % n_files``).
+    """
+    import hashlib
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    fingerprint = _fixture_fingerprint(sf_dir)
+    fp = hashlib.sha256(fingerprint.encode()).hexdigest()[:10]
+    out = os.path.join(
+        tempfile.gettempdir(), f"tweetdb_vec_src_{tag}_{fp}"
+    )
+    marker = os.path.join(out, "_STAGED")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == fingerprint:
+                return out
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    staging = f"{out}_staging_{os.getpid()}"
+    (
+        emb.withColumn("bucket", F.col("vec_id") % n_files)
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(staging)
+    )
+    os.makedirs(out, exist_ok=True)
+    for bdir in sorted(glob.glob(os.path.join(staging, "bucket=*"))):
+        b = os.path.basename(bdir).split("=", 1)[1]
+        parts = sorted(p for p in os.listdir(bdir) if p.startswith("part-"))
+        for i, p in enumerate(parts):  # one part per bucket; defensive
+            shutil.copyfile(
+                os.path.join(bdir, p), os.path.join(out, f"vec-{b}-{i}.parquet")
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+    with open(marker, "w") as fh:
+        fh.write(fingerprint)
+    return out
+
+
 def read_events_stream(
     spark: SparkSession, sf_dir: str, files_per_trigger: int | None = None
 ) -> DataFrame:
