@@ -155,8 +155,8 @@ def agg_approx_distinct(spark, t):
     oracle="""
     SELECT count(DISTINCT user_id) AS exact_distinct,
            CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_shards,
-           TRUE AS merged_equals_single,
-           TRUE AS err_within_bound
+           TRUE AS merged_within_bound,
+           TRUE AS single_within_bound
     FROM events
     """,
 )
@@ -170,14 +170,18 @@ def sketch_distinct_merge(spark, t):
     Why it matters at scale: a daily pipeline keeps a ~KB sketch per
     (day, dimension); "distinct users this quarter" becomes a merge of
     90 sketches instead of a 90-day scan, and backfilling one day
-    re-sketches one shard.  The load-bearing invariant is that the
-    union is LOSSLESS for same-precision sketches (register-wise max),
-    so per-shard-then-merge equals one global pass EXACTLY — not
-    approximately — which this operator computes and asserts as a
-    column: the oracle declares `merged_equals_single = TRUE`, so the
-    driver's value-hash check verifies the invariant on every run
-    (along with the exact distinct count and a 5% HLL error bound —
-    datasketches HLL_4 at default lgConfigK=12 gives ~1.6% RSE).
+    re-sketches one shard.  The checked guarantee is the ERROR BOUND,
+    not bitwise estimate equality: both the merged-path and the
+    single-pass estimate must sit within 5% of the exact count
+    (datasketches HLL_4 at default lgConfigK=12 gives ~1.6% RSE), and
+    the oracle pins both booleans to TRUE so the driver's value-hash
+    check verifies the bound every round alongside the exact distinct
+    count.  Bitwise merged==single does NOT hold in general — the
+    round-8 sf0.1 sweep caught exactly this: small per-day sketches
+    stay in exact sparse/coupon mode, and the union gadget's
+    promotion to dense HLL shifts the estimate slightly, while a
+    single-pass sketch over the same data may stay sparse.  At sf0.01
+    both paths were sparse-exact and the stricter claim was masked.
     Estimates themselves are engine-internal, hence not emitted as
     compared values.
     """
@@ -196,14 +200,12 @@ def sketch_distinct_merge(spark, t):
         F.countDistinct("user_id").alias("exact"),
     )
     m, s = merged.alias("m"), single.alias("s")
+    within = lambda est: F.abs(est - F.col("s.exact")) <= 0.05 * F.col("s.exact")
     return m.crossJoin(s).select(  # two 1-row sides
         F.col("s.exact").alias("exact_distinct"),
         F.col("m.n_shards").alias("n_shards"),
-        (F.col("m.est") == F.col("s.est")).alias("merged_equals_single"),
-        (
-            F.abs(F.col("m.est") - F.col("s.exact"))
-            <= 0.05 * F.col("s.exact")
-        ).alias("err_within_bound"),
+        within(F.col("m.est")).alias("merged_within_bound"),
+        within(F.col("s.est")).alias("single_within_bound"),
     )
 
 

@@ -621,7 +621,8 @@ def join_asof_tolerance(spark, t):
     )
     SELECT count(*) AS n_rows,
            ROUND(SUM(l_quantity), 2) + 0 AS sum_qty,
-           ROUND(SUM(dim_val), 2) + 0 AS sum_dim
+           CAST(SUM(CAST(FLOOR(dim_val * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_dim_cents
     FROM li JOIN d ON li.skew_key = d.skew_key
     """,
 )
@@ -665,8 +666,15 @@ def join_skewed_fact(spark, t):
             spark.createDataFrame([(0, 0.0)], "skew_key long, dim_val double")
         )
     )
+    # sum_dim as an exact integer cents-sum: the hot key replicates its
+    # dim_val onto ~6M lineitem rows at sf1, and a double sum at ~5e10
+    # magnitude carries summation-ORDER noise (~0.02 measured at sf0.1)
+    # that 2-decimal rounding can't absorb — per-value fixed-point
+    # conversion BEFORE the sum is order-independent on both engines
     return li.join(d, "skew_key").agg(
         F.count("*").alias("n_rows"),
         (F.round(F.sum("l_quantity"), 2) + F.lit(0)).alias("sum_qty"),
-        (F.round(F.sum("dim_val"), 2) + F.lit(0)).alias("sum_dim"),
+        F.sum(
+            F.floor(F.col("dim_val") * 100 + 0.5).cast("bigint")
+        ).cast("bigint").alias("sum_dim_cents"),
     )
