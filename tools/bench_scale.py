@@ -51,6 +51,7 @@ LADDER = [
     "embed_project_jl",
     "table_drift_psi",
     "stream_corpus_ingest",
+    "stream_vector_ingest",
     "sketch_distinct_merge",
     "join_skewed_fact",
     "cte_recursive_chain",
