@@ -298,3 +298,33 @@ def test_dq_k_anonymity_group_math(q, tables):
     assert all(r.at_risk == (r.group_n < 5) for r in rows)
     # QI tuples are unique in the report
     assert len({(r.c_nationkey, r.c_mktsegment) for r in rows}) == len(rows)
+
+
+def test_cms_upper_bound_and_linear_merge(q, spark, tables):
+    """sketch_cms_merge's two contracts beyond the oracle hash:
+    (1) CMS never undercounts (overcount ≥ 0 on every probe);
+    (2) the per-day-merged counter grid is BIT-IDENTICAL to a grid
+    built in one pass over the raw events — counter addition is the
+    whole merge, so 'sketch per shard, sum later' loses nothing."""
+    from pyspark.sql import functions as F
+
+    from tweetdb_spark.operators.aggregates import _cms_hashes
+
+    rows = q("sketch_cms_merge").collect()
+    assert rows
+    assert all(r.overcount >= 0 for r in rows)
+    assert all(r.cms_est >= r.exact_cnt for r in rows)
+
+    ev = tables["events"].select("user_id", F.to_date("ts").alias("day"))
+    bucketed = ev.select(
+        "day", F.explode(_cms_hashes(F.col("user_id"))).alias("h")
+    ).select("day", "h.j", "h.bucket")
+    merged = (
+        bucketed.groupBy("day", "j", "bucket")
+        .agg(F.count("*").alias("c"))
+        .groupBy("j", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    direct = bucketed.groupBy("j", "bucket").agg(F.count("*").alias("c"))
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0

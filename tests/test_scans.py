@@ -102,3 +102,26 @@ def test_snapshot_expire_deletes_only_unreferenced_files(spark, tables):
     assert read_snapshot(spark, root, 1).count() == tables["orders"].count()
     with _pytest.raises(FileNotFoundError):
         read_snapshot(spark, root, 0)
+
+
+def test_jsonl_shards_respect_record_cap(q):
+    """sink_jsonl_sharded's layout contract: ≥4 shard files (the
+    repartition count at 500 docs) and no file over the 200-record
+    maxRecordsPerFile cap — exactly one JSON doc per line."""
+    from tweetdb_spark import scratch
+
+    q("sink_jsonl_sharded").collect()
+    outs = scratch.own_dirs("tweetdb_jsonl")
+    assert outs
+    files = [
+        f for f in glob.glob(f"{outs[-1]}/part-*")
+        if not f.endswith(".crc")
+    ]
+    assert len(files) >= 4
+    total = 0
+    for f in files:
+        with open(f, "rb") as fh:
+            n = sum(1 for _ in fh)
+        assert 0 < n <= 200
+        total += n
+    assert total == 500

@@ -209,6 +209,133 @@ def sketch_distinct_merge(spark, t):
     )
 
 
+# Portable Count-Min-Sketch parameters.  d=4 pairwise-independent rows
+# of w=1024 counters; hashes are ((key*A_j + B_j) % P) % w in plain
+# BIGINT arithmetic so Spark and DuckDB compute bit-identical sketches
+# (same portability discipline as the banded-MinHash oracle in
+# llm/dedup.py).  Overflow margin: user_id ≤ ~1e9 × A ≈ 3.3e9 keeps
+# the product < 2^62 — the sf1 replica-offset overflow lesson applied
+# up front.
+_CMS_ROWS = [
+    (0, 2654435761, 1),
+    (1, 2246822519, 7),
+    (2, 3266489917, 13),
+    (3, 668265263, 31),
+]
+_CMS_P = 1000003
+_CMS_W = 1024
+
+
+def _cms_hashes(key_col):
+    """4 (j, bucket) structs for one key — identical math to the oracle."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (((key_col * F.lit(a)) + F.lit(b)) % _CMS_P % _CMS_W).alias(
+                    "bucket"
+                ),
+            )
+            for j, a, b in _CMS_ROWS
+        ]
+    )
+
+
+_CMS_J_SQL = (
+    "(VALUES (0, 2654435761, 1), (1, 2246822519, 7), "
+    "(2, 3266489917, 13), (3, 668265263, 31)) AS j(j, a, b)"
+)
+
+
+@query(
+    "sketch_cms_merge",
+    oracle=f"""
+    WITH h AS (
+      SELECT e.user_id, j.j,
+             ((e.user_id * j.a + j.b) % {_CMS_P}) % {_CMS_W} AS bucket
+      FROM events e CROSS JOIN {_CMS_J_SQL}
+    ), cms AS (
+      SELECT j, bucket, count(*) AS c FROM h GROUP BY j, bucket
+    ), probes AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id < 50
+    ), ph AS (
+      SELECT p.user_id, j.j,
+             ((p.user_id * j.a + j.b) % {_CMS_P}) % {_CMS_W} AS bucket
+      FROM probes p CROSS JOIN {_CMS_J_SQL}
+    ), est AS (
+      SELECT ph.user_id, min(cms.c) AS cms_est
+      FROM ph JOIN cms USING (j, bucket) GROUP BY ph.user_id
+    ), exact AS (
+      SELECT user_id, count(*) AS exact_cnt FROM events
+      WHERE user_id < 50 GROUP BY user_id
+    )
+    SELECT est.user_id,
+           CAST(est.cms_est AS BIGINT) AS cms_est,
+           CAST(exact.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(est.cms_est - exact.exact_cnt AS BIGINT) AS overcount
+    FROM est JOIN exact USING (user_id)
+    """,
+)
+def sketch_cms_merge(spark, t):
+    """Mergeable Count-Min frequency sketch, built shard-at-a-time and
+    linearly merged — the frequency-question twin of
+    ``sketch_distinct_merge``'s HLL pattern.
+
+    The sketch is a d×w counter grid kept SPARSE as (j, bucket, count)
+    rows: building it is one two-phase HashAggregate whose shuffle
+    carries at most d·w = 4096 partially-combined rows per shard
+    regardless of input size, and MERGING shards is counter addition —
+    another tiny agg over ≤4096-row partials.  Point estimates join
+    the probe keys' d buckets against the merged grid (a broadcast of
+    ≤4096 rows) and take min_j.  At 100 TB: each ingest partition
+    persists its own 32 KB grid; "how often did key X appear this
+    quarter" sums 90 grids and probes — never rescans the quarter.
+
+    Unlike the HLL pair (rows-only — engine-internal registers), this
+    key is fully VALUE-HASH-CHECKED: the hash family is portable
+    BIGINT arithmetic, the oracle builds the identical sketch in SQL,
+    and the Spark side returns the per-day-merged grid's estimates —
+    so the driver's hash equality simultaneously proves the sketch
+    math AND that the shard-merge path is lossless (CMS is linear:
+    merged counters == direct counters, checked value-for-value).
+    Estimates are upper bounds (overcount ≥ 0 always; ~0 here since
+    150 keys × 4 rows barely collide in w=1024).
+    """
+    ev = t["events"].select("user_id", F.to_date("ts").alias("day"))
+    bucketed = ev.select(
+        "day", F.explode(_cms_hashes(F.col("user_id"))).alias("h")
+    ).select("day", "h.j", "h.bucket")
+    # per-shard (per-day) sparse grids — the persistable partial state
+    daily = bucketed.groupBy("day", "j", "bucket").agg(
+        F.count("*").alias("c")
+    )
+    # linear merge: counter addition across shards
+    merged = daily.groupBy("j", "bucket").agg(F.sum("c").alias("c"))
+    probes = (
+        t["events"].select("user_id").where(F.col("user_id") < 50).distinct()
+    )
+    probe_h = probes.select(
+        "user_id", F.explode(_cms_hashes(F.col("user_id"))).alias("h")
+    ).select("user_id", "h.j", "h.bucket")
+    est = (
+        probe_h.join(F.broadcast(merged), ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    exact = (
+        t["events"]
+        .where(F.col("user_id") < 50)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_cnt"))
+    )
+    return est.join(exact, "user_id").select(
+        "user_id",
+        "cms_est",
+        "exact_cnt",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+    )
+
+
 @query(
     "agg_rollup",
     oracle="""

@@ -228,6 +228,43 @@ def sink_parquet_part(spark, t):
 
 
 @query(
+    "sink_jsonl_sharded",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+)
+def sink_jsonl_sharded(spark, t):
+    """Training-data delivery export: the corpus as size-controlled
+    JSONL shards, read back and value-hash-verified lossless.
+
+    JSONL is what trainer ingestion actually consumes; the two levers
+    that matter at 100 TB are both exercised: ``repartition(n, key)``
+    fixes the shard COUNT and spreads docs hash-uniformly (no giant
+    shard from a skewed source), and ``maxRecordsPerFile`` caps rows
+    per file so no single shard exceeds what a dataloader worker
+    streams — Spark rolls to ``part-*-c001`` files past the cap
+    without another shuffle.  The read-back uses the writer's explicit
+    schema (never inference — at scale, schema inference is an extra
+    full pass and can widen types on dirty shards).  The oracle reads
+    the ORIGINAL table, so the driver's hash check proves the full
+    JSON round-trip exact: unicode escaping, embedded newlines (JSON
+    ``\\n`` keeps one doc per line), and int widths all survive.
+    """
+    from tweetdb_spark import scratch
+
+    out = scratch.fresh_dir("tweetdb_jsonl")
+    docs = t["documents"]
+    (
+        docs.repartition(4, F.col("doc_id"))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 200)
+        .json(out)
+    )
+    back = spark.read.schema(docs.schema).json(out)
+    return back.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+@query(
     "scan_merge_schema",
     oracle="""
     SELECT CAST(o_orderkey % 2 = 1 AS INTEGER) AS has_priority,
