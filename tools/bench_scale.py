@@ -53,6 +53,8 @@ LADDER = [
     "stream_corpus_ingest",
     "stream_vector_ingest",
     "sketch_distinct_merge",
+    "sketch_cms_merge",
+    "sink_jsonl_sharded",
     "join_skewed_fact",
     "cte_recursive_chain",
     "text_bpe_encode",

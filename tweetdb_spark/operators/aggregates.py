@@ -210,12 +210,16 @@ def sketch_distinct_merge(spark, t):
 
 
 # Portable Count-Min-Sketch parameters.  d=4 pairwise-independent rows
-# of w=1024 counters; hashes are ((key*A_j + B_j) % P) % w in plain
-# BIGINT arithmetic so Spark and DuckDB compute bit-identical sketches
-# (same portability discipline as the banded-MinHash oracle in
-# llm/dedup.py).  Overflow margin: user_id ≤ ~1e9 × A ≈ 3.3e9 keeps
-# the product < 2^62 — the sf1 replica-offset overflow lesson applied
-# up front.
+# of w=1024 counters; hashes are (((key % P)*A_j + B_j) % P) % w in
+# plain BIGINT arithmetic so Spark and DuckDB compute bit-identical
+# sketches (same portability discipline as the banded-MinHash oracle
+# in llm/dedup.py).  The key is reduced mod P BEFORE the affine step:
+# the sf1 fixture's replica-offset user_ids (~9e9) × A (~3.3e9)
+# overflow int64 under ANSI mode — the ladder caught exactly that —
+# and mod-first bounds the product at (P-1)·A < 3.3e15 for ANY
+# non-negative BIGINT key.  Keys congruent mod P=1000003 share all 4
+# rows, which only ever OVERcounts — the CMS upper-bound contract is
+# unaffected.
 _CMS_ROWS = [
     (0, 2654435761, 1),
     (1, 2246822519, 7),
@@ -232,9 +236,11 @@ def _cms_hashes(key_col):
         *[
             F.struct(
                 F.lit(j).alias("j"),
-                (((key_col * F.lit(a)) + F.lit(b)) % _CMS_P % _CMS_W).alias(
-                    "bucket"
-                ),
+                (
+                    ((key_col % _CMS_P) * F.lit(a) + F.lit(b))
+                    % _CMS_P
+                    % _CMS_W
+                ).alias("bucket"),
             )
             for j, a, b in _CMS_ROWS
         ]
@@ -252,7 +258,8 @@ _CMS_J_SQL = (
     oracle=f"""
     WITH h AS (
       SELECT e.user_id, j.j,
-             ((e.user_id * j.a + j.b) % {_CMS_P}) % {_CMS_W} AS bucket
+             (((e.user_id % {_CMS_P}) * j.a + j.b) % {_CMS_P}) % {_CMS_W}
+               AS bucket
       FROM events e CROSS JOIN {_CMS_J_SQL}
     ), cms AS (
       SELECT j, bucket, count(*) AS c FROM h GROUP BY j, bucket
@@ -260,7 +267,8 @@ _CMS_J_SQL = (
       SELECT DISTINCT user_id FROM events WHERE user_id < 50
     ), ph AS (
       SELECT p.user_id, j.j,
-             ((p.user_id * j.a + j.b) % {_CMS_P}) % {_CMS_W} AS bucket
+             (((p.user_id % {_CMS_P}) * j.a + j.b) % {_CMS_P}) % {_CMS_W}
+               AS bucket
       FROM probes p CROSS JOIN {_CMS_J_SQL}
     ), est AS (
       SELECT ph.user_id, min(cms.c) AS cms_est
