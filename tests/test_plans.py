@@ -361,3 +361,14 @@ def test_aqe_skew_join_split_fires_on_skewed_fact(q, registry, spark):
                 spark.conf.set(k, v)
     assert "isFinalPlan=true" in final, final[:2000]
     assert "skew=true" in final, final[:4000]
+
+
+def test_cms_merge_broadcasts_grid_and_pushes_probe_filter(q):
+    """sketch_cms_merge's scale posture: the merged ≤4096-row counter
+    grid and the 50-row estimate side must BROADCAST (never a
+    fact-sized shuffle join), and the probe predicate must reach the
+    parquet scan."""
+    plan = _plan(q("sketch_cms_merge"))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LessThan(user_id,50)" in plan
