@@ -328,3 +328,38 @@ def test_cms_upper_bound_and_linear_merge(q, spark, tables):
     direct = bucketed.groupBy("j", "bucket").agg(F.count("*").alias("c"))
     assert merged.exceptAll(direct).count() == 0
     assert direct.exceptAll(merged).count() == 0
+
+
+def test_quantile_sketch_monotone_and_linear_merge(q, spark, tables):
+    """sketch_quantile_merge: estimates must be non-decreasing in q and
+    exact-bracketing (within_width is also oracle-pinned); the per-day
+    histogram grids must merge to exactly the one-pass grid."""
+    from pyspark.sql import functions as F
+
+    rows = sorted(q("sketch_quantile_merge").collect(), key=lambda r: r.q)
+    assert [r.q for r in rows] == [25, 50, 75, 90, 99]
+    assert all(r.within_width for r in rows)
+    ests = [r.est_hi_cents for r in rows]
+    assert ests == sorted(ests)
+    exacts = [r.exact_cents for r in rows]
+    assert exacts == sorted(exacts)
+
+    ev = tables["events"].select(
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v"),
+    )
+    b = ev.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    ).withColumn("width", F.expr("greatest(1L, (hi - lo + 256) DIV 256)"))
+    bucketed = ev.crossJoin(F.broadcast(b)).select(
+        "day", F.expr("least(255, (v - lo) DIV width)").alias("bucket")
+    )
+    merged = (
+        bucketed.groupBy("day", "bucket")
+        .agg(F.count("*").alias("c"))
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    direct = bucketed.groupBy("bucket").agg(F.count("*").alias("c"))
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0

@@ -54,6 +54,7 @@ LADDER = [
     "stream_vector_ingest",
     "sketch_distinct_merge",
     "sketch_cms_merge",
+    "sketch_quantile_merge",
     "sink_jsonl_sharded",
     "join_skewed_fact",
     "cte_recursive_chain",

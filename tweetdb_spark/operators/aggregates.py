@@ -344,6 +344,148 @@ def sketch_cms_merge(spark, t):
     )
 
 
+_QSK_W = 256  # histogram buckets: width ≤ ~2.2 cents on this data
+
+
+@query(
+    "sketch_quantile_merge",
+    oracle=f"""
+    WITH ev AS (
+      SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+             CAST(ts AS DATE) AS day
+      FROM events
+    ), bounds AS (
+      SELECT min(v) AS lo, max(v) AS hi, count(*) AS n,
+             greatest(1, (max(v) - min(v) + {_QSK_W}) // {_QSK_W}) AS width
+      FROM ev
+    ), bucketed AS (
+      SELECT ev.day, least({_QSK_W - 1}, (ev.v - b.lo) // b.width) AS bucket
+      FROM ev, bounds b
+    ), daily AS (
+      SELECT day, bucket, count(*) AS c FROM bucketed GROUP BY day, bucket
+    ), merged AS (
+      SELECT bucket, CAST(SUM(c) AS BIGINT) AS c FROM daily GROUP BY bucket
+    ), cum AS (
+      SELECT bucket,
+             CAST(SUM(c) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+      FROM merged
+    ), qs AS (
+      SELECT t.q, b.lo, b.width, (t.q * b.n + 99) // 100 AS k
+      FROM (VALUES (25), (50), (75), (90), (99)) AS t(q), bounds b
+    ), est AS (
+      SELECT qs.q, qs.k, qs.width,
+             qs.lo + (min(cum.bucket) + 1) * qs.width - 1 AS est_hi_cents
+      FROM qs JOIN cum ON cum.cum >= qs.k
+      GROUP BY qs.q, qs.k, qs.lo, qs.width
+    ), vcum AS (
+      SELECT v,
+             CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+      FROM (SELECT v, count(*) AS c FROM ev GROUP BY v)
+    ), ex AS (
+      SELECT est.q, est.est_hi_cents, est.width,
+             min(vcum.v) AS exact_cents
+      FROM est JOIN vcum ON vcum.cum >= est.k
+      GROUP BY est.q, est.est_hi_cents, est.width
+    )
+    SELECT CAST(q AS INT) AS q,
+           CAST(est_hi_cents AS BIGINT) AS est_hi_cents,
+           CAST(exact_cents AS BIGINT) AS exact_cents,
+           CAST(est_hi_cents - exact_cents AS BIGINT) AS err_cents,
+           TRUE AS within_width
+    FROM ex
+    """,
+)
+def sketch_quantile_merge(spark, t):
+    """Mergeable quantile sketch — the third of the sketch trio
+    (distinct→HLL in ``sketch_distinct_merge``, frequency→CMS in
+    ``sketch_cms_merge``, quantiles→here): per-shard equi-width
+    HISTOGRAMS, linearly merged, quantiles read off the cumulative
+    counts with a resolution guarantee of one bucket width.
+
+    All arithmetic is integer cents (the 2-decimal value column ×100)
+    — bucket edges, ranks, estimates and errors are BIGINTs, so the
+    sketch is bit-portable across engines with no FP-parity caveats
+    at all, and the oracle rebuilds the identical sketch in SQL.  The
+    per-day grids are the persistable partial state: ≤256 counters
+    per shard whatever the row count, merged by addition (the same
+    linearity argument the CMS hash check proves).  Quantile q's
+    estimate is the hi edge of the first bucket whose cumulative
+    count reaches rank k = ceil(q·N/100); the rank-k EXACT value
+    (type-1, no interpolation — portable, unlike engine-specific
+    interpolating percentiles) is computed from a distinct-value
+    cumulative count as the built-in twin, and the oracle pins
+    ``within_width`` to TRUE so the driver hash-checks the one-bucket
+    error bound every round.  The ≤256-row and distinct-value
+    cumulative windows are single-partition by construction —
+    sketch-sized state, not data-sized (the distinct-cents domain is
+    ≤~56k values on this data; at true 100 TB scale the exact-twin
+    column drops and only the grid math remains).
+    """
+    from pyspark.sql.window import Window
+
+    ev = t["events"].select(
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v"),
+    )
+    bounds = ev.agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.count("*").alias("n"),
+    ).withColumn(
+        "width",
+        F.expr(f"greatest(1L, (hi - lo + {_QSK_W}) DIV {_QSK_W})"),
+    )
+    evb = ev.crossJoin(F.broadcast(bounds))  # 1-row bounds side
+    bucketed = evb.select(
+        "day",
+        F.expr(f"least({_QSK_W - 1}, (v - lo) DIV width)").alias("bucket"),
+    )
+    # per-shard grids — the persistable ≤256-counter partial state
+    daily = bucketed.groupBy("day", "bucket").agg(F.count("*").alias("c"))
+    merged = daily.groupBy("bucket").agg(F.sum("c").alias("c"))
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = merged.select("bucket", F.sum("c").over(wcum).alias("cum"))
+    qs = bounds.select(
+        F.explode(
+            F.array(*[F.lit(q) for q in (25, 50, 75, 90, 99)])
+        ).alias("q"),
+        "lo",
+        "n",
+        "width",
+    ).withColumn("k", F.expr("(q * n + 99) DIV 100"))
+    est = (
+        qs.join(F.broadcast(cum), F.col("cum") >= F.col("k"))
+        .groupBy("q", "k", "lo", "width")
+        .agg(F.min("bucket").alias("b"))
+        .select(
+            "q",
+            "k",
+            "width",
+            F.expr("lo + (b + 1) * width - 1").alias("est_hi_cents"),
+        )
+    )
+    vc = ev.groupBy("v").agg(F.count("*").alias("c"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    vcum = vc.select("v", F.sum("c").over(wv).alias("cum"))
+    ex = (
+        est.join(F.broadcast(vcum), F.col("cum") >= F.col("k"))
+        .groupBy("q", "est_hi_cents", "width")
+        .agg(F.min("v").alias("exact_cents"))
+    )
+    err = F.col("est_hi_cents") - F.col("exact_cents")
+    return ex.select(
+        F.col("q").cast("int").alias("q"),
+        "est_hi_cents",
+        "exact_cents",
+        err.alias("err_cents"),
+        ((err >= 0) & (err < F.col("width"))).alias("within_width"),
+    )
+
+
 @query(
     "agg_rollup",
     oracle="""
