@@ -265,6 +265,73 @@ def sink_jsonl_sharded(spark, t):
 
 
 @query(
+    "ingest_binary_files",
+    oracle="""
+    WITH first_doc AS (
+      SELECT source, text FROM (
+        SELECT source, text,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                 AS rn
+        FROM documents
+      ) WHERE rn = 1
+    )
+    SELECT source || '.bin' AS fname,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS digest
+    FROM first_doc
+    """,
+)
+def ingest_binary_files(spark, t):
+    """Opaque-blob ingestion via the built-in ``binaryFile`` source —
+    the entry path for multimodal stores (images/audio staged as raw
+    files; llm/multimodal.py takes over after this read).
+
+    Stages one deterministic blob per document source (the UTF-8
+    bytes of that source's first doc — tiny by construction: 20
+    driver-written files at any SF; production reads an EXISTING blob
+    store, no staging), then reads them back with
+    ``spark.read.format("binaryFile")`` and emits per-file name, byte
+    length, and sha256 digest.  The oracle recomputes all three from
+    the documents table (DuckDB ``sha256``/``octet_length`` over the
+    same UTF-8 text), so the hash check proves the blob round-trip
+    byte-exact.  Scale posture: binaryFile parallelizes per file and
+    honors ``pathGlobFilter``/``recursiveFileLookup`` for store
+    layouts; the ``content`` column here is consumed map-side
+    (digest) and never shuffled — the same never-shuffle-payloads
+    rule multimodal_dedup follows.
+    """
+    import os as _os
+
+    from pyspark.sql.window import Window
+
+    from tweetdb_spark import scratch
+
+    out = scratch.fresh_dir("tweetdb_blobs")
+    _os.makedirs(out)  # fresh_dir returns an uncreated path
+    w = Window.partitionBy("source").orderBy("doc_id")
+    firsts = (
+        t["documents"]
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("source", "text")
+        .collect()  # one row per source: 20 at every SF
+    )
+    for r in firsts:
+        with open(_os.path.join(out, f"{r.source}.bin"), "wb") as fh:
+            fh.write(r.text.encode("utf-8"))
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(out)
+    )
+    return back.select(
+        F.regexp_extract("path", r"([^/]+)$", 1).alias("fname"),
+        F.col("length").alias("n_bytes"),
+        F.sha2("content", 256).alias("digest"),
+    )
+
+
+@query(
     "scan_merge_schema",
     oracle="""
     SELECT CAST(o_orderkey % 2 = 1 AS INTEGER) AS has_priority,
