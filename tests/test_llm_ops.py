@@ -905,3 +905,29 @@ def test_interleave_prefix_proportions_track_weights(q):
         # tolerance — and exhausted sources can't exceed their size
         assert got <= min(expected * 1.6 + 3, 25), (src, got, expected)
         assert got >= expected * 0.4 - 3, (src, got, expected)
+
+
+def test_segment_dedup_lossless_rebuild_and_dup_collapse(q, tables):
+    """text_segment_dedup's two invariants beyond the oracle hash:
+    docs with nothing dropped rebuild to their EXACT original text
+    (order-preserving rejoin), and exact-duplicate docs — every
+    segment shared — collapse to empty clean_text."""
+    from pyspark.sql import functions as F
+
+    res = q("text_segment_dedup")
+    joined = res.join(tables["documents"].select("doc_id", "text"), "doc_id")
+    clean_rows = joined.where(F.col("n_dropped") == 0).where(
+        F.col("clean_text") != F.col("text")
+    )
+    assert clean_rows.count() == 0
+
+    dup_docs = (
+        tables["documents"]
+        .groupBy("text")
+        .agg(F.count("*").alias("n"), F.collect_list("doc_id").alias("ids"))
+        .where(F.col("n") >= 2)
+        .select(F.explode("ids").alias("doc_id"))
+    )
+    if dup_docs.count() > 0:
+        bad = res.join(dup_docs, "doc_id").where(F.col("clean_text") != "")
+        assert bad.count() == 0

@@ -43,6 +43,7 @@ LADDER = [
     "text_quality",
     "corpus_pack",
     "text_dup_ngram_fraction",
+    "text_segment_dedup",
     "text_ngram_topk",
     "corpus_sample_stratified",
     "corpus_interleave",

@@ -784,6 +784,83 @@ def text_unigram_logprob(spark, t):
 
 
 @query(
+    "text_segment_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), segs AS (
+      SELECT doc_id, CAST(u.i AS INT) AS pos,
+             array_to_string(tk[(u.i * 8 + 1):(u.i * 8 + 8)], ' ') AS seg
+      FROM toks, unnest(range(0, (len(tk) - 1) // 8 + 1)) AS u(i)
+      WHERE len(tk) > 0
+    ), seg_df AS (
+      SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+    )
+    SELECT s.doc_id,
+           COALESCE(string_agg(
+             CASE WHEN d.df < 2 THEN s.seg END, ' ' ORDER BY s.pos),
+             '') AS clean_text,
+           CAST(count(*) AS BIGINT) AS n_segs,
+           CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped
+    FROM segs s JOIN seg_df d USING (seg)
+    GROUP BY s.doc_id
+    """,
+)
+def text_segment_dedup(spark, t):
+    """Cross-document duplicated-SEGMENT removal — the rewrite step of
+    the RefinedWeb/FineWeb line-dedup filter, over 8-token segments
+    (this corpus has no newlines, so fixed token windows stand in for
+    lines): any segment occurring verbatim in ≥2 DISTINCT docs is
+    boilerplate and is cut from every doc; the survivors are
+    re-joined in original order.  Complements
+    ``text_dup_ngram_fraction`` (which only SCORES docs) by actually
+    producing the cleaned corpus — exact duplicates collapse to
+    empty strings, shared headers/footers vanish while unique prose
+    survives.
+
+    One segment-df aggregation (countDistinct doc_id), one equi-join
+    back, and an order-preserving rebuild via
+    sort_array(collect_list(struct(pos,…))) — all codegen, no Python.
+    At 100 TB: shuffle xxhash64(segment) ids instead of segment
+    strings for the df pass (the text_decontaminate trick), and
+    pre-aggregate map-side — segment frequency is Zipf-skewed so the
+    hot boilerplate collapses before the exchange; the rebuild join
+    is co-partitioned on doc_id.
+    """
+    toks = F.split("text", " ")
+    segs_expr = F.expr(
+        "transform(sequence(0, CAST((size(split(text, ' ')) - 1) / 8 AS INT)), "
+        "i -> struct(i AS pos, "
+        "array_join(slice(split(text, ' '), i * 8 + 1, 8), ' ') AS seg))"
+    )
+    segs = (
+        t["documents"]
+        .where(F.size(toks) > 0)
+        .select("doc_id", F.explode(segs_expr).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.seg").alias("seg"))
+    )
+    seg_df = segs.groupBy("seg").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    flagged = segs.join(seg_df, "seg").select(
+        "doc_id", "pos", "seg", (F.col("df") < 2).alias("kept")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.expr(
+                "array_join(transform(filter("
+                "sort_array(collect_list(struct(pos, kept, seg))), "
+                "s -> s.kept), s -> s.seg), ' ')"
+            ).alias("clean_text"),
+            F.count("*").alias("n_segs"),
+            F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias("n_dropped"),
+        )
+    )
+
+
+@query(
     "text_chunk",
     oracle="""
     SELECT doc_id,
