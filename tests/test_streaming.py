@@ -602,3 +602,18 @@ def test_stream_vector_ingest_matches_batch_index(registry, spark):
     assert set(streamed) == set(batch), "vector sets differ"
     mismatches = [v for v in batch if streamed[v] != batch[v]]
     assert not mismatches, f"{len(mismatches)} assignment mismatches: {mismatches[:5]}"
+
+
+def test_stream_sketch_ingest_equals_batch_cms(q):
+    """Batching invariance, directly: the streamed CMS end-state must
+    equal the batch-built sketch value-for-value (counter addition is
+    commutative/associative, so trigger schedule can't matter)."""
+    streamed = {
+        r.user_id: (r.cms_est, r.exact_cnt)
+        for r in q("stream_sketch_ingest").collect()
+    }
+    batch = {
+        r.user_id: (r.cms_est, r.exact_cnt)
+        for r in q("sketch_cms_merge").collect()
+    }
+    assert streamed == batch

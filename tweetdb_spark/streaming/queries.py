@@ -976,3 +976,143 @@ def stream_vector_ingest(spark, t):
     return spark.read.parquet(out_dir).select(
         "vec_id", F.col("cell").cast("int").alias("cell"), "label"
     )
+
+
+@query(
+    "stream_sketch_ingest",
+    oracle="""
+    WITH j AS (
+      SELECT * FROM (VALUES (0, 2654435761, 1), (1, 2246822519, 7),
+                            (2, 3266489917, 13), (3, 668265263, 31))
+             AS t(j, a, b)
+    ), h AS (
+      SELECT e.user_id, j.j,
+             (((e.user_id % 1000003) * j.a + j.b) % 1000003) % 1024
+               AS bucket
+      FROM events e CROSS JOIN j
+    ), cms AS (
+      SELECT j, bucket, count(*) AS c FROM h GROUP BY j, bucket
+    ), probes AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id < 50
+    ), ph AS (
+      SELECT p.user_id, j.j,
+             (((p.user_id % 1000003) * j.a + j.b) % 1000003) % 1024
+               AS bucket
+      FROM probes p CROSS JOIN j
+    ), est AS (
+      SELECT ph.user_id, min(cms.c) AS cms_est
+      FROM ph JOIN cms USING (j, bucket) GROUP BY ph.user_id
+    ), exact AS (
+      SELECT user_id, count(*) AS exact_cnt FROM events
+      WHERE user_id < 50 GROUP BY user_id
+    )
+    SELECT est.user_id,
+           CAST(est.cms_est AS BIGINT) AS cms_est,
+           CAST(exact.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(est.cms_est - exact.exact_cnt AS BIGINT) AS overcount
+    FROM est JOIN exact USING (user_id)
+    """,
+)
+def stream_sketch_ingest(spark, t):
+    """Streaming Count-Min maintenance: the event feed arrives in
+    micro-batches, each batch contributes its sparse CMS partial grid
+    and its probe-key counts, and the state is the running
+    counter-sum of both — `sketch_cms_merge`'s two-level pattern with
+    the shards arriving *over time* instead of lying in partitions.
+
+    Counter addition is commutative and associative, so the final
+    state is independent of trigger schedule and batch boundaries —
+    which is what makes this streaming key oracle-HASH-checked (the
+    stream_corpus_ingest argument, applied to sketch state): the
+    end-state estimates must equal the batch-built CMS value for
+    value.  State lives in one COW parquet snapshot per batch
+    ((j, bucket) grid rows ∪ probe-count rows, merged by one
+    grouped SUM — ≤4096 + 50 rows whatever the stream has seen);
+    replayed batch_ids are skipped, so crash-restart never
+    double-counts.  At 100 TB this is the always-on ingest monitor:
+    per-batch work is one map-side-combined partial agg over the
+    batch plus a merge against KBs of state, and any frequency
+    question over the whole history reads the grid, never the
+    history.  Docstring lineage: SURVEY.md §2 ST-rows + the sketch
+    trio (operators/aggregates.py).
+    """
+    import os as _os
+
+    from tweetdb_spark import scratch
+    from tweetdb_spark.operators.aggregates import _cms_hashes
+
+    root = scratch.fresh_dir("tweetdb_sketchingest")
+    ckpt = scratch.fresh_dir("tweetdb_sketchingestchk")
+    feed_dir = _os.path.join(root, "feed")
+    ev = t["events"].select("user_id")
+    ev.repartition(4).write.mode("overwrite").parquet(feed_dir)
+
+    state = {"cur": None, "n": 0, "applied": set()}
+
+    def apply_batch(bdf, batch_id):
+        if batch_id in state["applied"]:  # replay after restart: no-op
+            return
+        grid = (
+            bdf.select(F.explode(_cms_hashes(F.col("user_id"))).alias("h"))
+            .groupBy(F.col("h.j").alias("j"), F.col("h.bucket").alias("bucket"))
+            .agg(F.count("*").alias("c"))
+            .select("j", "bucket", F.lit(None).cast("bigint").alias("user_id"), "c")
+        )
+        probe = (
+            bdf.where(F.col("user_id") < 50)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("c"))
+            .select(
+                F.lit(None).cast("int").alias("j"),
+                F.lit(None).cast("bigint").alias("bucket"),
+                "user_id",
+                "c",
+            )
+        )
+        parts = grid.unionByName(probe)
+        if state["cur"] is not None:
+            parts = parts.unionByName(
+                bdf.sparkSession.read.parquet(state["cur"])
+            )
+        merged = parts.groupBy("j", "bucket", "user_id").agg(
+            F.sum("c").alias("c")
+        )
+        nxt = _os.path.join(root, f"v{state['n'] + 1}")
+        merged.write.mode("overwrite").parquet(nxt)
+        state["cur"] = nxt
+        state["n"] += 1
+        state["applied"].add(batch_id)
+
+    feed = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    q = (
+        feed.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    st = spark.read.parquet(state["cur"])
+    grid = st.where(F.col("user_id").isNull()).select("j", "bucket", "c")
+    probes = st.where(F.col("user_id").isNotNull()).select(
+        "user_id", F.col("c").alias("exact_cnt")
+    )
+    probe_h = probes.select(
+        "user_id",
+        "exact_cnt",
+        F.explode(_cms_hashes(F.col("user_id"))).alias("h"),
+    ).select("user_id", "exact_cnt", "h.j", "h.bucket")
+    return (
+        probe_h.join(F.broadcast(grid), ["j", "bucket"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+        .select(
+            "user_id",
+            "cms_est",
+            "exact_cnt",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+        )
+    )
