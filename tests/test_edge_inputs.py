@@ -158,3 +158,39 @@ def test_pii_scrub_planted_corpus_parity(pii_corpus, spark):
     # run must NOT match the 13-16 card rule; a@b.c fails the email
     # rule's 2-letter-minimum TLD on both engines
     assert by_id[105][3] == 1 and by_id[105][6] == 0 and by_id[105][2] == 0
+
+
+def test_segment_dedup_edge_corpus_parity(edge, spark):
+    """text_segment_dedup on empty/1-token/short docs: the empty-string
+    split ([''] on both engines) and sub-8-token tail segments must
+    agree with the oracle; duplicated doc 7 (clone of 6) collapses both
+    copies' shared segments."""
+    import duckdb as _duck
+
+    t, con = edge
+    # extend the corpus with a cross-doc duplicate pair (7 clones 6)
+    extra = spark.createDataFrame(
+        [(7, "the quick brown fox jumps over the lazy dog", "en", "edge", 43)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs = t["documents"].unionByName(extra)
+    import tempfile as _tf
+
+    path = _tf.mkdtemp(prefix="edge_segdedup_") + "/documents.parquet"
+    docs.coalesce(1).write.mode("overwrite").parquet(path)
+    con2 = _duck.connect()
+    con2.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    from tweetdb_spark.llm.text import text_segment_dedup
+    from tweetdb_spark.registry import ORACLES
+
+    sdf = text_segment_dedup(spark, {"documents": spark.read.parquet(path)})
+    s_rows = [tuple(r) for r in sdf.collect()]
+    res = con2.execute(ORACLES["text_segment_dedup"])
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+    assert rows_multiset(sdf.columns, s_rows) == rows_multiset(d_cols, d_rows)
+    by_id = {r[0]: r for r in s_rows}
+    assert by_id[6][1] == "" and by_id[7][1] == ""  # clones fully collapse
+    assert by_id[2][1] == "solo"  # unique short doc untouched
