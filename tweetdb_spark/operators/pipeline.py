@@ -161,3 +161,96 @@ def tweet_pipeline_stream(spark, t):
         F.approx_count_distinct("user_id").alias("n_users_approx"),
     )
     return run_to_memory(rollup, "complete")
+
+
+# Wire schema for the filter endpoint: TWEET_SCHEMA + the optional geo
+# coordinates array (public v1.1 shape: [longitude, latitude] doubles).
+from pyspark.sql.types import DoubleType  # noqa: E402
+
+FILTER_TWEET_SCHEMA = StructType(
+    TWEET_SCHEMA.fields + [StructField("coordinates", ArrayType(DoubleType()))]
+)
+
+
+@query(
+    "tweet_filter_track",
+    oracle="""
+    WITH tw AS (
+      SELECT doc_id AS id, doc_id % 100 AS uid, lang, text,
+             CAST(doc_id % 360 - 180 AS DOUBLE) AS lon,
+             CAST(doc_id % 180 - 90 AS DOUBLE) AS lat
+      FROM documents
+    ), flagged AS (
+      SELECT id, uid, lang,
+             len(list_intersect(string_split(text, ' '),
+                 ['spark', 'merge'])) > 0 AS matched_track,
+             uid IN (7, 23, 42) AS matched_follow,
+             (lon BETWEEN -10 AND 40 AND lat BETWEEN 35 AND 70)
+               AS matched_bbox
+      FROM tw
+    )
+    SELECT * FROM flagged
+    WHERE matched_track OR matched_follow OR matched_bbox
+    """,
+)
+def tweet_filter_track(spark, t):
+    """The reference's stream-filter predicate surface: a tweet passes
+    if it matches ANY of a keyword track list (token match, the
+    public filter-endpoint semantics), a follow list (author uids), or
+    a location bounding box over the optional geo coordinates — here
+    over the same synthesized JSON wire format as the pipeline ops,
+    extended with the v1.1 ``coordinates`` [lon, lat] array, so the
+    geo field's JSON round-trip is part of what the hash check proves
+    (coordinates are integer-valued doubles → exact on both engines).
+
+    Spark-first shape: the three predicates are one codegen'd filter —
+    ``arrays_overlap`` against a literal token array, an ``isin``, and
+    two range conjuncts on ``element_at`` — evaluated in a single
+    narrow map over the parse; no shuffle at all until whatever
+    downstream agg consumes the survivors.  On a real stream this
+    exact expression sits behind ``readStream`` unchanged (the batch
+    and stream filter stages are the same DataFrame code; see
+    tweet_pipeline_stream for the feed mechanics).
+    """
+    tweet = F.to_json(
+        F.struct(
+            F.col("doc_id").alias("id"),
+            F.struct(
+                (F.col("doc_id") % 100).alias("uid"),
+                F.col("lang").alias("lang"),
+            ).alias("user"),
+            F.col("text").alias("text"),
+            F.struct(
+                F.expr(
+                    "transform(split(text, ' '), (w, i) -> struct(w AS tag, i AS pos))"
+                ).alias("hashtags")
+            ).alias("entities"),
+            F.array(
+                (F.col("doc_id") % 360 - 180).cast("double"),
+                (F.col("doc_id") % 180 - 90).cast("double"),
+            ).alias("coordinates"),
+        )
+    )
+    parsed = (
+        t["documents"]
+        .select(tweet.alias("raw"))
+        .select(F.from_json("raw", FILTER_TWEET_SCHEMA).alias("tw"))
+        .select("tw.*")
+    )
+    lon = F.element_at("coordinates", 1)
+    lat = F.element_at("coordinates", 2)
+    flagged = parsed.select(
+        "id",
+        F.col("user.uid").alias("uid"),
+        F.col("user.lang").alias("lang"),
+        F.arrays_overlap(
+            F.split("text", " "), F.array(F.lit("spark"), F.lit("merge"))
+        ).alias("matched_track"),
+        F.col("user.uid").isin(7, 23, 42).alias("matched_follow"),
+        (lon.between(-10, 40) & lat.between(35, 70)).alias("matched_bbox"),
+    )
+    return flagged.where(
+        F.col("matched_track")
+        | F.col("matched_follow")
+        | F.col("matched_bbox")
+    )
