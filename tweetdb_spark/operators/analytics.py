@@ -1198,7 +1198,9 @@ def cte_recursive_chain(spark, t):
     # conf + temp-view catalog).
     sess = spark.newSession()
     sess.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
-    orders = load_tables(sess, t.sf_dir)["orders"]
+    # load ONLY orders, and uncached: a partial load skips catalog._CACHE,
+    # so the throwaway child session isn't pinned for the process lifetime
+    orders = load_tables(sess, t.sf_dir, ["orders"])["orders"]
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     succ = orders.select(
         "o_orderkey",

@@ -71,28 +71,38 @@ TWEET_SCHEMA = StructType(
     ]
 )
 
-def synth_tweets(documents):
+def synth_tweets(documents, include_coordinates=False):
     """documents → one raw JSON tweet string per row (deterministic).
+
+    ``include_coordinates`` appends the optional v1.1 geo field
+    ([longitude, latitude] doubles, integer-valued → exact on every
+    engine) — one wire format, one constructor, so the batch-pipeline
+    and filter-endpoint payloads can never silently diverge.
 
     (Built inside the function: Column construction requires an active
     SparkContext, so no expressions at import time.)
     """
-    tweet = F.to_json(
+    fields = [
+        F.col("doc_id").alias("id"),
         F.struct(
-            F.col("doc_id").alias("id"),
-            F.struct(
-                (F.col("doc_id") % 100).alias("uid"),
-                F.col("lang").alias("lang"),
-            ).alias("user"),
-            F.col("text").alias("text"),
-            F.struct(
-                F.expr(
-                    "transform(split(text, ' '), (w, i) -> struct(w AS tag, i AS pos))"
-                ).alias("hashtags")
-            ).alias("entities"),
+            (F.col("doc_id") % 100).alias("uid"),
+            F.col("lang").alias("lang"),
+        ).alias("user"),
+        F.col("text").alias("text"),
+        F.struct(
+            F.expr(
+                "transform(split(text, ' '), (w, i) -> struct(w AS tag, i AS pos))"
+            ).alias("hashtags")
+        ).alias("entities"),
+    ]
+    if include_coordinates:
+        fields.append(
+            F.array(
+                (F.col("doc_id") % 360 - 180).cast("double"),
+                (F.col("doc_id") % 180 - 90).cast("double"),
+            ).alias("coordinates")
         )
-    )
-    return documents.select(tweet.alias("raw"))
+    return documents.select(F.to_json(F.struct(*fields)).alias("raw"))
 
 
 @query(
@@ -212,28 +222,8 @@ def tweet_filter_track(spark, t):
     and stream filter stages are the same DataFrame code; see
     tweet_pipeline_stream for the feed mechanics).
     """
-    tweet = F.to_json(
-        F.struct(
-            F.col("doc_id").alias("id"),
-            F.struct(
-                (F.col("doc_id") % 100).alias("uid"),
-                F.col("lang").alias("lang"),
-            ).alias("user"),
-            F.col("text").alias("text"),
-            F.struct(
-                F.expr(
-                    "transform(split(text, ' '), (w, i) -> struct(w AS tag, i AS pos))"
-                ).alias("hashtags")
-            ).alias("entities"),
-            F.array(
-                (F.col("doc_id") % 360 - 180).cast("double"),
-                (F.col("doc_id") % 180 - 90).cast("double"),
-            ).alias("coordinates"),
-        )
-    )
     parsed = (
-        t["documents"]
-        .select(tweet.alias("raw"))
+        synth_tweets(t["documents"], include_coordinates=True)
         .select(F.from_json("raw", FILTER_TWEET_SCHEMA).alias("tw"))
         .select("tw.*")
     )

@@ -564,11 +564,14 @@ def _sink_jdbc_derby(spark, t):
     writer creates quoted lowercase columns, so every column reference
     in the hand-written SQL is quoted.  derby.system.home is pinned to
     a temp dir so derby.log never lands in the repo."""
-    import tempfile
+    import os as _os
     import uuid as _uuid
 
+    from tweetdb_spark import scratch
+
     jvm = spark._jvm
-    home = tempfile.mkdtemp(prefix="tweetdb_derby_")
+    home = scratch.fresh_dir("tweetdb_derby")  # reapable, pid-tagged
+    _os.makedirs(home)
     jvm.java.lang.System.setProperty("derby.system.home", home)
     url = f"jdbc:derby:{home}/sink_{_uuid.uuid4().hex[:8]};create=true"
 
@@ -587,24 +590,32 @@ def _sink_jdbc_derby(spark, t):
         # idempotent (staging always holds exactly this batch)
         batch_df.coalesce(8).write.jdbc(url, "staging", mode="overwrite")
         c = spark._jvm.java.sql.DriverManager.getConnection(url)
-        c.setAutoCommit(False)
-        s2 = c.createStatement()
-        # one transaction: replace every staged key, stamp the batchId
-        s2.executeUpdate(
-            "DELETE FROM purchase_totals "
-            'WHERE "user_id" IN (SELECT "user_id" FROM staging)'
-        )
-        s2.executeUpdate(
-            "INSERT INTO purchase_totals "
-            f'SELECT "user_id", "n", "total", {bid} FROM staging'
-        )
-        c.commit()
-        s2.close()
+        try:
+            c.setAutoCommit(False)
+            s2 = c.createStatement()
+            # one transaction: replace every staged key, stamp the batchId
+            s2.executeUpdate(
+                "DELETE FROM purchase_totals "
+                'WHERE "user_id" IN (SELECT "user_id" FROM staging)'
+            )
+            s2.executeUpdate(
+                "INSERT INTO purchase_totals "
+                f'SELECT "user_id", "n", "total", {bid} FROM staging'
+            )
+            c.commit()
+            s2.close()
+        except Exception:
+            # roll back so the foreachBatch retry doesn't block on the
+            # dead transaction's locks (embedded Derby holds them until
+            # the connection releases)
+            try:
+                c.rollback()
+            finally:
+                c.close()
+            raise
         c.close()
 
-    import tempfile as _tf
-
-    ckpt = f"{_tf.gettempdir()}/tweetdb_ckpt_sink_{_uuid.uuid4().hex[:8]}"
+    ckpt = scratch.fresh_dir("tweetdb_ckpt_sink")
     q = (
         _purchase_totals_stream(spark, t)
         .writeStream.outputMode("complete")
@@ -922,9 +933,8 @@ def stream_vector_ingest(spark, t):
     (centroids are engine-internal; no faithful ANSI oracle).
     """
     import os as _os
-    import tempfile as _tf
-    import uuid as _uuid
 
+    from tweetdb_spark import scratch
     from tweetdb_spark.llm.similarity import ensure_ivf_index
     from tweetdb_spark.streaming.sources import stage_embeddings_parquet
     from tweetdb_spark.schemas import TABLE_SCHEMAS
@@ -939,8 +949,8 @@ def stream_vector_ingest(spark, t):
         .parquet(src)
     )
 
-    out_dir = f"{_tf.gettempdir()}/tweetdb_vec_ingest_{_uuid.uuid4().hex[:8]}"
-    ckpt = f"{_tf.gettempdir()}/tweetdb_ckpt_vec_{_uuid.uuid4().hex[:8]}"
+    out_dir = scratch.fresh_dir("tweetdb_vec_ingest")
+    ckpt = scratch.fresh_dir("tweetdb_ckpt_vec")
 
     d2 = F.aggregate(
         F.zip_with(
@@ -970,9 +980,8 @@ def stream_vector_ingest(spark, t):
     )
     q.awaitTermination()
     if not _os.path.isdir(out_dir):  # defensive: empty feed
-        return spark.createDataFrame(
-            [], "vec_id long, cell int, label int, batch_id int"
-        )
+        # same 3-column schema as the normal path below
+        return spark.createDataFrame([], "vec_id long, cell int, label int")
     return spark.read.parquet(out_dir).select(
         "vec_id", F.col("cell").cast("int").alias("cell"), "label"
     )
