@@ -194,3 +194,45 @@ def test_segment_dedup_edge_corpus_parity(edge, spark):
     by_id = {r[0]: r for r in s_rows}
     assert by_id[6][1] == "" and by_id[7][1] == ""  # clones fully collapse
     assert by_id[2][1] == "solo"  # unique short doc untouched
+
+
+def test_sketch_ops_degenerate_events(spark):
+    """The sketch trio's grid math on inputs the fixtures can't reach:
+    empty events (no rows out, no crash), a single row (rank-1
+    quantiles exact), and a constant value column (hi==lo → width
+    clamps to 1, everything lands in bucket 0, estimates exact)."""
+    import datetime
+
+    from tweetdb_spark.operators.aggregates import (
+        sketch_cms_merge,
+        sketch_quantile_merge,
+    )
+
+    schema = (
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double, props string"
+    )
+    d = datetime.datetime(2024, 1, 1)
+    empty = spark.createDataFrame([], schema)
+    one = spark.createDataFrame([(1, 3, "a", d, 7.0, "{}")], schema)
+    const = spark.createDataFrame(
+        [(i, i % 5, "a", d, 2.5, "{}") for i in range(10)], schema
+    )
+
+    assert sketch_quantile_merge(spark, {"events": empty}).count() == 0
+    assert sketch_cms_merge(spark, {"events": empty}).count() == 0
+
+    rows = sketch_quantile_merge(spark, {"events": one}).collect()
+    assert len(rows) == 5
+    assert all(r.exact_cents == 700 and r.within_width for r in rows)
+    (cms_row,) = sketch_cms_merge(spark, {"events": one}).collect()
+    assert cms_row.user_id == 3 and cms_row.cms_est == 1
+
+    rows = sketch_quantile_merge(spark, {"events": const}).collect()
+    # hi == lo: width clamps to 1, estimates are exactly the value
+    assert all(
+        r.est_hi_cents == 250 and r.exact_cents == 250 for r in rows
+    )
+    cms = sketch_cms_merge(spark, {"events": const}).collect()
+    assert {r.user_id: r.exact_cnt for r in cms} == {0: 2, 1: 2, 2: 2, 3: 2, 4: 2}
+    assert all(r.overcount >= 0 for r in cms)
