@@ -227,6 +227,13 @@ def tweet_filter_track(spark, t):
         .select(F.from_json("raw", FILTER_TWEET_SCHEMA).alias("tw"))
         .select("tw.*")
     )
+    return _apply_track_filter(parsed)
+
+
+def _apply_track_filter(parsed):
+    """The filter-endpoint predicate stage, shared verbatim by the
+    batch key and its streaming twin (same DataFrame code behind
+    ``read`` and ``readStream`` — the claim, made literal)."""
     lon = F.element_at("coordinates", 1)
     lat = F.element_at("coordinates", 2)
     flagged = parsed.select(
@@ -244,3 +251,76 @@ def tweet_filter_track(spark, t):
         | F.col("matched_follow")
         | F.col("matched_bbox")
     )
+
+
+@query(
+    "tweet_filter_stream",
+    oracle="""
+    WITH tw AS (
+      SELECT doc_id AS id, doc_id % 100 AS uid, lang, text,
+             CAST(doc_id % 360 - 180 AS DOUBLE) AS lon,
+             CAST(doc_id % 180 - 90 AS DOUBLE) AS lat
+      FROM documents
+    ), flagged AS (
+      SELECT id, uid, lang,
+             len(list_intersect(string_split(text, ' '),
+                 ['spark', 'merge'])) > 0 AS matched_track,
+             uid IN (7, 23, 42) AS matched_follow,
+             (lon BETWEEN -10 AND 40 AND lat BETWEEN 35 AND 70)
+               AS matched_bbox
+      FROM tw
+    )
+    SELECT * FROM flagged
+    WHERE matched_track OR matched_follow OR matched_bbox
+    """,
+)
+def tweet_filter_stream(spark, t):
+    """tweet_filter_track behind ``readStream`` — the raw JSON lines
+    arrive as a text-file stream and pass through the IDENTICAL
+    predicate stage (``_apply_track_filter``, shared function, not
+    copied code), appending survivors to a parquet sink.
+
+    The filter is a stateless narrow map, so the final sink content
+    is independent of trigger schedule and batch boundaries — which
+    makes this streaming key oracle-HASH-checked with the exact same
+    SQL as the batch form: streamed survivors must equal the batch
+    filter row-for-row.  At 100 TB this is the reference's always-on
+    filter endpoint: per-batch cost is parse + one codegen'd
+    predicate, no state, no shuffle; backpressure is just file-source
+    trigger sizing.
+    """
+    import os as _os
+
+    from tweetdb_spark import scratch
+
+    feed_dir = scratch.fresh_dir("tweetdb_filterfeed")
+    out_dir = scratch.fresh_dir("tweetdb_filterout")
+    ckpt = scratch.fresh_dir("tweetdb_filterchk")
+    raw = synth_tweets(t["documents"], include_coordinates=True)
+    raw.repartition(4).write.mode("overwrite").text(feed_dir)
+
+    feed = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(feed_dir)
+    )
+    parsed = feed.select(
+        F.from_json("value", FILTER_TWEET_SCHEMA).alias("tw")
+    ).select("tw.*")
+    q = (
+        _apply_track_filter(parsed)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not _os.path.isdir(out_dir):  # defensive: empty feed
+        return spark.createDataFrame(
+            [],
+            "id long, uid long, lang string, matched_track boolean, "
+            "matched_follow boolean, matched_bbox boolean",
+        )
+    return spark.read.parquet(out_dir)
