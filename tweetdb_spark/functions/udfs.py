@@ -54,6 +54,36 @@ def udf_python(spark, t):
 
 
 @query(
+    "udf_python_arrow",
+    oracle="""
+    SELECT doc_id,
+           CASE lang WHEN 'en' THEN 'english'
+                     WHEN 'de' THEN 'german'
+                     WHEN 'es' THEN 'spanish'
+                     WHEN 'fr' THEN 'french'
+                     WHEN 'zh' THEN 'chinese'
+                     ELSE 'other' END AS lang_name
+    FROM documents
+    """,
+)
+def udf_python_arrow(spark, t):
+    """U1's Arrow-optimized twin (``useArrow=True``): same row-at-a-
+    time Python function, but inputs/outputs cross the JVM↔Python
+    boundary as Arrow batches instead of pickled rows — the Spark 4
+    migration path for legacy Python UDFs that can't be rewritten
+    vectorized.  Identical oracle to udf_python, so the hash check
+    proves the serialization change is semantics-free; the remaining
+    gap to a true pandas_udf (U2) is the per-row Python call, which
+    Arrow doesn't remove."""
+
+    @udf(StringType(), useArrow=True)
+    def lang_name(lang):
+        return _LANG_NAMES.get(lang, "other")
+
+    return t["documents"].select("doc_id", lang_name("lang").alias("lang_name"))
+
+
+@query(
     "udf_pandas_scalar",
     oracle="""
     SELECT l_orderkey, l_linenumber,
