@@ -606,6 +606,63 @@ def join_asof_tolerance(spark, t):
 
 
 @query(
+    "join_asof_forward",
+    oracle="""
+    WITH signups AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'
+    ), purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), ranked AS (
+      SELECT s.event_id AS signup_id, s.user_id, s.ts AS signup_ts,
+             p.ts AS first_purchase_ts,
+             row_number() OVER (
+               PARTITION BY s.event_id
+               ORDER BY p.ts ASC, p.event_id ASC
+             ) AS rn
+      FROM signups s JOIN purchases p
+        ON s.user_id = p.user_id AND p.ts >= s.ts
+    )
+    SELECT signup_id, user_id, signup_ts, first_purchase_ts
+    FROM ranked WHERE rn = 1
+    """,
+)
+def join_asof_forward(spark, t):
+    """J9's FORWARD direction (pandas ``merge_asof(direction=
+    'forward')``): the EARLIEST purchase at-or-after each signup, per
+    user — the time-to-first-conversion lookup, where the backward
+    form answers attribution.  Identical range-join + per-left-row
+    window pattern as join_asof with the inequality and ordering
+    mirrored (ASC, tie-broken by event_id ASC — deterministic).  The
+    same scale notes apply: bucket the range join by coarse time at
+    100 TB; the window partitions per signup event so it never skews.
+    """
+    e = t["events"]
+    s = e.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("signup_ts"),
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("first_purchase_ts"),
+        F.col("event_id").alias("p_event_id"),
+    )
+    joined = s.join(
+        p,
+        (s.user_id == p.p_user_id)
+        & (p.first_purchase_ts >= s.signup_ts),
+    )
+    w = Window.partitionBy("signup_id").orderBy(
+        F.col("first_purchase_ts").asc(), F.col("p_event_id").asc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("signup_id", "user_id", "signup_ts", "first_purchase_ts")
+    )
+
+
+@query(
     "join_skewed_fact",
     oracle="""
     WITH li AS (
