@@ -126,3 +126,41 @@ def subquery_in(spark, t):
         GROUP BY c_custkey, c_name
         """
     )
+
+
+@query(
+    "subquery_lateral",
+    oracle="""
+    SELECT n.n_name, c.c_name, c.c_acctbal
+    FROM nation n,
+    LATERAL (
+      SELECT c_name, c_acctbal FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name
+      LIMIT 2
+    ) c
+    """,
+)
+def subquery_lateral(spark, t):
+    """LATERAL correlated subquery — top-2 customers by balance per
+    nation, written as the SQL-standard lateral derived table (the
+    form analysts port verbatim from Postgres/DuckDB).
+
+    Catalyst plans the correlated LIMIT-per-outer-row as a join plus
+    per-group limit — the same physical family as win_rank_topk's
+    WindowGroupLimit — not 25 serial subquery executions; the
+    dimension outer side broadcasts.  Deterministic: ties broken by
+    c_name in the ORDER BY on both engines.
+    """
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_name, c.c_acctbal
+        FROM nation n,
+        LATERAL (
+          SELECT c_name, c_acctbal FROM customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name
+          LIMIT 2
+        ) c
+        """
+    )
