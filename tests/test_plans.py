@@ -372,3 +372,13 @@ def test_cms_merge_broadcasts_grid_and_pushes_probe_filter(q):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert "LessThan(user_id,50)" in plan
+
+
+def test_lateral_subquery_decorrelates_to_group_limit(q):
+    """subquery_lateral's correlated LIMIT must plan as a broadcast
+    join + WindowGroupLimit (partial below the shuffle), never a
+    per-outer-row subquery execution."""
+    plan = _plan(q("subquery_lateral"))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Subquery" not in plan
