@@ -663,6 +663,75 @@ def join_asof_forward(spark, t):
 
 
 @query(
+    "join_asof_nearest",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), signups AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'
+    ), ranked AS (
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+             s.ts AS signup_ts,
+             CAST(abs(epoch_us(p.ts) - epoch_us(s.ts)) AS BIGINT)
+               AS abs_us,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY abs(epoch_us(p.ts) - epoch_us(s.ts)) ASC,
+                        s.ts ASC, s.event_id ASC
+             ) AS rn
+      FROM purchases p JOIN signups s ON p.user_id = s.user_id
+    )
+    SELECT purchase_id, user_id, purchase_ts, signup_ts, abs_us
+    FROM ranked WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark, t):
+    """The third merge_asof direction (``'nearest'``): the signup
+    CLOSEST in time to each purchase, either side, per user — with
+    the time distance measured in exact integer microseconds
+    (``unix_micros`` / DuckDB ``epoch_us``: BIGINT on both engines,
+    no FP distance math) and ties broken earlier-signup-first then
+    event_id, so the choice is fully deterministic.
+
+    Same per-left-row window pattern as the backward/forward forms;
+    the equi-join is on user_id alone (no range predicate prunes for
+    'nearest'), so at 100 TB this is the one direction that wants the
+    coarse time-bucket prefilter FIRST (join on (user, bucket±1),
+    then rank) — join_interval_bucketed's rewrite, noted here because
+    the naive form's per-user fan-in is the scale risk.
+    """
+    e = t["events"]
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    s = e.where(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user_id"),
+        F.col("ts").alias("signup_ts"),
+        F.col("event_id").alias("s_event_id"),
+    )
+    joined = p.join(s, p.user_id == s.s_user_id)
+    abs_us = F.abs(
+        F.unix_micros("purchase_ts") - F.unix_micros("signup_ts")
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        abs_us.asc(), F.col("signup_ts").asc(), F.col("s_event_id").asc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            "purchase_ts",
+            "signup_ts",
+            abs_us.alias("abs_us"),
+        )
+    )
+
+
+@query(
     "join_skewed_fact",
     oracle="""
     WITH li AS (
