@@ -487,6 +487,161 @@ def sketch_quantile_merge(spark, t):
 
 
 @query(
+    "sketch_quantile_grouped",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS v,
+             CAST(ts AS DATE) AS day
+      FROM events
+    ), bounds AS (
+      SELECT event_type, min(v) AS lo, count(*) AS n,
+             greatest(1, (max(v) - min(v) + {_QSK_W}) // {_QSK_W}) AS width
+      FROM ev GROUP BY event_type
+    ), bucketed AS (
+      SELECT ev.event_type, ev.day,
+             least({_QSK_W - 1}, (ev.v - b.lo) // b.width) AS bucket
+      FROM ev JOIN bounds b USING (event_type)
+    ), daily AS (
+      SELECT event_type, day, bucket, count(*) AS c
+      FROM bucketed GROUP BY event_type, day, bucket
+    ), merged AS (
+      SELECT event_type, bucket, CAST(SUM(c) AS BIGINT) AS c
+      FROM daily GROUP BY event_type, bucket
+    ), cum AS (
+      SELECT event_type, bucket,
+             CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bucket
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM merged
+    ), qs AS (
+      SELECT b.event_type, t.q, b.lo, b.width,
+             (t.q * b.n + 99) // 100 AS k
+      FROM (VALUES (50), (90), (99)) AS t(q), bounds b
+    ), est AS (
+      SELECT qs.event_type, qs.q, qs.k, qs.width,
+             qs.lo + (min(cum.bucket) + 1) * qs.width - 1 AS est_hi_cents
+      FROM qs JOIN cum ON cum.event_type = qs.event_type
+                      AND cum.cum >= qs.k
+      GROUP BY qs.event_type, qs.q, qs.k, qs.lo, qs.width
+    ), vcum AS (
+      SELECT event_type, v,
+             CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM (SELECT event_type, v, count(*) AS c FROM ev
+            GROUP BY event_type, v)
+    ), ex AS (
+      SELECT est.event_type, est.q, est.est_hi_cents, est.width,
+             min(vcum.v) AS exact_cents
+      FROM est JOIN vcum ON vcum.event_type = est.event_type
+                        AND vcum.cum >= est.k
+      GROUP BY est.event_type, est.q, est.est_hi_cents, est.width
+    )
+    SELECT event_type, CAST(q AS INT) AS q,
+           CAST(est_hi_cents AS BIGINT) AS est_hi_cents,
+           CAST(exact_cents AS BIGINT) AS exact_cents,
+           TRUE AS within_width
+    FROM ex
+    """,
+)
+def sketch_quantile_grouped(spark, t):
+    """``sketch_quantile_merge`` with a GROUP dimension — per-
+    event_type p50/p90/p99, the shape production monitoring actually
+    asks for ("p99 per service").  Each group gets its own integer-
+    cents bucket range (per-group min/width from one aggregation,
+    joined back broadcast), per-day grids now key on (group, day,
+    bucket), and every window is PARTITIONED by the group — so unlike
+    the global form's single-partition sketch windows, nothing here
+    ever funnels to one task: state per group is ≤256 counters and
+    groups spread across the cluster.  Same oracle-pinned one-bucket
+    error bound, same exact type-1 twin per group.
+    """
+    from pyspark.sql.window import Window
+
+    ev = t["events"].select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v"),
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.count("*").alias("n"),
+    ).withColumn(
+        "width",
+        F.expr(f"greatest(1L, (hi - lo + {_QSK_W}) DIV {_QSK_W})"),
+    )
+    evb = ev.join(F.broadcast(bounds), "event_type")
+    bucketed = evb.select(
+        "event_type",
+        "day",
+        F.expr(f"least({_QSK_W - 1}, (v - lo) DIV width)").alias("bucket"),
+    )
+    daily = bucketed.groupBy("event_type", "day", "bucket").agg(
+        F.count("*").alias("c")
+    )
+    merged = daily.groupBy("event_type", "bucket").agg(
+        F.sum("c").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = merged.select(
+        "event_type", "bucket", F.sum("c").over(wcum).alias("cum")
+    )
+    qs = bounds.select(
+        "event_type",
+        F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("q"),
+        "lo",
+        "n",
+        "width",
+    ).withColumn("k", F.expr("(q * n + 99) DIV 100"))
+    est = (
+        qs.join(
+            F.broadcast(cum.withColumnRenamed("event_type", "et2")),
+            (F.col("event_type") == F.col("et2"))
+            & (F.col("cum") >= F.col("k")),
+        )
+        .drop("et2")
+        .groupBy("event_type", "q", "k", "lo", "width")
+        .agg(F.min("bucket").alias("b"))
+        .select(
+            "event_type",
+            "q",
+            "k",
+            "width",
+            F.expr("lo + (b + 1) * width - 1").alias("est_hi_cents"),
+        )
+    )
+    vc = ev.groupBy("event_type", "v").agg(F.count("*").alias("c"))
+    wv = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    vcum = vc.select("event_type", "v", F.sum("c").over(wv).alias("cum"))
+    ex = (
+        est.join(
+            F.broadcast(vcum.withColumnRenamed("event_type", "et3")),
+            (F.col("event_type") == F.col("et3"))
+            & (F.col("cum") >= F.col("k")),
+        )
+        .drop("et3")
+        .groupBy("event_type", "q", "est_hi_cents", "width")
+        .agg(F.min("v").alias("exact_cents"))
+    )
+    err = F.col("est_hi_cents") - F.col("exact_cents")
+    return ex.select(
+        "event_type",
+        F.col("q").cast("int").alias("q"),
+        "est_hi_cents",
+        "exact_cents",
+        ((err >= 0) & (err < F.col("width"))).alias("within_width"),
+    )
+
+
+@query(
     "agg_rollup",
     oracle="""
     SELECT n_name, c_mktsegment,
