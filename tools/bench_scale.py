@@ -60,6 +60,11 @@ LADDER = [
     "join_skewed_fact",
     "cte_recursive_chain",
     "text_bpe_encode",
+    "join_asof_forward",
+    "join_asof_nearest",
+    "subquery_lateral",
+    "sketch_quantile_grouped",
+    "tweet_filter_track",
 ]
 
 
