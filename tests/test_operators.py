@@ -363,3 +363,26 @@ def test_quantile_sketch_monotone_and_linear_merge(q, spark, tables):
     direct = bucketed.groupBy("bucket").agg(F.count("*").alias("c"))
     assert merged.exceptAll(direct).count() == 0
     assert direct.exceptAll(merged).count() == 0
+
+
+def test_asof_nearest_never_farther_than_backward(q, spark):
+    """The backward match is one of nearest's candidates, so per
+    purchase the nearest distance can never exceed the backward
+    distance (and both keys must cover the same purchases that have
+    any signup at all — backward misses purchases with only LATER
+    signups, nearest doesn't)."""
+    from pyspark.sql import functions as F
+
+    nearest = q("join_asof_nearest").select(
+        "purchase_id", F.col("abs_us").alias("nearest_us")
+    )
+    backward = q("join_asof").select(
+        "purchase_id",
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("signup_ts")
+        ).alias("backward_us"),
+    )
+    j = nearest.join(backward, "purchase_id")
+    assert j.where(F.col("nearest_us") > F.col("backward_us")).count() == 0
+    # backward's matches are a subset of nearest's
+    assert backward.join(nearest, "purchase_id", "left_anti").count() == 0

@@ -617,3 +617,12 @@ def test_stream_sketch_ingest_equals_batch_cms(q):
         for r in q("sketch_cms_merge").collect()
     }
     assert streamed == batch
+
+
+def test_tweet_filter_stream_equals_batch(q):
+    """Direct streamed==batch equality for the filter endpoint (both
+    keys also hash-check against the same oracle; this pins them to
+    each other row-for-row without the oracle in the loop)."""
+    streamed = {r.id: tuple(r) for r in q("tweet_filter_stream").collect()}
+    batch = {r.id: tuple(r) for r in q("tweet_filter_track").collect()}
+    assert streamed == batch
