@@ -931,3 +931,57 @@ def test_segment_dedup_lossless_rebuild_and_dup_collapse(q, tables):
     if dup_docs.count() > 0:
         bad = res.join(dup_docs, "doc_id").where(F.col("clean_text") != "")
         assert bad.count() == 0
+
+
+def test_decontaminate_bloom_equals_exact(q):
+    """The Bloom prefilter must be semantics-free: byte-identical
+    (doc_id, n_shared) to the exact gram equi-join — false negatives
+    are impossible by construction, false positives die in the exact
+    join."""
+    exact = {(r.doc_id, r.n_shared) for r in q("text_decontaminate").collect()}
+    bloom = {(r.doc_id, r.n_shared) for r in q("text_decontaminate_bloom").collect()}
+    assert bloom == exact
+
+
+def test_decontaminate_bloom_rejects_clean_grams(spark):
+    """A gram absent from the benchmark must be dropped by the filter:
+    a corpus whose train docs share nothing with the bench doc yields
+    an empty contamination report (i.e. the Bloom tier doesn't pass
+    everything through)."""
+    from tweetdb_spark.llm.text import text_decontaminate_bloom
+
+    bench = " ".join(f"b{i}" for i in range(12))        # doc_id 0 -> bench
+    clean = " ".join(f"c{i}" for i in range(12))        # doc_id 1 -> train
+    docs = spark.createDataFrame(
+        [(0, bench, len(bench)), (1, clean, len(clean))],
+        "doc_id long, text string, n_chars long",
+    )
+    out = text_decontaminate_bloom(spark, {"documents": docs}).collect()
+    assert out == []
+
+
+def test_quality_classifier_margin_is_sum_of_bucket_weights(spark):
+    """Hand-check the linear model on a 2-token doc: margin must be
+    w(h(tok1)) + w(h(tok2)) with the documented portable hash, and an
+    empty doc must keep a 0-margin fail verdict."""
+    from tweetdb_spark.llm.text import text_quality_classifier, _QC_D
+
+    P = 2147483647
+
+    def whash(s):
+        return sum(
+            ord(c) * ((i * 2654435761) % P) for i, c in enumerate(s, start=1)
+        ) % P
+
+    def weight(b):
+        return ((b * 2654435761) % P) % 2001 - 1000
+
+    docs = spark.createDataFrame(
+        [(0, "alpha bravo", 11), (1, "", 0)],
+        "doc_id long, text string, n_chars long",
+    )
+    out = {r.doc_id: r for r in text_quality_classifier(spark, {"documents": docs}).collect()}
+    want = weight(whash("alpha") % _QC_D) + weight(whash("bravo") % _QC_D)
+    assert out[0].n_tokens == 2 and out[0].margin == want
+    assert out[0].quality_pass == (want > 0)
+    assert out[1].n_tokens == 0 and out[1].margin == 0 and not out[1].quality_pass
