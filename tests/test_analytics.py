@@ -1,3 +1,16 @@
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def q(registry, spark):
+    def run(name):
+        return registry.QUERIES[name](spark, SF_DIR)
+
+    return run
+
+
 
 
 def test_drift_psi_detects_planted_shift(spark):
@@ -65,3 +78,40 @@ def test_recursive_chain_equals_window_form(registry, spark):
         ).collect()
     }
     assert rec == win and len(rec) > 0
+
+
+def test_frequent_pairs_on_planted_baskets(spark):
+    """Pairs reaching the support threshold survive with the exact
+    count; sub-threshold pairs and cross-basket phantom pairs don't."""
+    from tweetdb_spark.operators.analytics import itemsets_frequent_pairs
+
+    rows = []
+    # parts 1+2 co-occur in orders 0,1,2 (support 3); 1+3 only in order 0
+    for o, parts in [(0, [1, 2, 3]), (1, [1, 2]), (2, [1, 2]), (3, [3]), (4, [2])]:
+        for p in parts:
+            rows.append((o, p))
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = {(r.part_a, r.part_b): r.support
+           for r in itemsets_frequent_pairs(spark, {"lineitem": li}).collect()}
+    assert out == {(1, 2): 3}
+
+
+def test_multires_rollup_partials_consistent(q):
+    """Each resolution's total count must equal the raw event count,
+    and week cents must equal the sum of its days' cents — the
+    decomposable-aggregate identity the rollup chain relies on."""
+    rows = q("events_multires_rollup").collect()
+    by_res = {}
+    for r in rows:
+        acc = by_res.setdefault(r.resolution, [0, 0])
+        acc[0] += r.cnt
+        acc[1] += r.sum_cents
+    assert by_res["hour"] == by_res["day"] == by_res["week"]
+
+
+def test_bitmap_distinct_merge_lossless(q):
+    """The set-union rollup must equal the single-pass distinct on
+    every row, and no day can exceed the merged total."""
+    rows = q("agg_bitmap_distinct").collect()
+    assert rows and all(r.merge_lossless for r in rows)
+    assert all(r.n_daily <= r.merged_total == r.direct_total for r in rows)

@@ -813,3 +813,61 @@ def agg_approx_top_freq(spark, t):
             F.col("count").alias("cnt"),
         )
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             count(DISTINCT user_id) AS n_daily
+      FROM events GROUP BY 1
+    ), total AS (
+      SELECT count(DISTINCT user_id) AS direct_total FROM events
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, n_daily,
+           direct_total AS merged_total, direct_total,
+           TRUE AS merge_lossless
+    FROM daily CROSS JOIN total
+    """,
+)
+def agg_bitmap_distinct(spark, t):
+    """EXACT mergeable distinct rollup — the bitmap twin of
+    ``sketch_distinct_merge``'s HLL: per-day user-id SETS are the
+    persistable partial state, and the month total is their union,
+    never a re-scan of raw events.
+
+    The per-day state here is a ``collect_set`` (partial-combined
+    map-side, so the shuffle carries <= NDV ids per day, not raw
+    events); the rollup unions the day sets (``flatten`` +
+    ``array_distinct``) and its cardinality is pinned EQUAL to the
+    direct single-pass ``countDistinct`` by the ``merge_lossless``
+    column the oracle fixes at TRUE — the driver hash-checks the
+    union math every round.  At 100 TB, int-keyed sets become roaring
+    bitmaps (same algebra: union is OR, cardinality is popcount) and
+    each day's bitmap is KBs on disk; when even that is too wide, the
+    HLL tier answers with a bounded error.  This key documents the
+    exact end of that spectrum and proves the merge identity the
+    compressed forms rely on.
+    """
+    daily = (
+        t["events"]
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.collect_set("user_id").alias("users"))
+    )
+    merged = daily.agg(
+        F.size(F.array_distinct(F.flatten(F.collect_list("users")))).cast(
+            "long"
+        ).alias("merged_total")
+    )
+    direct = t["events"].agg(
+        F.countDistinct("user_id").alias("direct_total")
+    )
+    return (
+        daily.select("day", F.size("users").cast("long").alias("n_daily"))
+        .crossJoin(F.broadcast(merged))
+        .crossJoin(F.broadcast(direct))
+        .withColumn(
+            "merge_lossless", F.col("merged_total") == F.col("direct_total")
+        )
+    )

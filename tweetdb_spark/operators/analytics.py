@@ -1226,3 +1226,61 @@ def cte_recursive_chain(spark, t):
         FROM chain
         """
     )
+
+
+@query(
+    "itemsets_frequent_pairs",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS support
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, support
+    FROM pairs WHERE support >= 3
+    """,
+)
+def itemsets_frequent_pairs(spark, t):
+    """Frequent-itemset mining, pair tier (the A-Priori / FP-growth
+    first level): part pairs co-purchased in >= 3 distinct orders.
+
+    Execution shape: dedup to (order, part), A-PRIORI PRUNE — a pair
+    can reach support s only if BOTH parts individually appear in >= s
+    orders, so infrequent parts are semi-joined away BEFORE pairing —
+    then a self-equi-join on the order key generates candidate pairs
+    only within a basket (never across: the join key carries it), and
+    one 2-phase count finishes.  The oracle is the UNPRUNED all-pairs
+    query, so the prune's losslessness is value-hash-checked, not
+    assumed.  At 100 TB: basket self-joins are quadratic per basket
+    but bounded by basket size (TPC-H <= 7 lines); the item prune is
+    what keeps the candidate space down on sparse web-scale baskets
+    (most items are tail items), and support counting is a map-side-
+    combining agg on the pair key.  Higher levels (triples+) iterate
+    the same prune: candidates = frequent-pairs join frequent-items.
+    """
+    minsup = 3
+    li = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    freq_items = (
+        li.groupBy("l_partkey")
+        .agg(F.countDistinct("l_orderkey").alias("item_sup"))
+        .where(F.col("item_sup") >= minsup)
+        .select("l_partkey")
+    )
+    pruned = li.join(freq_items, "l_partkey")
+    a = pruned.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    )
+    b = pruned.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "k")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= minsup)
+    )

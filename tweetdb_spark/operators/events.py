@@ -654,3 +654,80 @@ def events_rate_limit(spark, t):
         F.row_number().over(w).cast("bigint").alias("rn"),
         (F.row_number().over(w) <= 2).alias("admitted"),
     )
+
+
+@query(
+    "events_multires_rollup",
+    oracle="""
+    WITH cents AS (
+      SELECT ts, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), h AS (
+      SELECT 'hour' AS resolution, date_trunc('hour', ts) AS bucket_start,
+             event_type, count(*) AS cnt, SUM(cents) AS sum_cents
+      FROM cents GROUP BY 2, 3
+    ), d AS (
+      SELECT 'day' AS resolution, date_trunc('day', ts) AS bucket_start,
+             event_type, count(*) AS cnt, SUM(cents) AS sum_cents
+      FROM cents GROUP BY 2, 3
+    ), w AS (
+      SELECT 'week' AS resolution, date_trunc('week', ts) AS bucket_start,
+             event_type, count(*) AS cnt, SUM(cents) AS sum_cents
+      FROM cents GROUP BY 2, 3
+    )
+    SELECT resolution, CAST(bucket_start AS TIMESTAMP) AS bucket_start,
+           event_type, cnt, CAST(sum_cents AS BIGINT) AS sum_cents
+    FROM (SELECT * FROM h UNION ALL SELECT * FROM d UNION ALL SELECT * FROM w)
+    """,
+)
+def events_multires_rollup(spark, t):
+    """Hypertable continuous-aggregate shape: hour/day/week rollups in
+    ONE long table, where the coarse resolutions are RE-AGGREGATED
+    FROM THE HOURLY PARTIALS — the raw events are scanned exactly
+    once.
+
+    This is the TimescaleDB/ClickHouse materialized-rollup pattern:
+    maintain the finest-grain partial (hourly), derive day from hour
+    partials and week from day partials by summing counts/sums (all
+    aggregates here are decomposable), never rescan raw data for a
+    coarser window.  The ORACLE computes every resolution directly
+    from the raw events, so the partial-reaggregation chain is proven
+    lossless by the value hash, not by trust in associativity.  Money
+    is summed as exact integer cents (ROUND(value*100)): double
+    addition is order-sensitive, and a re-aggregation would otherwise
+    hash-diverge from the direct sum at FP epsilon.  At 100 TB: the
+    hourly partial is ~|types|x24 rows/day regardless of event volume,
+    so the day/week tiers aggregate KBs; incremental maintenance
+    (agg_incremental's pattern) appends new hours and re-derives only
+    affected coarse buckets.
+    """
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = (
+        t["events"]
+        .select(
+            F.date_trunc("hour", "ts").alias("bucket_start"),
+            "event_type",
+            cents.alias("cents"),
+        )
+        .groupBy("bucket_start", "event_type")
+        .agg(F.count("*").alias("cnt"), F.sum("cents").alias("sum_cents"))
+    )
+    daily = (
+        hourly.groupBy(
+            F.date_trunc("day", "bucket_start").alias("bucket_start"), "event_type"
+        )
+        .agg(F.sum("cnt").alias("cnt"), F.sum("sum_cents").alias("sum_cents"))
+    )
+    weekly = (
+        daily.groupBy(
+            F.date_trunc("week", "bucket_start").alias("bucket_start"), "event_type"
+        )
+        .agg(F.sum("cnt").alias("cnt"), F.sum("sum_cents").alias("sum_cents"))
+    )
+    lit = F.lit
+    return (
+        hourly.select(lit("hour").alias("resolution"), "*")
+        .unionByName(daily.select(lit("day").alias("resolution"), "*"))
+        .unionByName(weekly.select(lit("week").alias("resolution"), "*"))
+    )
