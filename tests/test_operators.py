@@ -386,3 +386,36 @@ def test_asof_nearest_never_farther_than_backward(q, spark):
     assert j.where(F.col("nearest_us") > F.col("backward_us")).count() == 0
     # backward's matches are a subset of nearest's
     assert backward.join(nearest, "purchase_id", "left_anti").count() == 0
+
+
+def test_cogrouped_map_handles_one_sided_groups(spark):
+    """A key present on only one cogroup side must still produce a row
+    with the other side zeroed — the empty-DataFrame branch of the
+    merge fn."""
+    from tweetdb_spark.functions.udfs import udf_cogrouped_map
+
+    cust = spark.createDataFrame(
+        [(1, 10.0), (1, 5.5), (2, 7.0)], "c_nationkey long, c_acctbal double"
+    )
+    supp = spark.createDataFrame(
+        [(2, 3.0), (3, 1.0)], "s_nationkey long, s_acctbal double"
+    )
+    out = {
+        r.nationkey: r
+        for r in udf_cogrouped_map(spark, {"customer": cust, "supplier": supp}).collect()
+    }
+    assert out[1].n_cust == 2 and out[1].n_supp == 0 and out[1].supp_bal_cents == 0
+    assert out[1].cust_bal_cents == 1550
+    assert out[2].n_cust == 1 and out[2].n_supp == 1
+    assert out[3].n_cust == 0 and out[3].cust_bal_cents == 0
+
+
+def test_map_arrow_filter_stays_pushed_to_scan(q):
+    """The price predicate must reach the parquet scan as a pushed
+    filter — mapInArrow is an optimizer black box, so the plan shape
+    proves the filter was kept OUTSIDE the UDF."""
+    df = q("udf_map_arrow")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,150000" in plan, plan

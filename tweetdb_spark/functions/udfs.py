@@ -197,3 +197,127 @@ def udtf_python(spark, t):
         FROM documents d, LATERAL tokenize_udtf(d.text) tk
         """
     )
+
+
+@query(
+    "udf_cogrouped_map",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey AS nationkey, count(*) AS n_cust,
+             CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS cust_bal_cents
+      FROM customer GROUP BY 1
+    ), s AS (
+      SELECT s_nationkey AS nationkey, count(*) AS n_supp,
+             CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS supp_bal_cents
+      FROM supplier GROUP BY 1
+    )
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           COALESCE(c.n_cust, 0) AS n_cust,
+           COALESCE(s.n_supp, 0) AS n_supp,
+           COALESCE(c.cust_bal_cents, 0) AS cust_bal_cents,
+           COALESCE(s.supp_bal_cents, 0) AS supp_bal_cents
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+)
+def udf_cogrouped_map(spark, t):
+    """Cogrouped-map pandas UDF — the last member of the Python UDF
+    family (scalar U1/U2, grouped-agg U3, table U4, Arrow-scalar,
+    mapInPandas): ``groupBy(k).cogroup(other.groupBy(k))
+    .applyInPandas`` aligns BOTH tables' partitions for one key into a
+    single Python call.
+
+    Per nation, the customer and supplier groups arrive as two Arrow
+    batches; the fn merges them into one summary row — the custom-
+    merge shape (as-of joins, interval reconciliation, per-key model
+    scoring against a reference set) when the merge logic genuinely
+    needs imperative pandas.  Money is summed as integer cents so the
+    Python path is exactly reproducible in SQL; the ORACLE is the
+    relational full-outer aggregate join, proving the cogroup
+    plumbing (including empty-side groups) value-equivalent.  At
+    100 TB both sides shuffle once on the cogroup key — same exchange
+    cost as the equivalent join — and each (key, both-sides) group
+    must fit one worker's pandas heap, so keys are pre-aggregated
+    partials where possible (here: the groups are already nation-
+    sized).
+    """
+
+    def merge(key, cust: pd.DataFrame, supp: pd.DataFrame) -> pd.DataFrame:
+        def cents(s: pd.Series) -> int:
+            return int(sum(int(v * 100 + (0.5 if v >= 0 else -0.5)) for v in s))
+
+        return pd.DataFrame(
+            {
+                "nationkey": [int(key[0])],
+                "n_cust": [len(cust)],
+                "n_supp": [len(supp)],
+                "cust_bal_cents": [cents(cust["c_acctbal"]) if len(cust) else 0],
+                "supp_bal_cents": [cents(supp["s_acctbal"]) if len(supp) else 0],
+            }
+        )
+
+    c = t["customer"].select("c_nationkey", "c_acctbal")
+    s = t["supplier"].select("s_nationkey", "s_acctbal")
+    return (
+        c.groupBy("c_nationkey")
+        .cogroup(s.groupBy("s_nationkey"))
+        .applyInPandas(
+            merge,
+            "nationkey long, n_cust long, n_supp long, "
+            "cust_bal_cents long, supp_bal_cents long",
+        )
+    )
+
+
+@query(
+    "udf_map_arrow",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+           o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+             AS is_urgent
+    FROM orders WHERE o_totalprice > 150000
+    """,
+)
+def udf_map_arrow(spark, t):
+    """``mapInArrow`` — the zero-copy end of the Python UDF spectrum:
+    the fn receives raw ``pyarrow.RecordBatch``es and answers with
+    RecordBatches, no pandas materialization at all.
+
+    The body uses ``pyarrow.compute`` kernels (vectorized C++, same
+    family Spark's own Arrow path uses), so the only Python cost is
+    per-BATCH dispatch — the right tier when a library speaks Arrow
+    natively (tokenizers, image codecs, ONNX runtimes).  Arithmetic
+    is integer cents and boolean flags, so the oracle's relational
+    form is exactly reproducible.  The filter stays OUTSIDE the UDF
+    as a real Catalyst predicate (pushed to the scan); the UDF only
+    maps — mapInArrow is a black box to the optimizer, so anything
+    prunable must stay out of it.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def project(batches):
+        for b in batches:
+            price = b.column("o_totalprice")
+            prio = b.column("o_orderpriority")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("o_orderkey"),
+                    pc.cast(pc.round(pc.multiply(price, 100.0)), pa.int64()),
+                    pc.or_(
+                        pc.starts_with(prio, "1-"), pc.starts_with(prio, "2-")
+                    ),
+                ],
+                names=["o_orderkey", "price_cents", "is_urgent"],
+            )
+
+    return (
+        t["orders"]
+        .where(F.col("o_totalprice") > 150000)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .mapInArrow(
+            project, "o_orderkey long, price_cents long, is_urgent boolean"
+        )
+    )
