@@ -985,3 +985,16 @@ def test_quality_classifier_margin_is_sum_of_bucket_weights(spark):
     assert out[0].n_tokens == 2 and out[0].margin == want
     assert out[0].quality_pass == (want > 0)
     assert out[1].n_tokens == 0 and out[1].margin == 0 and not out[1].quality_pass
+
+
+def test_url_filter_blocks_exactly_the_blocklist_hosts(q):
+    """Every doc from a blocklisted source is flagged, every other doc
+    isn't, and canonical URLs carry no query string."""
+    from tweetdb_spark.llm.text import URL_BLOCKLIST
+
+    rows = q("corpus_url_filter").collect()
+    assert rows
+    for r in rows:
+        assert r.blocked == (r.host in URL_BLOCKLIST)
+        assert "?" not in r.canonical_url
+        assert r.canonical_url == f"https://{r.host}{r.path}"

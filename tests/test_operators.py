@@ -419,3 +419,22 @@ def test_map_arrow_filter_stays_pushed_to_scan(q):
         df._jdf.queryExecution(), "formatted"
     )
     assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,150000" in plan, plan
+
+
+def test_gap_islands_on_planted_streaks(spark):
+    """Hand-checkable corpus: user 1 has days {1,2,3, 6,7} → 2 streaks,
+    longest 3; user 2 has one day → 1 streak of 1."""
+    import datetime
+
+    rows = []
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    for day in [0, 1, 2, 5, 6, 5]:  # dup day 5 must not split a streak
+        rows.append((1, base + datetime.timedelta(days=day)))
+    rows.append((2, base))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    from tweetdb_spark.operators.events import events_gap_islands
+
+    out = {r.user_id: r for r in events_gap_islands(spark, {"events": df}).collect()}
+    assert out[1].n_active_days == 5
+    assert out[1].n_streaks == 2 and out[1].longest_streak == 3
+    assert out[2].n_streaks == 1 and out[2].longest_streak == 1

@@ -2170,3 +2170,81 @@ def text_quality_classifier(spark, t):
             (F.coalesce("margin", F.lit(0)) > 0).alias("quality_pass"),
         )
     )
+
+
+# Domain blocklist (engine constant — in production this is the UT1 /
+# ad-domain list, dim-sized: ~4M rows ≈ 100 MB, still a broadcast).
+URL_BLOCKLIST: list[str] = ["www.src2.example.com", "www.src5.example.com"]
+_BLOCK_VALUES = ", ".join(f"('{h}')" for h in URL_BLOCKLIST)
+
+
+@query(
+    "corpus_url_filter",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, lang, source,
+             'https://www.' || source || '.example.com/' || lang ||
+               '/doc-' || doc_id || '?ref=rss' AS url
+      FROM documents
+    ), parsed AS (
+      SELECT doc_id, url,
+             regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+             regexp_extract(url, '^https?://[^/]+(/[^?#]*)', 1) AS path
+      FROM u
+    )
+    SELECT p.doc_id, p.host, p.path,
+           'https://' || p.host || p.path AS canonical_url,
+           b.host IS NOT NULL AS blocked
+    FROM parsed p
+    LEFT JOIN (VALUES {_BLOCK_VALUES}) AS b(host) ON p.host = b.host
+    """,
+)
+def corpus_url_filter(spark, t):
+    """URL-based curation (the C4 / RefinedWeb first gate): parse each
+    doc's URL with Spark's ``parse_url``, canonicalize it (strip query
+    params — the dedup key for crawl re-fetches), and flag hosts on a
+    blocklist.
+
+    The fixture corpus has no URL column, so one is SYNTHESIZED
+    deterministically from (source, lang, doc_id) — documented, not
+    hidden; with real crawl data the column comes in the WARC header.
+    What's exercised is real: ``parse_url(url, 'HOST'|'PATH')`` (JVM
+    codegen, the same extraction the tweet pipeline ran on entity
+    URLs), canonical-URL construction, and a broadcast LEFT join
+    against the blocklist producing a keep/block verdict per doc.  At
+    100 TB: the blocklist (UT1 adult list ~4M domains) broadcasts;
+    URL canonicalization is narrow; per-host rollups (crawl politeness
+    budgets, domain caps) group on the parsed host, not the raw URL.
+    The oracle re-derives host/path with regexes, so the parse_url
+    semantics are value-hash-checked.
+    """
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref=rss"),
+    )
+    block = F.broadcast(
+        spark.createDataFrame([(h,) for h in URL_BLOCKLIST], "host string")
+        .withColumn("blocked_hit", F.lit(True))
+    )
+    parsed = t["documents"].select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+    )
+    return (
+        parsed.join(block, "host", "left")
+        .select(
+            "doc_id",
+            "host",
+            "path",
+            F.concat(F.lit("https://"), F.col("host"), F.col("path")).alias(
+                "canonical_url"
+            ),
+            F.coalesce("blocked_hit", F.lit(False)).alias("blocked"),
+        )
+    )

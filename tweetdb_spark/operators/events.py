@@ -731,3 +731,57 @@ def events_multires_rollup(spark, t):
         .unionByName(daily.select(lit("day").alias("resolution"), "*"))
         .unionByName(weekly.select(lit("week").alias("resolution"), "*"))
     )
+
+
+@query(
+    "events_gap_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ), numbered AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp
+      FROM days
+    ), islands AS (
+      SELECT user_id, grp, count(*) AS len
+      FROM numbered GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           count(*) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak
+    FROM islands GROUP BY user_id
+    """,
+)
+def events_gap_islands(spark, t):
+    """Gaps-and-islands: per-user consecutive-active-day streaks (the
+    retention/engagement 'streak' metric, and the general contiguity
+    idiom behind SLA windows and sensor-uptime reports).
+
+    The classic relational trick, fully parallel: distinct active
+    days, then ``day − row_number()`` is CONSTANT within a
+    consecutive run (both advance by 1/day), so the island is a plain
+    groupBy on that derived key — no iterative pass, no self-join.
+    One shuffle on user_id drives the window, the island agg, and the
+    per-user summary (same partitioning reused across all three).  At
+    100 TB the distinct (user, day) projection is the only wide step
+    and it combines map-side; everything after operates on ≤ 1 row
+    per user-day.
+    """
+    days = (
+        t["events"]
+        .select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    numbered = days.withColumn(
+        "grp", F.date_sub("d", F.row_number().over(w))
+    )
+    islands = numbered.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    return islands.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.count("*").alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+    )
