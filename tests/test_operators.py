@@ -438,3 +438,32 @@ def test_gap_islands_on_planted_streaks(spark):
     assert out[1].n_active_days == 5
     assert out[1].n_streaks == 2 and out[1].longest_streak == 3
     assert out[2].n_streaks == 1 and out[2].longest_streak == 1
+
+
+def test_rolling_quantile_median_hand_check(spark):
+    """Trailing-10 median on a planted series: first row's frame is
+    itself, a 2-row frame interpolates to the midpoint."""
+    import datetime
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (1, 7, base + datetime.timedelta(minutes=i), float(v))
+        for i, v in enumerate([1.00, 2.00, 10.00])
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+    from tweetdb_spark.operators.windows import win_rolling_quantile
+
+    out = sorted(
+        win_rolling_quantile(spark, {"events": df}).collect(),
+        key=lambda r: r.event_id,
+    )
+    assert [r.rolling_median_cents for r in out] == [100.0, 150.0, 200.0]
+
+
+def test_collation_sees_both_spellings(q):
+    """n_raw_spellings == 2 for populated groups proves the collated
+    predicate really unified distinct binary spellings (not a
+    single-case vacuous match)."""
+    rows = q("fn_collation").collect()
+    assert rows and any(r.n_raw_spellings == 2 for r in rows)
+    assert all(r.n_raw_spellings in (1, 2) for r in rows)

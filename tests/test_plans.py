@@ -382,3 +382,12 @@ def test_lateral_subquery_decorrelates_to_group_limit(q):
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan
     assert "Subquery" not in plan
+
+
+def test_shuffle_hash_hint_takes_effect(q):
+    """The SHUFFLE_HASH hint must produce a ShuffledHashJoin (build
+    side = customer) where the unhinted plan would sort-merge — the
+    no-sort strategy the docstring claims."""
+    plan = _plan(q("join_shuffle_hash_hint"))
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

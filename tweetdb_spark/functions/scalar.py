@@ -308,3 +308,56 @@ def fn_variant_json(spark, t):
             F.max("k").alias("max_k"),
         )
     )
+
+
+@query(
+    "fn_collation",
+    oracle="""
+    WITH mixed AS (
+      SELECT c_custkey, c_nationkey,
+             CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                  ELSE c_mktsegment END AS seg
+      FROM customer
+    )
+    SELECT c_nationkey AS nationkey,
+           count(*) AS n_building,
+           count(DISTINCT seg) AS n_raw_spellings
+    FROM mixed
+    WHERE upper(seg) = 'BUILDING'
+    GROUP BY c_nationkey
+    """,
+)
+def fn_collation(spark, t):
+    """Spark 4 collations: a UTF8_LCASE comparison matches
+    case-insensitively WITHOUT materializing a lower()/upper()
+    normalized copy of the column.
+
+    Input case is deliberately mixed (even keys lowercased), then the
+    predicate compares under ``collate(seg, 'UTF8_LCASE')``.  The
+    oracle uses the classical upper()-normalization, so the hash
+    check proves the collated comparison equivalent.  The
+    ``n_raw_spellings`` column (counted on the RAW binary collation)
+    pins that the input really contained both spellings — i.e. the
+    collation did work, the test isn't vacuously single-case.  At
+    100 TB collation-aware comparison beats normalize-then-compare
+    exactly where it matters: no second string column in the shuffle,
+    and data-source filters can push collated predicates (Spark maps
+    them to storage-level case-insensitive filters where the format
+    supports it).
+    """
+    seg = F.when(
+        F.col("c_custkey") % 2 == 0, F.lower("c_mktsegment")
+    ).otherwise(F.col("c_mktsegment"))
+    mixed = t["customer"].select(
+        "c_custkey", "c_nationkey", seg.alias("seg")
+    )
+    return (
+        mixed.where(
+            F.collate("seg", "UTF8_LCASE") == F.lit("building")
+        )
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_building"),
+            F.countDistinct("seg").alias("n_raw_spellings"),
+        )
+    )

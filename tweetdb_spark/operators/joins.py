@@ -804,3 +804,45 @@ def join_skewed_fact(spark, t):
             F.floor(F.col("dim_val") * 100 + 0.5).cast("bigint")
         ).cast("bigint").alias("sum_dim_cents"),
     )
+
+
+@query(
+    "join_shuffle_hash_hint",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_shuffle_hash_hint(spark, t):
+    """The third physical join strategy, explicitly chosen:
+    ``SHUFFLE_HASH`` hint forces a ShuffledHashJoin where the planner
+    would default to SortMergeJoin (too big to broadcast), with the
+    oracle pinning it result-identical to the unhinted join.
+
+    Why it exists at 100 TB: SMJ sorts BOTH shuffled sides; SHJ builds
+    a hash map from the smaller side per partition and streams the
+    larger — no sort at all.  When the per-partition build side fits
+    executor memory (a dimension too big to broadcast but far smaller
+    than the fact — exactly customer vs orders), SHJ saves the
+    dominant sort cost; AQE can also make this choice at runtime from
+    observed sizes, this key is the explicit form.  The plan
+    assertion in tests/test_plans.py proves the hint took (the result
+    hash can't tell the strategies apart — that's the point).
+    """
+    c = t["customer"].select("c_custkey", "c_mktsegment").hint("shuffle_hash")
+    o = t["orders"].select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )

@@ -625,3 +625,62 @@ def snapshot_expire(spark, t):
     report = expire_snapshots(root, keep_last=1)
     assert report["removed_manifests"] == 1, report  # v0 gone
     return read_snapshot(spark, root, 1)
+
+
+@query(
+    "ingest_xml",
+    oracle="""
+    SELECT o_orderkey AS order_id,
+           o_orderstatus AS status,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents,
+           CAST(o_orderdate AS DATE) AS order_date
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def ingest_xml(spark, t):
+    """XML ingestion via Spark 4's native ``from_xml`` (the built-in
+    successor to spark-xml): attribute + element extraction with a
+    declared schema, no regex parsing.
+
+    The fixture set has no XML files, so the wire format is
+    SYNTHESIZED per order row (documented, same policy as ingest_json
+    / the tweet wire format) — ``<order id=".." status=".."><total_
+    cents>..</total_cents><date>..</date></order>`` — then parsed
+    back with ``from_xml`` using attribute-prefix fields (``_id``)
+    and typed elements.  The ORACLE computes the extracted columns
+    straight from the table, so schema-directed XML parsing is value-
+    hash-checked: attributes, long/date coercion, element text.  At
+    100 TB XML parsing is per-row CPU in JVM codegen (no Python), and
+    malformed rows follow the PERMISSIVE/corrupt-record pattern
+    ``ingest_json_corrupt`` demonstrates.  Money rides as integer
+    cents — double→string→double round-trips are not format-stable
+    across engines.
+    """
+    xml = F.concat(
+        F.lit('<order id="'),
+        F.col("o_orderkey").cast("string"),
+        F.lit('" status="'),
+        F.col("o_orderstatus"),
+        F.lit('"><total_cents>'),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.lit("</total_cents><date>"),
+        F.col("o_orderdate").cast("date").cast("string"),
+        F.lit("</date></order>"),
+    )
+    wire = (
+        t["orders"]
+        .where(F.col("o_orderkey") % 10 == 0)
+        .select(xml.alias("xml"))
+    )
+    parsed = wire.select(
+        F.from_xml(
+            "xml",
+            "_id BIGINT, _status STRING, total_cents BIGINT, date DATE",
+        ).alias("o")
+    )
+    return parsed.select(
+        F.col("o._id").alias("order_id"),
+        F.col("o._status").alias("status"),
+        F.col("o.total_cents").alias("total_cents"),
+        F.col("o.date").alias("order_date"),
+    )

@@ -282,3 +282,54 @@ def win_distribution(spark, t):
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(4).over(w).cast("int").alias("quartile"),
     )
+
+
+@query(
+    "win_rolling_quantile",
+    oracle="""
+    WITH cents AS (
+      SELECT event_id, user_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE user_id < 20
+    )
+    SELECT event_id, user_id,
+           quantile_cont(cents, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+           ) AS rolling_median_cents
+    FROM cents
+    """,
+)
+def win_rolling_quantile(spark, t):
+    """Rolling EXACT median over the trailing 10 events per user — the
+    order-statistic window the frame suite (W4 rows / W5 range) left
+    out, and the shape behind rolling-median latency monitors.
+
+    ``percentile`` runs as a true window aggregate: each frame's
+    values are collected per-frame inside the JVM — O(frame) memory,
+    not O(partition).  Values are integer cents, so the p=0.5
+    interpolation midpoint ((a+b)/2) is exactly representable and
+    engine-identical; fractional quantiles of unrestricted doubles
+    would differ in the last ulp across engines (the sketch trio
+    handles those).  One shuffle on user_id; ordering is
+    (ts, event_id) so ties are deterministic.  At 100 TB the rolling
+    median is the state-heaviest window here (the frame re-sorts per
+    row) — for wide frames switch to the mergeable quantile sketch
+    (``sketch_quantile_grouped``), which this key's exactness is the
+    ground truth for.
+    """
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        t["events"]
+        .where(F.col("user_id") < 20)
+        .select("event_id", "user_id", "ts", cents.alias("cents"))
+        .withColumn(
+            "rolling_median_cents",
+            F.expr(
+                "percentile(cents, 0.5) OVER ("
+                "PARTITION BY user_id ORDER BY ts, event_id "
+                "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)"
+            ),
+        )
+        .select("event_id", "user_id", "rolling_median_cents")
+    )
