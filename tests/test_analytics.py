@@ -115,3 +115,38 @@ def test_bitmap_distinct_merge_lossless(q):
     rows = q("agg_bitmap_distinct").collect()
     assert rows and all(r.merge_lossless for r in rows)
     assert all(r.n_daily <= r.merged_total == r.direct_total for r in rows)
+
+
+def test_kmv_exact_below_k_and_bounded_above_k(spark):
+    """Sets smaller than k must be estimated EXACTLY (the sketch holds
+    every hash); a 2000-member set must land within the documented
+    bound; the planted 500-member intersection must be recovered
+    within 50%."""
+    import datetime
+
+    from tweetdb_spark.operators.aggregates import sketch_kmv_intersect
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # clickers: users 0..1999; purchasers: users 1500..3499 (overlap 500)
+    for u in range(2000):
+        rows.append((u, base, u, "click", 1.0))
+    for u in range(1500, 3500):
+        rows.append((10_000 + u, base, u, "purchase", 1.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    r = sketch_kmv_intersect(spark, {"events": df}).collect()[0]
+    assert abs(r.est_a - 2000) <= 1000 and abs(r.est_b - 2000) <= 1000
+    assert r.exact_intersect == 500
+    assert r.within_bound
+
+    # tiny sets: exact
+    tiny = spark.createDataFrame(
+        [(1, base, 1, "click", 1.0), (2, base, 2, "click", 1.0),
+         (3, base, 1, "purchase", 1.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    r2 = sketch_kmv_intersect(spark, {"events": tiny}).collect()[0]
+    assert r2.est_a == 2.0 and r2.est_b == 1.0 and r2.est_union == 2.0
+    assert r2.est_intersect == 1.0 and r2.exact_intersect == 1

@@ -626,3 +626,31 @@ def test_tweet_filter_stream_equals_batch(q):
     streamed = {r.id: tuple(r) for r in q("tweet_filter_stream").collect()}
     batch = {r.id: tuple(r) for r in q("tweet_filter_track").collect()}
     assert streamed == batch
+
+
+def test_stream_rollup_ingest_equals_batch_hourly(q, spark):
+    """The streamed continuous aggregate's end state must equal the
+    batch hourly rollup value-for-value (grouped SUM merge is
+    commutative/associative — trigger schedule can't matter)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from tweetdb_spark.catalog import load_tables
+
+    streamed = {
+        (r.bucket_start, r.event_type): (r.cnt, r.sum_cents)
+        for r in q("stream_rollup_ingest").collect()
+    }
+    ev = load_tables(spark, SF_DIR)["events"]
+    batch = {
+        (r.bucket_start, r.event_type): (r.cnt, r.sum_cents)
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket_start"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+        .collect()
+    }
+    assert streamed == batch

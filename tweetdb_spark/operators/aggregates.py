@@ -871,3 +871,141 @@ def agg_bitmap_distinct(spark, t):
             "merge_lossless", F.col("merged_total") == F.col("direct_total")
         )
     )
+
+
+_KMV_K = 64
+_KMV_P = 2147483647
+_KMV_H = "((({u} % 2147483647) * 2654435761) % 2147483647)"
+
+
+@query(
+    "sketch_kmv_intersect",
+    oracle=f"""
+    WITH a_users AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    ), b_users AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ), ha AS (
+      SELECT {_KMV_H.format(u='user_id')} AS h FROM a_users
+    ), hb AS (
+      SELECT {_KMV_H.format(u='user_id')} AS h FROM b_users
+    ), kmva AS (
+      SELECT h FROM ha ORDER BY h LIMIT {_KMV_K}
+    ), kmvb AS (
+      SELECT h FROM hb ORDER BY h LIMIT {_KMV_K}
+    ), kmvu AS (
+      SELECT h FROM (SELECT h FROM kmva UNION SELECT h FROM kmvb)
+      ORDER BY h LIMIT {_KMV_K}
+    ), esta AS (
+      SELECT CASE WHEN count(*) < {_KMV_K} THEN count(*) * 1.0
+                  ELSE CAST({_KMV_K} - 1 AS BIGINT) * {_KMV_P} * 1.0 / MAX(h) END AS est_a
+      FROM kmva
+    ), estb AS (
+      SELECT CASE WHEN count(*) < {_KMV_K} THEN count(*) * 1.0
+                  ELSE CAST({_KMV_K} - 1 AS BIGINT) * {_KMV_P} * 1.0 / MAX(h) END AS est_b
+      FROM kmvb
+    ), estu AS (
+      SELECT CASE WHEN count(*) < {_KMV_K} THEN count(*) * 1.0
+                  ELSE CAST({_KMV_K} - 1 AS BIGINT) * {_KMV_P} * 1.0 / MAX(h) END AS est_union,
+             count(*) AS nu
+      FROM kmvu
+    ), jac AS (
+      SELECT count(*) * 1.0 AS n_both
+      FROM kmvu
+      WHERE h IN (SELECT h FROM kmva) AND h IN (SELECT h FROM kmvb)
+    ), exact AS (
+      SELECT count(*) AS exact_intersect
+      FROM a_users WHERE user_id IN (SELECT user_id FROM b_users)
+    )
+    SELECT ROUND(est_a, 3) + 0 AS est_a,
+           ROUND(est_b, 3) + 0 AS est_b,
+           ROUND(est_union, 3) + 0 AS est_union,
+           ROUND(n_both / nu * est_union, 3) + 0 AS est_intersect,
+           exact_intersect,
+           ABS(n_both / nu * est_union - exact_intersect)
+             <= GREATEST(0.5 * exact_intersect, 8) AS within_bound
+    FROM esta, estb, estu, jac, exact
+    """,
+)
+def sketch_kmv_intersect(spark, t):
+    """KMV (k-minimum-values) sketch — the set-OPERATION estimator the
+    sketch family needs: HLL unions losslessly but cannot intersect;
+    KMV supports intersection/Jaccard because the k smallest hash
+    values are a uniform SAMPLE of the set.
+
+    Per side, keep the k=64 smallest portable hashes of the distinct
+    member ids (a TakeOrdered — never a global sort); cardinality is
+    (k−1)·p / h_(k), exact when the set is smaller than k.  The UNION
+    sketch is the k smallest of the merged sketches (mergeable, like
+    every sketch in this family), Jaccard is the fraction of union-
+    sketch values present in BOTH sides, and the intersection
+    estimate is Jaccard × est(|A∪B|) — the standard KMV algebra.
+    Every step is deterministic integer/IEEE arithmetic, so the
+    ORACLE replicates the whole sketch and the ``within_bound``
+    column pins the estimate against the exact intersection — sketch
+    math, merge, and error bound all value-hash-checked.  At 100 TB:
+    per-shard KMV sketches are k×8 bytes, merge is k-smallest-of-
+    unions, and audience-overlap questions ("clickers ∩ purchasers")
+    read sketches, never re-scan either side.
+    """
+    k, p = _KMV_K, _KMV_P
+
+    def kmv(event_type):
+        return (
+            t["events"]
+            .where(F.col("event_type") == event_type)
+            .select("user_id")
+            .distinct()
+            .select(F.expr(_KMV_H.format(u="user_id")).alias("h"))
+            .orderBy("h")
+            .limit(k)
+        )
+
+    kmva, kmvb = kmv("click"), kmv("purchase")
+    kmvu = kmva.union(kmvb).distinct().orderBy("h").limit(k)
+
+    def est(df, name, extra=None):
+        cnt, mx = F.count("*"), F.max("h")
+        e = F.when(cnt < k, cnt.cast("double")).otherwise(
+            F.lit((k - 1) * p) * 1.0 / mx
+        )
+        aggs = [e.alias(name)]
+        if extra:
+            aggs.append(cnt.alias(extra))
+        return df.agg(*aggs)
+
+    n_both = (
+        kmvu.join(kmva.withColumnRenamed("h", "h"), "h")
+        .join(kmvb, "h")
+        .agg(F.count("*").cast("double").alias("n_both"))
+    )
+    a_users = (
+        t["events"].where(F.col("event_type") == "click")
+        .select("user_id").distinct()
+    )
+    b_users = (
+        t["events"].where(F.col("event_type") == "purchase")
+        .select("user_id").distinct()
+    )
+    exact = a_users.join(b_users, "user_id").agg(
+        F.count("*").alias("exact_intersect")
+    )
+    est_i = F.col("n_both") / F.col("nu") * F.col("est_union")
+    return (
+        est(kmva, "est_a")
+        .crossJoin(est(kmvb, "est_b"))
+        .crossJoin(est(kmvu, "est_union", extra="nu"))
+        .crossJoin(n_both)
+        .crossJoin(exact)
+        .select(
+            (F.round("est_a", 3) + 0).alias("est_a"),
+            (F.round("est_b", 3) + 0).alias("est_b"),
+            (F.round("est_union", 3) + 0).alias("est_union"),
+            (F.round(est_i, 3) + 0).alias("est_intersect"),
+            "exact_intersect",
+            (
+                F.abs(est_i - F.col("exact_intersect"))
+                <= F.greatest(0.5 * F.col("exact_intersect"), F.lit(8.0))
+            ).alias("within_bound"),
+        )
+    )

@@ -1125,3 +1125,86 @@ def stream_sketch_ingest(spark, t):
             (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
         )
     )
+
+
+@query(
+    "stream_rollup_ingest",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+           event_type,
+           count(*) AS cnt,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_rollup_ingest(spark, t):
+    """Streaming continuous-aggregate maintenance: the hourly
+    (bucket, type) partial that ``events_multires_rollup`` derives its
+    day/week tiers from, maintained incrementally as micro-batches
+    arrive — the TimescaleDB continuous aggregate with the refresh
+    policy replaced by the stream itself.
+
+    Each batch contributes its own hourly partial (count + integer-
+    cent sum, both map-side combined); merging into state is one
+    grouped SUM — commutative and associative, so the end state is
+    independent of trigger schedule and batch boundaries, which is
+    what lets a STREAMING key carry a full value-hash ORACLE (the
+    stream_corpus_ingest argument).  State is a COW parquet snapshot
+    of ≤ |types|×|hours| rows; replayed batch_ids are skipped, so
+    crash-restart never double-counts (kill-restart pytest pattern at
+    tests/test_streaming_restart.py).  At 100 TB: per-batch work is
+    proportional to the batch, the merge touches KBs, and every
+    coarser rollup (day/week/dashboards) reads this state — raw
+    events are scanned exactly once, by the ingest itself.
+    """
+    import os as _os
+
+    from tweetdb_spark import scratch
+
+    root = scratch.fresh_dir("tweetdb_rollupingest")
+    ckpt = scratch.fresh_dir("tweetdb_rollupingestchk")
+    feed_dir = _os.path.join(root, "feed")
+    ev = t["events"].select("ts", "event_type", "value")
+    ev.repartition(4).write.mode("overwrite").parquet(feed_dir)
+
+    state = {"cur": None, "n": 0, "applied": set()}
+
+    def apply_batch(bdf, batch_id):
+        if batch_id in state["applied"]:  # replay after restart: no-op
+            return
+        part = (
+            bdf.groupBy(
+                F.date_trunc("hour", "ts").alias("bucket_start"), "event_type"
+            )
+            .agg(
+                F.count("*").alias("cnt"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                    "sum_cents"
+                ),
+            )
+        )
+        if state["cur"] is not None:
+            part = part.unionByName(bdf.sparkSession.read.parquet(state["cur"]))
+        merged = part.groupBy("bucket_start", "event_type").agg(
+            F.sum("cnt").alias("cnt"), F.sum("sum_cents").alias("sum_cents")
+        )
+        nxt = _os.path.join(root, f"v{state['n'] + 1}")
+        merged.write.mode("overwrite").parquet(nxt)
+        state["cur"] = nxt
+        state["n"] += 1
+        state["applied"].add(batch_id)
+
+    feed = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    q = (
+        feed.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state["cur"])
