@@ -998,3 +998,30 @@ def test_url_filter_blocks_exactly_the_blocklist_hosts(q):
         assert r.blocked == (r.host in URL_BLOCKLIST)
         assert "?" not in r.canonical_url
         assert r.canonical_url == f"https://{r.host}{r.path}"
+
+
+def test_pca_power_matches_numpy_iteration_and_reaches_top_band(q, tables):
+    """The distributed power iteration must agree with numpy running
+    the identical recurrence (same start, same 5 steps) to FP-sum
+    tolerance — the distributed-matvec correctness claim — and its
+    Rayleigh quotient must land in the top of the spectrum (the
+    fixture is near-isotropic, λ1/λ2 ≈ 1.07, so 5 steps cannot fully
+    converge; progress toward λ_max is the meaningful invariant)."""
+    import numpy as np
+
+    X = np.array([r.embedding for r in tables["embeddings"].select("embedding").collect()])
+    v = np.full(64, 1.0 / 8.0)
+    for _ in range(5):
+        y = X.T @ (X @ v)
+        v = y / np.linalg.norm(y)
+    for x in v:
+        if abs(x) > 1e-9:
+            v = v * (1.0 if x > 0 else -1.0)
+            break
+    got = np.zeros(64)
+    for r in q("embed_pca_power").collect():
+        got[r.pos] = r.loading
+    assert np.max(np.abs(got - v)) < 1e-4, np.max(np.abs(got - v))
+    lam_max = np.linalg.eigvalsh(X.T @ X)[-1]
+    rayleigh = float(got @ (X.T @ (X @ got))) / float(got @ got)
+    assert rayleigh > 0.8 * lam_max, (rayleigh, lam_max)

@@ -125,3 +125,15 @@ def test_jsonl_shards_respect_record_cap(q):
         assert 0 < n <= 200
         total += n
     assert total == 500
+
+
+def test_jdbc_read_is_partitioned_and_pushes_filter(q):
+    """The JDBC source must split into the 4 declared range partitions
+    (parallel cursors), and the price predicate must reach the
+    database as a pushed filter, not a Spark-side post-filter."""
+    df = q("ingest_jdbc")
+    assert df.rdd.getNumPartitions() == 4
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters:" in plan and "price_cents" in plan.split("PushedFilters:")[1].splitlines()[0], plan

@@ -1157,3 +1157,66 @@ def sim_maxsim_multivector(spark, t):
         .where(F.col("rank") <= 5)
         .select("q_id", "vec_id", "maxsim", "rank")
     )
+
+
+@query("embed_pca_power", oracle=None)  # iterative → rows-only by design
+def embed_pca_power(spark, t):
+    """Distributed power iteration for the corpus's top principal
+    direction (uncentered PCA / dominant right singular vector) — the
+    iterative-linear-algebra representative alongside PageRank, and
+    the embedding-drift / whitening primitive.
+
+    Each of the 5 iterations is ONE distributed pass: broadcast the
+    current 64-float direction as a literal array, compute every
+    row's projection ``x·v`` in codegen (``zip_with`` +
+    ``aggregate``), scale the row by it, and elementwise-sum via
+    ``posexplode → groupBy(pos)`` — a 64-group aggregation whose
+    partials combine map-side, so the driver receives exactly 64
+    doubles per iteration regardless of corpus size.
+    Normalization and the sign convention (first significant
+    component positive) happen driver-side on those 64 numbers.
+    This is the matvec-outside/driver-inside split every distributed
+    Krylov method uses; convergence here is fast because fixture
+    embeddings would have a spectral gap; THIS fixture is near-
+    isotropic (λ1/λ2 ≈ 1.07), so 5 steps land in the top spectral
+    band without fully converging — the pytest pins the distributed
+    recurrence exactly against numpy's identical iteration and the
+    Rayleigh quotient against λ_max (production: iterate to a
+    residual target, or block methods for clustered spectra).  No
+    faithful ANSI-SQL oracle (iterative; FP summation order differs
+    across engines).  At 100 TB: 5 passes
+    over the data, each shuffling 64×n_partitions partials — the
+    bottleneck is the scan, which is the theoretical floor.
+    """
+    iters, dim = 5, 64
+    emb = t["embeddings"].select("embedding")
+    v = [1.0 / dim**0.5] * dim
+    for _ in range(iters):
+        vl = F.array(*[F.lit(float(x)) for x in v])
+        dot = F.aggregate(
+            F.zip_with("embedding", vl, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scaled = emb.select(
+            F.posexplode(
+                F.transform("embedding", lambda x: x * dot)
+            ).alias("pos", "val")
+        )
+        rows = (
+            scaled.groupBy("pos").agg(F.sum("val").alias("s")).collect()
+        )
+        y = [0.0] * dim
+        for r in rows:
+            y[r.pos] = r.s
+        norm = sum(x * x for x in y) ** 0.5
+        v = [x / norm for x in y]
+    sign = 1.0
+    for x in v:
+        if abs(x) > 1e-9:
+            sign = 1.0 if x > 0 else -1.0
+            break
+    v = [sign * x for x in v]
+    return spark.createDataFrame(
+        [(i, round(x, 6)) for i, x in enumerate(v)], "pos int, loading double"
+    )

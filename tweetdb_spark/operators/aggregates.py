@@ -1009,3 +1009,32 @@ def sketch_kmv_intersect(spark, t):
             ).alias("within_bound"),
         )
     )
+
+
+@query(
+    "agg_bitwise",
+    oracle="""
+    SELECT event_type,
+           bit_or(user_id) AS bits_or,
+           bit_and(user_id) AS bits_and,
+           bit_xor(user_id) AS bits_xor
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitwise(spark, t):
+    """Bitwise aggregate family (bit_or / bit_and / bit_xor) — the
+    flag-mask rollup: OR unions capability bits, AND intersects them,
+    XOR is the parity/checksum fold.
+
+    All three are commutative/associative single-word states, so they
+    partial-combine map-side like sum — the cheapest aggregates in
+    the engine and the primitive under bitmap indexes and permission-
+    mask rollups.  XOR over an id column is also the classic
+    constant-space "find the unpaired row" checksum used in
+    replication audits (``table_diff``'s cheap cousin).
+    """
+    return t["events"].groupBy("event_type").agg(
+        F.bit_or("user_id").alias("bits_or"),
+        F.bit_and("user_id").alias("bits_and"),
+        F.bit_xor("user_id").alias("bits_xor"),
+    )

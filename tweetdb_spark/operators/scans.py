@@ -684,3 +684,70 @@ def ingest_xml(spark, t):
         F.col("o.total_cents").alias("total_cents"),
         F.col("o.date").alias("order_date"),
     )
+
+
+@query(
+    "ingest_jdbc",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+           o_orderpriority
+    FROM orders
+    WHERE o_orderkey % 20 = 0 AND o_totalprice > 50000
+    """,
+)
+def ingest_jdbc(spark, t):
+    """Partitioned JDBC SOURCE — the federation read completing S5's
+    sink: a real ``spark.read.jdbc`` against an embedded Derby
+    database, split into 4 RANGE PARTITIONS on the key so executors
+    read in parallel, with the price predicate pushed into the
+    database as SQL.
+
+    Partitioned JDBC reads are how Spark onboards operational stores
+    at scale: ``partitionColumn/lowerBound/upperBound/numPartitions``
+    turn one cursor into N non-overlapping ``WHERE key BETWEEN``
+    cursors (here 4; production sizes to the DB's read replicas, and
+    a skewed key needs hand-built predicates — the same skew story as
+    joins).  The filter travels INTO the generated queries
+    (PushedFilters on the JDBC relation — plan-asserted), so the
+    database ships only matching rows.  The staging table is loaded
+    via ``df.write.jdbc`` from the fixture (the fixture set has no
+    live DBMS; Derby ships with PySpark — same gating as S5), and the
+    ORACLE reads the original parquet, so the full JDBC round-trip
+    (type mapping included, money as integer cents) is value-hash-
+    checked.  Skipped-registration if the driver jar is absent.
+    """
+    from tweetdb_spark import scratch
+    from tweetdb_spark.streaming.queries import _derby_available
+
+    if not _derby_available(spark):  # pragma: no cover - jar ships with pyspark
+        raise RuntimeError("Derby JDBC driver not on classpath")
+
+    db = scratch.fresh_dir("tweetdb_jdbcsrc") + "/db"
+    url = f"jdbc:derby:{db};create=true"
+    src = (
+        t["orders"]
+        .where(F.col("o_orderkey") % 20 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+            "o_orderpriority",
+        )
+    )
+    src.write.mode("overwrite").jdbc(url, "orders_feed")
+    bounds = src.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).collect()[0]
+    return (
+        spark.read.jdbc(
+            url,
+            "orders_feed",
+            column="o_orderkey",
+            lowerBound=bounds.lo,
+            upperBound=bounds.hi + 1,
+            numPartitions=4,
+        )
+        .where(F.col("price_cents") > 5000000)
+    )
