@@ -467,3 +467,46 @@ def test_collation_sees_both_spellings(q):
     rows = q("fn_collation").collect()
     assert rows and any(r.n_raw_spellings == 2 for r in rows)
     assert all(r.n_raw_spellings in (1, 2) for r in rows)
+
+
+def test_impute_mode_fill_uses_group_mode(spark):
+    """Planted groups: nation 1's mode is 'A' (2 vs 1), so its holed
+    row fills to 'A'; non-holed rows pass through untouched."""
+    rows = [
+        (11, 1, "A"), (12, 1, "A"), (13, 1, "B"),
+        (22, 1, "ignored"),  # 22 % 11 == 0 -> planted NULL, must become A
+        (14, 2, "C"), (33, 2, "ignored"),  # 33 -> NULL, fills to C
+    ]
+    df = spark.createDataFrame(rows, "c_custkey long, c_nationkey long, c_mktsegment string")
+    from tweetdb_spark.operators.analytics import impute_mode_fill
+
+    out = {r.c_custkey: r for r in impute_mode_fill(spark, {"customer": df}).collect()}
+    assert out[22].seg_filled == "A" and out[22].was_imputed
+    assert out[33].seg_filled == "C" and out[33].was_imputed
+    assert out[13].seg_filled == "B" and not out[13].was_imputed
+
+
+def test_try_arithmetic_nulls_instead_of_raising(q):
+    """Zero discounts must produce NULL ratios (not inf/error), and no
+    returnflag parses as an integer."""
+    rows = q("fn_try_arithmetic").collect()
+    assert rows
+    assert any(r.price_per_disc is None for r in rows)
+    assert all(r.flag_as_int is None for r in rows)
+    assert all(r.date_not_numeric for r in rows)
+
+
+def test_win_count_distinct_monotone_and_bounded(q):
+    """Per user, the running distinct count must be non-decreasing in
+    event order and end at the user's true distinct-type count."""
+    from collections import defaultdict
+
+    rows = q("win_count_distinct").collect()
+    seq = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r.user_id, r.event_id)):
+        seq[r.user_id].append(r.distinct_types_to_date)
+    assert seq
+    for u, xs in seq.items():
+        assert xs[0] == 1
+        assert all(b - a in (0, 1) for a, b in zip(xs, xs[1:]))
+        assert xs[-1] <= 5

@@ -361,3 +361,44 @@ def fn_collation(spark, t):
             F.countDistinct("seg").alias("n_raw_spellings"),
         )
     )
+
+
+@query(
+    "fn_try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0 THEN NULL
+                ELSE ROUND(l_extendedprice / l_discount, 2) + 0
+           END AS price_per_disc,
+           TRY_CAST(l_returnflag AS BIGINT) AS flag_as_int,
+           TRY_CAST(l_shipdate AS BIGINT) IS NULL AS date_not_numeric
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    """,
+)
+def fn_try_arithmetic(spark, t):
+    """Error-safe evaluation family — ``try_divide`` / ``try_cast``:
+    failures become NULL instead of aborting the job (Spark's ANSI-
+    mode escape hatches, and the lenient/strict switch every ingest
+    engine exposes).
+
+    On a 1000-executor job, one malformed row throwing in strict mode
+    kills the stage after hours; the ``try_`` forms give per-ROW
+    error containment with ANSI semantics elsewhere — the right
+    default for ingest, with ``dq_expectations`` counting the NULLs
+    so failures are visible, not silent.  ``try_divide`` returns
+    NULL on /0 (fixture discounts hit 0.0), ``try_cast`` NULLs the
+    unparseable (returnflag 'N' → BIGINT) — both value-hash-
+    checked against DuckDB's CASE/TRY_CAST equivalents.
+    """
+    li = t["lineitem"].where(F.col("l_orderkey") % 50 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.round(F.try_divide("l_extendedprice", "l_discount"), 2) + 0
+        ).alias("price_per_disc"),
+        F.expr("try_cast(l_returnflag AS BIGINT)").alias("flag_as_int"),
+        F.expr("try_cast(cast(l_shipdate AS STRING) AS BIGINT) IS NULL").alias(
+            "date_not_numeric"
+        ),
+    )

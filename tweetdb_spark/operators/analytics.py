@@ -1284,3 +1284,74 @@ def itemsets_frequent_pairs(spark, t):
         .agg(F.count("*").alias("support"))
         .where(F.col("support") >= minsup)
     )
+
+
+@query(
+    "impute_mode_fill",
+    oracle="""
+    WITH holed AS (
+      SELECT c_custkey, c_nationkey,
+             CASE WHEN c_custkey % 11 = 0 THEN NULL
+                  ELSE c_mktsegment END AS seg
+      FROM customer
+    ), modes AS (
+      SELECT c_nationkey, seg AS mode_seg
+      FROM (
+        SELECT c_nationkey, seg, count(*) AS c,
+               row_number() OVER (
+                 PARTITION BY c_nationkey
+                 ORDER BY count(*) DESC, seg) AS rn
+        FROM holed WHERE seg IS NOT NULL
+        GROUP BY c_nationkey, seg
+      ) WHERE rn = 1
+    )
+    SELECT h.c_custkey,
+           COALESCE(h.seg, m.mode_seg) AS seg_filled,
+           h.seg IS NULL AS was_imputed
+    FROM holed h JOIN modes m USING (c_nationkey)
+    """,
+)
+def impute_mode_fill(spark, t):
+    """Categorical imputation: fill NULLs with the PER-GROUP MODE
+    (deterministic tie-break) — the data-repair step between
+    ``dq_expectations`` finding the holes and a training pipeline
+    consuming the column.
+
+    The fixture has no NULLs, so holes are PLANTED deterministically
+    (custkey % 11 — documented, same policy as the synthesized URL /
+    XML wire).  Shape: one grouped count over the non-null values, a
+    window argmax with a total tie order (count DESC, value) so
+    reruns agree, then a broadcast join of the per-group mode back
+    onto the holed rows — never a correlated subquery per row.  At
+    100 TB the modes relation is |groups| rows (dim-sized), the fill
+    is a narrow projection, and the ``was_imputed`` flag keeps the
+    repair auditable (the same column a feature store would carry).
+    """
+    from pyspark.sql.window import Window
+
+    holed = t["customer"].select(
+        "c_custkey",
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(None)).otherwise(
+            F.col("c_mktsegment")
+        ).alias("seg"),
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c").desc(), F.col("seg")
+    )
+    modes = (
+        holed.where(F.col("seg").isNotNull())
+        .groupBy("c_nationkey", "seg")
+        .agg(F.count("*").alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("c_nationkey", F.col("seg").alias("mode_seg"))
+    )
+    return (
+        holed.join(F.broadcast(modes), "c_nationkey")
+        .select(
+            "c_custkey",
+            F.coalesce("seg", "mode_seg").alias("seg_filled"),
+            F.col("seg").isNull().alias("was_imputed"),
+        )
+    )

@@ -333,3 +333,67 @@ def win_rolling_quantile(spark, t):
         )
         .select("event_id", "user_id", "rolling_median_cents")
     )
+
+
+@query(
+    "win_count_distinct",
+    oracle="""
+    WITH marked AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS is_first
+      FROM events WHERE user_id < 15
+    )
+    SELECT event_id, user_id,
+           CAST(SUM(is_first) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS distinct_types_to_date
+    FROM marked
+    """,
+)
+def win_count_distinct(spark, t):
+    """Running COUNT(DISTINCT) over a window — the one aggregate SQL
+    windows refuse directly (Spark raises on DISTINCT in a window
+    frame) — via the first-occurrence decomposition: flag each
+    (user, type)'s first event with one window, then a running SUM of
+    flags in event order is exactly the distinct-types-seen-so-far.
+
+    The engagement-breadth metric ("how many product areas has this
+    user touched by time t"), and the general rewrite for any
+    windowed distinct count: O(1) state per row versus the
+    collect_set-over-frame alternative whose state grows with the
+    frame.  Both windows partition by user_id, so ONE shuffle serves
+    the pair (the second re-sorts within partitions only).  The
+    oracle runs the identical decomposition — the rewrite itself is
+    the thing under test.  At 100 TB this is the pattern that keeps
+    funnel/breadth dashboards off of approx_count_distinct when
+    exactness is required.
+    """
+    ev = t["events"].where(F.col("user_id") < 15)
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            F.when(F.row_number().over(w_first) == 1, 1)
+            .otherwise(0)
+            .alias("is_first"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.sum("is_first").over(w_run).alias("distinct_types_to_date"),
+        )
+    )
