@@ -65,6 +65,15 @@ LADDER = [
     "subquery_lateral",
     "sketch_quantile_grouped",
     "tweet_filter_track",
+    # round-8 late additions
+    "text_decontaminate_bloom",
+    "text_quality_classifier",
+    "itemsets_frequent_pairs",
+    "events_multires_rollup",
+    "sketch_kmv_intersect",
+    "events_gap_islands",
+    "win_rolling_quantile",
+    "agg_bitmap_distinct",
 ]
 
 
