@@ -510,3 +510,25 @@ def test_win_count_distinct_monotone_and_bounded(q):
         assert xs[0] == 1
         assert all(b - a in (0, 1) for a, b in zip(xs, xs[1:]))
         assert xs[-1] <= 5
+
+
+def test_join_incremental_identity_on_planted_deltas(spark):
+    """The IVM union must equal the monolithic join on a corpus where
+    every quadrant (A×B, ΔA×B, A×ΔB, ΔA×ΔB) is populated."""
+    import datetime
+
+    old, new = datetime.date(1995, 1, 1), datetime.date(1997, 1, 1)
+    orders = spark.createDataFrame(
+        [(1, old, 10.0), (1, new, 20.0), (2000, old, 40.0), (2000, new, 80.0)],
+        "o_custkey long, o_orderdate date, o_totalprice double",
+    )
+    cust = spark.createDataFrame(
+        [(1, "SEG_OLD"), (2000, "SEG_NEW")],
+        "c_custkey long, c_mktsegment string",
+    )
+    from tweetdb_spark.operators.joins import join_incremental
+
+    out = {r.c_mktsegment: r for r in join_incremental(
+        spark, {"orders": orders, "customer": cust}).collect()}
+    assert out["SEG_OLD"].n_orders == 2 and out["SEG_OLD"].total_cents == 3000
+    assert out["SEG_NEW"].n_orders == 2 and out["SEG_NEW"].total_cents == 12000

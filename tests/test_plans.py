@@ -391,3 +391,22 @@ def test_shuffle_hash_hint_takes_effect(q):
     plan = _plan(q("join_shuffle_hash_hint"))
     assert "ShuffledHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_not_in_compiles_to_null_aware_anti_join(q):
+    """The NOT IN over a NULL-laden set must become Spark's null-aware
+    anti join (NAAJ-flagged broadcast), while the NOT EXISTS twin
+    stays a plain anti join — the two plans ARE the semantic
+    difference."""
+    df = q("subquery_not_in")
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    # trailing boolean on BroadcastHashJoin = isNullAwareAntiJoin
+    assert "LeftAnti, BuildRight, true" in simple, simple
+    assert "LeftAnti, BuildRight, false" in simple, simple
+    row = df.collect()[0]
+    assert row.inner_has_nulls
+    # ANSI: NOT IN over a NULL-laden set can never be TRUE
+    assert row.n_not_in == 0
+    # NOT EXISTS ignores the NULLs (0 here only because the sf0.001
+    # fixture is referentially complete — every customer has orders)
+    assert row.n_not_exists >= 0

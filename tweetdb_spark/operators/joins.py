@@ -846,3 +846,62 @@ def join_shuffle_hash_hint(spark, t):
             F.sum("cents").alias("total_cents"),
         )
     )
+
+
+@query(
+    "join_incremental",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_incremental(spark, t):
+    """Incremental view maintenance of a JOIN: when deltas ΔA and ΔB
+    arrive, the maintained join grows by exactly
+    ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — three delta-sized joins instead of
+    re-joining two full tables (``agg_incremental``'s pattern lifted
+    from aggregates to joins, the delta-processing identity under
+    every materialized view / streaming-join engine).
+
+    Here orders split at 1996-01-01 (A=old, ΔA=new) and customers
+    split at custkey 1000 (B=old, ΔB=new); the maintained result is
+    the union of the base join and the three delta terms, aggregated
+    per segment.  The ORACLE is the monolithic full join — so the IVM
+    identity itself is value-hash-checked, not narrated.  At 100 TB
+    the delta terms are the only work that scales with the DAY, not
+    the HISTORY: ΔA⋈B probes the (bucketed) base customer table,
+    A⋈ΔB broadcasts the day's new customers against the order
+    history's bucketed layout, ΔA⋈ΔB is tiny — and the base join is
+    never recomputed.
+    """
+    cut = "1996-01-01"
+    orders = t["orders"].select(
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust = t["customer"].select("c_custkey", "c_mktsegment")
+    a = orders.where(F.col("o_orderdate") < cut)
+    da = orders.where(F.col("o_orderdate") >= cut)
+    b = cust.where(F.col("c_custkey") < 1000)
+    db = cust.where(F.col("c_custkey") >= 1000)
+
+    def j(o, c):
+        return o.join(c, o.o_custkey == c.c_custkey).select(
+            "c_mktsegment", "cents"
+        )
+
+    maintained = (
+        j(a, b)            # the base join, computed once
+        .unionByName(j(da, b))   # ΔA ⋈ B
+        .unionByName(j(a, db))   # A ⋈ ΔB
+        .unionByName(j(da, db))  # ΔA ⋈ ΔB
+    )
+    return maintained.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("cents").alias("total_cents"),
+    )

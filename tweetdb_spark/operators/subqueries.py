@@ -164,3 +164,59 @@ def subquery_lateral(spark, t):
         ) c
         """
     )
+
+
+@query(
+    "subquery_not_in",
+    oracle="""
+    WITH inner_keys AS (
+      SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END
+               AS k
+      FROM orders
+    )
+    SELECT
+      (SELECT count(*) FROM customer
+        WHERE c_custkey NOT IN (SELECT k FROM inner_keys)) AS n_not_in,
+      (SELECT count(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM inner_keys i
+                          WHERE i.k = c.c_custkey)) AS n_not_exists,
+      (SELECT count(*) FROM inner_keys WHERE k IS NULL) > 0
+        AS inner_has_nulls
+    """,
+)
+def subquery_not_in(spark, t):
+    """NOT IN versus NOT EXISTS under NULLs — ANSI's sharpest
+    three-valued-logic trap, and Spark's NULL-AWARE ANTI JOIN
+    physical strategy.
+
+    The inner key set is planted with NULLs (orderkey % 97 —
+    documented, same policy as the imputation holes).  Under ANSI,
+    ``x NOT IN (set containing NULL)`` is never TRUE (it's FALSE or
+    UNKNOWN), so ``n_not_in`` must be 0 while ``n_not_exists`` counts
+    the genuinely unmatched customers — both engines agree because
+    this is standard semantics, and the hash check pins Spark's
+    null-aware rewrite to DuckDB's.  ``inner_has_nulls`` guards the
+    test from becoming vacuous if the fixture changes.  Physically,
+    Spark can only execute a null-aware anti join as a BROADCAST
+    (NAAJ-flagged BroadcastHashJoin — asserted in tests/test_plans
+    .py); at 100 TB a non-broadcastable inner side means rewriting to
+    NOT EXISTS yourself after deciding what NULL should mean — which
+    is precisely the decision this operator documents.
+    """
+    return spark.sql(
+        """
+        WITH inner_keys AS (
+          SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END
+                   AS k
+          FROM orders
+        )
+        SELECT
+          (SELECT count(*) FROM customer
+            WHERE c_custkey NOT IN (SELECT k FROM inner_keys)) AS n_not_in,
+          (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM inner_keys i
+                              WHERE i.k = c.c_custkey)) AS n_not_exists,
+          (SELECT count(*) FROM inner_keys WHERE k IS NULL) > 0
+            AS inner_has_nulls
+        """
+    )
