@@ -150,3 +150,23 @@ def test_kmv_exact_below_k_and_bounded_above_k(spark):
     r2 = sketch_kmv_intersect(spark, {"events": tiny}).collect()[0]
     assert r2.est_a == 2.0 and r2.est_b == 1.0 and r2.est_union == 2.0
     assert r2.est_intersect == 1.0 and r2.exact_intersect == 1
+
+
+def test_mask_preserves_format_and_distinctness(q):
+    """Every masked name keeps the wire format, differs from its
+    input, and distinctness is fully preserved (per-position digit
+    bijection ⇒ masked data still joins like the original)."""
+    import re
+
+    rows = q("mask_format_preserving").collect()
+    assert rows and all(r.format_ok and r.changed for r in rows)
+    assert all(re.fullmatch(r"Customer#\d{9}", r.name_masked) for r in rows)
+    assert len({r.name_masked for r in rows}) == len(rows)
+
+
+def test_join_cardinality_estimate_bound_holds(q):
+    """The sample estimator must land within the documented bound on
+    the fixture (deterministic sample — no flake)."""
+    r = q("join_cardinality_estimate").collect()[0]
+    assert r.within_bound
+    assert r.est_rows > 0 and r.exact_rows > 0

@@ -1025,3 +1025,13 @@ def test_pca_power_matches_numpy_iteration_and_reaches_top_band(q, tables):
     lam_max = np.linalg.eigvalsh(X.T @ X)[-1]
     rayleigh = float(got @ (X.T @ (X @ got))) / float(got @ got)
     assert rayleigh > 0.8 * lam_max, (rayleigh, lam_max)
+
+
+def test_degree_distribution_consistent_with_pair_graph(q):
+    """Σ(degree × n_nodes) must equal 2×|edges| of the simhash pair
+    graph — the handshake lemma ties the histogram back to the edge
+    list the other graph ops consume."""
+    rows = q("graph_degree_distribution").collect()
+    total_deg = sum(r.degree * r.n_nodes for r in rows)
+    n_edges = q("dedup_simhash").count()
+    assert total_deg == 2 * n_edges

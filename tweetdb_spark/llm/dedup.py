@@ -1578,3 +1578,67 @@ def graph_triangle_count(spark, t):
         )
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+@query(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY doc_id, token
+    ), th AS (
+      SELECT token, {{_DUCK_TOKHASH}} AS h FROM (SELECT DISTINCT token FROM tf)
+    ), bits AS (
+      SELECT tf.doc_id, b.b,
+             SUM(CASE WHEN (th.h >> CAST(b.b AS INT)) & 1 = 1
+                      THEN tf.cnt ELSE -tf.cnt END) AS s
+      FROM tf JOIN th USING (token)
+      CROSS JOIN (SELECT unnest(range(0, 32)) AS b) b
+      GROUP BY tf.doc_id, b.b
+    ), fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    ), edges AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM fp a JOIN fp b
+        ON a.doc_id < b.doc_id
+       AND bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+    ), sym AS (
+      SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+    ), deg AS (
+      SELECT u, count(*) AS degree FROM sym GROUP BY u
+    )
+    SELECT degree, count(*) AS n_nodes
+    FROM deg GROUP BY degree
+    """.replace("{_DUCK_TOKHASH}", _DUCK_TOKHASH.replace("{s}", "token")
+                if "{s}" in _DUCK_TOKHASH else _DUCK_TOKHASH),
+)
+def graph_degree_distribution(spark, t):
+    """Degree distribution of the near-dup graph — the first statistic
+    a dedup-graph sanity check reads: a heavy tail means hub documents
+    (boilerplate matching everything, the false-positive factory), and
+    its shape decides whether component resolution needs a hub cutoff.
+
+    Edges come from the engine's banded-simhash candidates (as in
+    graph_pagerank / graph_triangle_count), the oracle rebuilds them
+    ALL-PAIRS — so band completeness is re-proven through yet another
+    lens, and the whole histogram is value-hash-checked.  Two 2-phase
+    aggregations after the edge join: per-node degree (map-side
+    combined on the node key), then the O(max_degree)-row histogram.
+    At 100 TB this is the cheap pre-flight before pointer-doubling
+    components: degrees are one agg over the edge list, and the
+    histogram tells you the iteration count and the skew story
+    before you commit to the expensive pass.
+    """
+    fp = _simhash_fingerprints(spark, t)
+    cand = _simhash_band_candidates(spark, fp)
+    hamming = F.expr("bit_count(sh_a ^ sh_b)")
+    e = cand.where(hamming <= _HAMMING_MAX).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))

@@ -1355,3 +1355,123 @@ def impute_mode_fill(spark, t):
             F.col("seg").isNull().alias("was_imputed"),
         )
     )
+
+
+@query(
+    "mask_format_preserving",
+    oracle="""
+    WITH m AS (
+      SELECT c_custkey, c_name,
+             'Customer#' || array_to_string(list_transform(
+               range(1, 10),
+               i -> CAST((CAST(substr(c_name, 9 + CAST(i AS INT), 1) AS INT) * 7
+                          + i * 3) % 10 AS VARCHAR)), '')
+               AS name_masked
+      FROM customer
+    )
+    SELECT c_custkey, name_masked,
+           name_masked LIKE 'Customer#%'
+             AND length(name_masked) = length(c_name) AS format_ok,
+           name_masked <> c_name AS changed
+    FROM m
+    """,
+)
+def mask_format_preserving(spark, t):
+    """Format-preserving masking (the FPE shape): customer names keep
+    their exact wire format — prefix, length, digits-stay-digits —
+    while the identifying digits are substituted by a per-position
+    bijection ((d·7 + 3i) mod 10; 7 ⊥ 10, so each position is a
+    permutation of 0-9).
+
+    Per-position bijectivity means DISTINCT inputs stay distinct —
+    masked data still joins, groups, and FK-validates exactly like
+    the original (the property that lets a masked staging environment
+    run production queries), unlike hashing into a different format
+    or dropping the column.  Completes the privacy set: pii_scrub
+    REDACTS free text, dq_k_anonymity AUDITS quasi-identifiers, this
+    key TRANSFORMS identifiers reversibly-for-the-keyholder (a real
+    FPE cipher — FF1/AES — swaps in for the affine step; the Spark
+    execution shape is identical: a narrow codegen map, no shuffle,
+    no Python).  ``format_ok`` and ``changed`` are oracle-pinned
+    per-row proofs that the mask preserved the format and actually
+    masked.
+    """
+    masked = F.expr(
+        "concat('Customer#', array_join(transform(sequence(1, 9), "
+        "i -> cast((cast(substring(c_name, 9 + i, 1) as int) * 7 + i * 3) "
+        "% 10 as string)), ''))"
+    )
+    return t["customer"].select(
+        "c_custkey",
+        masked.alias("name_masked"),
+        (
+            F.col("name_masked").startswith("Customer#")
+            & (F.length("name_masked") == F.length("c_name"))
+        ).alias("format_ok"),
+        (F.col("name_masked") != F.col("c_name")).alias("changed"),
+    )
+
+
+@query(
+    "join_cardinality_estimate",
+    oracle="""
+    WITH samp AS (
+      SELECT o_custkey FROM orders
+      WHERE ((o_orderkey % 2147483647) * 2654435761) % 2147483647 % 10 = 0
+    ), est AS (
+      SELECT count(*) * 10 AS est_rows
+      FROM samp JOIN customer ON o_custkey = c_custkey
+    ), exact AS (
+      SELECT count(*) AS exact_rows
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT CAST(est_rows AS BIGINT) AS est_rows,
+           CAST(exact_rows AS BIGINT) AS exact_rows,
+           ABS(est_rows - exact_rows) * 1.0
+             <= 0.2 * exact_rows + 100 AS within_bound
+    FROM est, exact
+    """,
+)
+def join_cardinality_estimate(spark, t):
+    """Sample-based join-size estimation — the planner-diagnostics
+    companion to ``join_skew_report``: before running (or bucketing,
+    or broadcasting) a big join, estimate its output from a
+    DETERMINISTIC 10% Bernoulli sample of the probe side scaled by
+    1/rate.
+
+    Sampling is the same portable-hash membership filter the corpus
+    samplers use (pure function of the key — reruns and both engines
+    agree), so the ORACLE replicates the estimator exactly and the
+    ``within_bound`` column pins its accuracy against the true
+    cardinality, which for a PK-FK join sampled on the FK side is an
+    unbiased estimate with ~1/√(n·rate) relative error.  At 100 TB
+    this is how you price a join before paying for it: the sample
+    join costs 10% of one side against the (bucketed/broadcast)
+    other, and the answer decides strategy — broadcast if small,
+    salt if the per-key histogram (join_skew_report) says skew,
+    walk away if the estimate says you're about to emit 10^13 rows.
+    Many-to-many joins need the per-key-frequency correction this
+    docstring's simple form omits deliberately.
+    """
+    samp = t["orders"].where(
+        F.expr(
+            "((o_orderkey % 2147483647) * 2654435761) % 2147483647 % 10 = 0"
+        )
+    )
+    est = (
+        samp.join(t["customer"], samp.o_custkey == F.col("c_custkey"))
+        .agg((F.count("*") * 10).alias("est_rows"))
+    )
+    exact = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .agg(F.count("*").alias("exact_rows"))
+    )
+    return est.crossJoin(exact).select(
+        "est_rows",
+        "exact_rows",
+        (
+            F.abs(F.col("est_rows") - F.col("exact_rows"))
+            <= 0.2 * F.col("exact_rows") + 100
+        ).alias("within_bound"),
+    )
