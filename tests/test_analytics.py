@@ -170,3 +170,39 @@ def test_join_cardinality_estimate_bound_holds(q):
     r = q("join_cardinality_estimate").collect()[0]
     assert r.within_bound
     assert r.est_rows > 0 and r.exact_rows > 0
+
+
+def test_listagg_order_is_total_and_deterministic(q):
+    """Repeat runs must agree byte-for-byte (total order inside the
+    aggregate), and each group's list must actually be sorted."""
+    a = {r.nationkey: (r.segs, r.seg_set) for r in q("agg_string_ordered").collect()}
+    b = {r.nationkey: (r.segs, r.seg_set) for r in q("agg_string_ordered").collect()}
+    assert a == b
+    for segs, seg_set in a.values():
+        parts = segs.split("|")
+        assert parts == sorted(parts)
+        dedup = seg_set.split(",")
+        assert dedup == sorted(set(parts))
+
+
+def test_regression_on_planted_trend(spark):
+    """A planted exact line value = 2·hour + 5 must come back with
+    slope 2, intercept 5, R² = 1; a planted constant must fit slope 0
+    with R² 0 (no hallucinated trend)."""
+    import datetime
+
+    rows = []
+    for h in range(24):
+        ts = datetime.datetime(2024, 1, 1, h)
+        rows.append((h, ts, 1, "lin", 2.0 * h + 5.0))
+        rows.append((100 + h, ts, 1, "flat", 7.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    from tweetdb_spark.operators.analytics import agg_regression
+
+    out = {r.event_type: r for r in agg_regression(spark, {"events": df}).collect()}
+    assert out["lin"].slope == 2.0 and out["lin"].intercept == 5.0
+    assert out["lin"].r2 == 1.0
+    assert out["flat"].slope == 0.0 and out["flat"].intercept == 7.0
+    assert out["flat"].r2 == 1.0  # zero-variance y: R² defined as 1

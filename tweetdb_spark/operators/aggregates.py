@@ -1038,3 +1038,52 @@ def agg_bitwise(spark, t):
         F.bit_and("user_id").alias("bits_and"),
         F.bit_xor("user_id").alias("bits_xor"),
     )
+
+
+@query(
+    "agg_string_ordered",
+    oracle="""
+    SELECT n_nationkey AS nationkey,
+           string_agg(c_mktsegment, '|' ORDER BY c_mktsegment, c_custkey)
+             AS segs,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+             AS seg_set
+    FROM nation JOIN customer ON c_nationkey = n_nationkey
+    WHERE c_custkey <= 200
+    GROUP BY n_nationkey
+    """,
+)
+def agg_string_ordered(spark, t):
+    """LISTAGG (SQL:2016) with an explicit WITHIN-GROUP order — the
+    string-concatenation aggregate made DETERMINISTIC, which is the
+    entire game: unordered listagg output depends on partitioning and
+    merge order, so it can never be reproduced, diffed, or
+    hash-checked.
+
+    Spark 4's ``listagg`` + an ORDER BY inside the aggregate gives a
+    stable total order (segment, then custkey as tiebreak); the
+    DISTINCT variant deduplicates before concatenating.  Both engines
+    agree byte-for-byte because the order is total — exactly the
+    property ``sort_multicol`` pins for sorts, applied to aggregate
+    internals.  At 100 TB concatenated strings are a presentation
+    aggregate (report cells, label lists) — the sort is per-group and
+    map-side partials carry ordered runs; for analytical reuse keep
+    ``agg_collect``'s array form instead of re-splitting strings.
+    """
+    j = (
+        t["nation"]
+        .join(
+            t["customer"].where(F.col("c_custkey") <= 200),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return j.groupBy(F.col("n_nationkey").alias("nationkey")).agg(
+        F.expr(
+            "listagg(c_mktsegment, '|') WITHIN GROUP "
+            "(ORDER BY c_mktsegment, c_custkey)"
+        ).alias("segs"),
+        F.expr(
+            "listagg(DISTINCT c_mktsegment, ',') WITHIN GROUP "
+            "(ORDER BY c_mktsegment)"
+        ).alias("seg_set"),
+    )

@@ -1475,3 +1475,44 @@ def join_cardinality_estimate(spark, t):
             <= 0.2 * F.col("exact_rows") + 100
         ).alias("within_bound"),
     )
+
+
+@query(
+    "agg_regression",
+    oracle="""
+    SELECT event_type,
+           CAST(regr_count(value, CAST(date_part('hour', ts) AS DOUBLE))
+             AS BIGINT) AS n,
+           ROUND(regr_slope(value, CAST(date_part('hour', ts) AS DOUBLE)), 4)
+             + 0 AS slope,
+           ROUND(regr_intercept(value, CAST(date_part('hour', ts) AS DOUBLE)), 4)
+             + 0 AS intercept,
+           ROUND(regr_r2(value, CAST(date_part('hour', ts) AS DOUBLE)), 6)
+             + 0 AS r2
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_regression(spark, t):
+    """In-engine linear regression aggregates (SQL:2003 ``regr_*``):
+    per event type, fit value ~ hour-of-day in ONE aggregation pass —
+    slope, intercept, R², all from the same five running moments
+    (Σx, Σy, Σxy, Σx², Σy²) that stddev/corr already maintain.
+
+    This is the trend-detection primitive (is error volume rising
+    through the day?) without exporting to a stats library: the
+    moments partial-combine map-side exactly like ``agg_stats``'s, so
+    a 100 TB fit costs the same shuffle as a count.  The engine-parity
+    caveats are inherited from agg_stats and handled the same way:
+    ROUND + "+ 0" to absorb last-ulp and -0.0 drift (both engines
+    compute the identical closed forms over the same moments).  A
+    near-zero slope with near-zero R² (the fixture's values are
+    hour-independent by construction) is itself the assertion that
+    the estimator isn't hallucinating trend from noise.
+    """
+    x = F.hour("ts").cast("double")
+    return t["events"].groupBy("event_type").agg(
+        F.regr_count("value", x).cast("long").alias("n"),
+        (F.round(F.regr_slope("value", x), 4) + 0).alias("slope"),
+        (F.round(F.regr_intercept("value", x), 4) + 0).alias("intercept"),
+        (F.round(F.regr_r2("value", x), 6) + 0).alias("r2"),
+    )
