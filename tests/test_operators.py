@@ -532,3 +532,26 @@ def test_join_incremental_identity_on_planted_deltas(spark):
         spark, {"orders": orders, "customer": cust}).collect()}
     assert out["SEG_OLD"].n_orders == 2 and out["SEG_OLD"].total_cents == 3000
     assert out["SEG_NEW"].n_orders == 2 and out["SEG_NEW"].total_cents == 12000
+
+
+def test_bitmap_native_agrees_with_array_form(q):
+    """Built-in bitmap aggregates and the array-set form must report
+    identical per-day and total distinct counts."""
+    native = {r.day: (r.n_daily, r.n_total) for r in q("agg_bitmap_native").collect()}
+    arr = {r.day: (r.n_daily, r.merged_total) for r in q("agg_bitmap_distinct").collect()}
+    assert native == arr
+    assert all(r.rollup_lossless for r in q("agg_bitmap_native").collect())
+
+
+def test_sql_udf_inlines_into_codegen(q):
+    """The SQL UDF must leave no UDF node in the physical plan — it is
+    inlined (the whole point vs a Python UDF), so the plan shows only
+    projections inside WholeStageCodegen."""
+    df = q("fn_sql_udf")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # '*'-starred operators are inside WholeStageCodegen; the inlined
+    # CASE body is visible in the Project, no function-call node left
+    assert "* Project" in plan and "ELSE standard END" in plan

@@ -402,3 +402,106 @@ def fn_try_arithmetic(spark, t):
             "date_not_numeric"
         ),
     )
+
+
+@query(
+    "fn_aes_roundtrip",
+    oracle="""
+    SELECT c_custkey,
+           c_name AS decrypted,
+           TRUE AS roundtrip_ok,
+           TRUE AS ciphertext_differs
+    FROM customer WHERE c_custkey <= 500
+    """,
+)
+def fn_aes_roundtrip(spark, t):
+    """Column-level encryption in the engine: ``aes_encrypt`` /
+    ``aes_decrypt`` (AES-128-ECB here for deterministic ciphertext;
+    production uses GCM, whose random IV makes ciphertext
+    non-reproducible BY DESIGN).
+
+    The crypto itself has no DuckDB twin, so the ORACLE pins the
+    INVARIANTS instead: decrypt(encrypt(x)) must return x exactly
+    (``decrypted`` is hash-checked against the plaintext column), the
+    round-trip flag and ciphertext≠plaintext flag are pinned TRUE.
+    The at-scale posture: encryption is a narrow codegen map (JVM
+    AES-NI, no Python, no shuffle), keys come from a KMS — the
+    literal here stands in — and ECB's determinism is exactly what
+    lets encrypted columns still equi-JOIN (deterministic ciphertext
+    = join-preserving pseudonymization, the same property
+    mask_format_preserving provides without a key).  GCM trades that
+    joinability for semantic security — the choice is per-column
+    policy, and both run identically Spark-side.
+    """
+    enc = F.expr(
+        "aes_encrypt(c_name, '0123456789abcdef', 'ECB', 'PKCS')"
+    )
+    dec = F.expr(
+        "cast(aes_decrypt(ciphertext, '0123456789abcdef', 'ECB', 'PKCS') "
+        "as string)"
+    )
+    return (
+        t["customer"]
+        .where(F.col("c_custkey") <= 500)
+        .select("c_custkey", "c_name", enc.alias("ciphertext"))
+        .select(
+            "c_custkey",
+            dec.alias("decrypted"),
+            (dec == F.col("c_name")).alias("roundtrip_ok"),
+            (F.base64("ciphertext") != F.col("c_name")).alias(
+                "ciphertext_differs"
+            ),
+        )
+    )
+
+
+@query(
+    "fn_sql_udf",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+           CAST(ROUND(ROUND(o_totalprice * 100) * 1.19) AS BIGINT)
+             AS cents_taxed,
+           CASE WHEN o_totalprice >= 200000 THEN 'jumbo'
+                WHEN o_totalprice >= 100000 THEN 'large'
+                ELSE 'standard' END AS size_class
+    FROM orders WHERE o_orderkey % 25 = 0
+    """,
+)
+def fn_sql_udf(spark, t):
+    """Declarative SQL UDFs (Spark 4 ``CREATE FUNCTION ... RETURN
+    expr``) — reusable scalar logic that stays INSIDE Catalyst:
+    unlike U1/U2's Python functions, a SQL UDF is inlined into the
+    plan at resolution time, so it codegens, pushes down, and costs
+    exactly what the expression costs.
+
+    Two functions are defined per session (idempotent OR REPLACE):
+    ``cents_taxed`` (nested call over another computed column) and
+    ``size_class`` (a CASE policy).  This is the right home for
+    shared business rules — the tax rule changes in ONE place and
+    every query inlines the new body — reserving Python UDFs for
+    logic SQL genuinely can't express.  The oracle inlines the same
+    expressions manually, proving the UDF indirection semantics-
+    free.  At 100 TB the difference vs a Python UDF is the whole
+    Arrow boundary: zero serialization, full predicate transparency.
+    """
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION taxed_cents(c BIGINT) "
+        "RETURNS BIGINT RETURN CAST(ROUND(c * 1.19) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION size_class(p DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN p >= 200000 THEN 'jumbo' "
+        "WHEN p >= 100000 THEN 'large' ELSE 'standard' END"
+    )
+    return (
+        t["orders"]
+        .where(F.col("o_orderkey") % 25 == 0)
+        .selectExpr(
+            "o_orderkey",
+            "cast(round(o_totalprice * 100) as bigint) AS cents",
+            "taxed_cents(cast(round(o_totalprice * 100) as bigint)) "
+            "AS cents_taxed",
+            "size_class(o_totalprice) AS size_class",
+        )
+    )

@@ -1087,3 +1087,68 @@ def agg_string_ordered(spark, t):
             "(ORDER BY c_mktsegment)"
         ).alias("seg_set"),
     )
+
+
+@query(
+    "agg_bitmap_native",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             count(DISTINCT user_id) AS n_daily
+      FROM events GROUP BY 1
+    ), total AS (
+      SELECT count(DISTINCT user_id) AS n_total FROM events
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, n_daily,
+           n_total, TRUE AS rollup_lossless
+    FROM daily CROSS JOIN total
+    """,
+)
+def agg_bitmap_native(spark, t):
+    """The BUILT-IN bitmap aggregate path (Spark 3.5's
+    ``bitmap_construct_agg`` / ``bitmap_or_agg`` / ``bitmap_count``)
+    — real packed bitmaps where ``agg_bitmap_distinct`` modeled the
+    algebra with arrays.
+
+    Ids are split into (bucket, bit-position) by the engine
+    (``bitmap_bucket_number`` / ``bitmap_bit_position``, 2^15 bits
+    per bucket), each (day, bucket) aggregates into a BINARY bitmap
+    (4 KB max, set-bits packed), daily partials OR together with
+    ``bitmap_or_agg``, and cardinality is ``bitmap_count`` — popcount
+    on bytes, no set materialization anywhere.  The oracle pins
+    per-day counts AND the OR-rollup total against plain
+    count(DISTINCT), so the engine's bitmap algebra is value-hash-
+    checked end-to-end.  At 100 TB this is the persistable exact-
+    distinct state: per-(day, bucket) bitmap rows are KBs, rollups
+    touch bitmaps never raw events, and the same state answers any
+    date-range distinct question by OR-ing its days — the exact twin
+    of ``sketch_distinct_merge``'s HLL with byte-packed storage
+    replacing the array-set of ``agg_bitmap_distinct``.
+    """
+    ev = t["events"].selectExpr(
+        "date_trunc('day', ts) AS day",
+        "bitmap_bucket_number(user_id) AS bucket",
+        "bitmap_bit_position(user_id) AS pos",
+    )
+    per_bucket = ev.groupBy("day", "bucket").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("bm")
+    )
+    daily = per_bucket.groupBy("day").agg(
+        F.expr("sum(bitmap_count(bm))").alias("n_daily")
+    )
+    total = (
+        per_bucket.groupBy("bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .agg(F.expr("sum(bitmap_count(bm))").alias("n_total"))
+    )
+    direct = t["events"].agg(F.countDistinct("user_id").alias("n_direct"))
+    return (
+        daily.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(direct))
+        .select(
+            "day",
+            "n_daily",
+            "n_total",
+            (F.col("n_total") == F.col("n_direct")).alias("rollup_lossless"),
+        )
+    )
