@@ -1035,3 +1035,18 @@ def test_degree_distribution_consistent_with_pair_graph(q):
     total_deg = sum(r.degree * r.n_nodes for r in rows)
     n_edges = q("dedup_simhash").count()
     assert total_deg == 2 * n_edges
+
+
+def test_shard_manifest_is_tar_consistent(q):
+    """Offsets must tile the shard byte-space exactly: sorting by
+    (shard, offset) gives contiguous non-overlapping blobs whose
+    global offsets are the running sum of lengths."""
+    rows = sorted(
+        q("multimodal_shard_manifest").collect(),
+        key=lambda r: (r.shard_id, r.shard_offset),
+    )
+    cum = 0
+    for r in rows:
+        assert r.shard_id * 65536 + r.shard_offset == cum, r
+        cum += r.n_bytes
+    assert cum == sum(r.n_bytes for r in rows)

@@ -137,3 +137,33 @@ def test_jdbc_read_is_partitioned_and_pushes_filter(q):
         df._jdf.queryExecution(), "formatted"
     )
     assert "PushedFilters:" in plan and "price_cents" in plan.split("PushedFilters:")[1].splitlines()[0], plan
+
+
+def test_observed_metrics_match_direct_aggregates(q, spark):
+    """After the action, the observation must report exactly the
+    pre-filter scan's row count and cent total — collected in the
+    same job, no second pass."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from tweetdb_spark.catalog import load_tables
+    from tweetdb_spark.operators.scans import LAST_OBSERVATION
+
+    q("scan_observed").collect()  # action triggers the observation
+    got = LAST_OBSERVATION["scan_observed"].get
+    li = load_tables(spark, SF_DIR)["lineitem"]
+    want = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("c"),
+    ).collect()[0]
+    assert got["rows_scanned"] == want.n
+    assert got["total_price_cents"] == want.c
+    assert got["null_flags"] == 0
+
+
+def test_codec_matrix_all_roundtrip(q):
+    """Every codec's read-back must be lossless and row-complete."""
+    rows = q("sink_parquet_codec").collect()
+    assert {r.codec for r in rows} == {"gzip", "snappy", "zstd"}
+    assert all(r.roundtrip_ok for r in rows)
+    assert len({r.n_rows for r in rows}) == 1

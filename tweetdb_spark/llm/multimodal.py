@@ -26,6 +26,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from tweetdb_spark.registry import query
 
@@ -264,4 +265,67 @@ def multimodal_dedup(spark, t):
             F.count("*").alias("n_copies"),
             F.min("n_bytes").cast("bigint").alias("n_bytes"),
         )
+    )
+
+
+@query(
+    "multimodal_shard_manifest",
+    oracle="""
+    WITH blobs AS (
+      SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ), ordered AS (
+      SELECT doc_id, n_bytes,
+             ((doc_id % 2147483647) * 2654435761) % 2147483647 AS shuf,
+             SUM(n_bytes) OVER (
+               ORDER BY ((doc_id % 2147483647) * 2654435761) % 2147483647,
+                        doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_bytes AS offset_global
+      FROM blobs
+    )
+    SELECT doc_id, n_bytes,
+           CAST(offset_global // 65536 AS BIGINT) AS shard_id,
+           CAST(offset_global % 65536 AS BIGINT) AS shard_offset
+    FROM ordered
+    """,
+)
+def multimodal_shard_manifest(spark, t):
+    """WebDataset-style shard packing for blob corpora: assign every
+    payload a (shard, byte-offset) in deterministically shuffled
+    order, 64 KB target shards — the manifest a training dataloader
+    reads to fetch samples with ONE ranged GET each.
+
+    Large-scale multimodal training wants few big archives, not 10^9
+    tiny objects; the builder needs (a) a reproducible global sample
+    order (the same portable multiplicative shuffle as
+    ``corpus_shuffle``), (b) exact byte offsets (running SUM window
+    over blob lengths, lengths computed JVM-side from the binary
+    column — payloads never leave the executors), and (c) shard
+    boundaries by cumulative byte budget, so shards are size-uniform
+    regardless of per-blob size skew.  All integer arithmetic — the
+    whole manifest is value-hash-checked.  At 100 TB: ONE global-sort
+    shuffle of (id, length) pairs — bytes don't move until the final
+    shard write streams them in manifest order; appending a new batch
+    re-runs only the tail (offsets are monotone in the shuffle key).
+    A row whose blob exceeds the budget simply spans shards, exactly
+    like tar.
+    """
+    shuf = "((doc_id % 2147483647) * 2654435761) % 2147483647"
+    blobs = t["documents"].select(
+        "doc_id",
+        F.octet_length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+    )
+    w = (
+        Window.orderBy(F.expr(shuf), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ordered = blobs.withColumn(
+        "offset_global", F.sum("n_bytes").over(w) - F.col("n_bytes")
+    )
+    return ordered.select(
+        "doc_id",
+        "n_bytes",
+        F.expr("offset_global div 65536").alias("shard_id"),
+        (F.col("offset_global") % 65536).cast("long").alias("shard_offset"),
     )

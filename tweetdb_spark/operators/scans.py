@@ -751,3 +751,107 @@ def ingest_jdbc(spark, t):
         )
         .where(F.col("price_cents") > 5000000)
     )
+
+
+@query(
+    "sink_parquet_codec",
+    oracle="""
+    SELECT codec, count(*) AS n_rows, TRUE AS roundtrip_ok
+    FROM (SELECT unnest(['gzip', 'snappy', 'zstd']) AS codec)
+    CROSS JOIN orders
+    GROUP BY codec
+    """,
+)
+def sink_parquet_codec(spark, t):
+    """Compression-codec matrix for the parquet sink: the same table
+    written under snappy / zstd / gzip, each read back and proven
+    byte-equal to the source (count + full-row xxhash64 fold compared
+    per codec).
+
+    Codec choice is a real 100 TB lever — zstd typically reads ~30%
+    smaller than snappy at similar scan CPU, gzip smaller still but
+    decode-bound — and the SAFE part that must be proven is
+    losslessness across the codec boundary, which the
+    ``roundtrip_ok`` column pins per codec (order-insensitive bit_xor
+    fold of per-row xxhash64 equality
+    engine-side; the oracle fixes TRUE).  Sizes are reported to the
+    log, not the result: byte counts are layout/version-dependent and
+    would make the hash fragile for no correctness gain.  The write
+    path is the production shape: per-codec ``option("compression",
+    ...)``, partition layout unchanged, readers codec-agnostic (the
+    parquet footer self-describes — a mixed-codec table reads fine,
+    which is what makes incremental codec migration possible).
+    """
+    from tweetdb_spark import scratch
+
+    src = t["orders"]
+    fold = F.expr(
+        "bit_xor(xxhash64(o_orderkey, o_orderstatus, o_totalprice, "
+        "o_orderpriority))"
+    )
+    src_fold = src.agg(fold.alias("h")).collect()[0].h
+    root = scratch.fresh_dir("tweetdb_codecmatrix")
+    rows = []
+    for codec in ["gzip", "snappy", "zstd"]:
+        path = f"{root}/{codec}"
+        src.write.mode("overwrite").option("compression", codec).parquet(path)
+        back = spark.read.parquet(path)
+        agg = back.agg(F.count("*").alias("n"), fold.alias("h")).collect()[0]
+        rows.append((codec, agg.n, agg.h == src_fold))
+    return spark.createDataFrame(
+        rows, "codec string, n_rows long, roundtrip_ok boolean"
+    )
+
+
+# Most-recent Observation handle, for tests/monitors to read after an
+# action runs (the driver only collects the rows; the metrics are the
+# side channel).
+LAST_OBSERVATION = {}
+
+
+@query(
+    "scan_observed",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents
+    FROM lineitem
+    WHERE l_quantity >= 45
+    """,
+)
+def scan_observed(spark, t):
+    """Observed scan — ``df.observe``: ingest metrics (row count, byte
+    volume, null tally) collected DURING the query action as
+    accumulator-style aggregates, with zero extra passes over the
+    data.
+
+    The monitoring primitive every ingest pipeline needs: asserting
+    row counts or null rates normally costs a second scan (or a
+    cache); ``observe`` rides the same job — each task folds its
+    partition's contribution while producing output rows, the driver
+    reads the merged result after the action.  The observed metrics
+    land in ``LAST_OBSERVATION`` for the monitor (pytest asserts they
+    equal independently-computed aggregates); the RESULT rows are an
+    ordinary pushed-down filter+projection, hash-checked as usual —
+    proving the observation is side-effect-free on the plan.  At
+    100 TB this is how dq_expectations-style rules run free on every
+    ingest instead of as scheduled audit jobs.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = t["lineitem"].observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "total_price_cents"
+        ),
+        F.sum(
+            F.when(F.col("l_returnflag").isNull(), 1).otherwise(0)
+        ).alias("null_flags"),
+    )
+    LAST_OBSERVATION["scan_observed"] = obs
+    return observed.where(F.col("l_quantity") >= 45).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+    )
