@@ -167,3 +167,20 @@ def test_codec_matrix_all_roundtrip(q):
     assert {r.codec for r in rows} == {"gzip", "snappy", "zstd"}
     assert all(r.roundtrip_ok for r in rows)
     assert len({r.n_rows for r in rows}) == 1
+
+
+def test_custom_python_sink_two_phase_commit(q, spark):
+    """The committed directory must contain only final part files (no
+    _tmp orphans — write/commit are separate phases), one per
+    partition, and the read-back must cover the full table."""
+    import glob
+    import os
+
+    df = q("sink_custom_python")
+    rows = df.collect()
+    assert len(rows) == 25
+    # locate the sink dir from the read path
+    files = df.inputFiles()
+    d = os.path.dirname(files[0].replace("file:", ""))
+    assert len(glob.glob(os.path.join(d, "part-*.jsonl"))) == 4
+    assert not glob.glob(os.path.join(d, "_tmp-*"))

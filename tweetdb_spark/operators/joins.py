@@ -905,3 +905,56 @@ def join_incremental(spark, t):
         F.count("*").alias("n_orders"),
         F.sum("cents").alias("total_cents"),
     )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= DATE '1996-10-01'
+      AND o.o_orderdate < DATE '1997-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue_cents DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, t):
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    revenue lost to returns in a quarter — the classic
+    fact⋈fact⋈dim⋈dim + top-k report, joining the q1/q3/q5 headline
+    family.
+
+    Plan posture: both date and returnflag predicates push to their
+    scans, nation broadcasts, the two fact joins shuffle on their
+    equi-keys (orderkey then custkey — at 100 TB co-bucketing
+    orders/lineitem on orderkey removes the first exchange, the
+    ``join_bucketed_colocated`` pattern), and the final top-20 is
+    TakeOrderedAndProject — never a global sort.  Money in exact
+    integer cents; ORDER is total (revenue DESC, custkey) so LIMIT is
+    deterministic on both engines.
+    """
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    o = t["orders"].where(
+        (F.col("o_orderdate") >= "1996-10-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = t["lineitem"].where(F.col("l_returnflag") == "R")
+    return (
+        t["customer"]
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), "c_custkey")
+        .limit(20)
+    )

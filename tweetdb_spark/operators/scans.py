@@ -855,3 +855,42 @@ def scan_observed(spark, t):
         "l_linenumber",
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
     )
+
+
+@query(
+    "sink_custom_python",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def sink_custom_python(spark, t):
+    """Custom Python DataSource WRITE path (Spark 4 ``DataSource
+    .writer``) — the outbound twin of ``source_custom_python``: each
+    executor partition streams its rows through a Python
+    ``DataSourceWriter`` into a task-private file, and the DRIVER
+    commits atomically only when every task reported success
+    (``WriterCommitMessage`` two-phase protocol; ``abort`` removes
+    orphans on failure).
+
+    That task-write / driver-commit split is the same contract every
+    production sink honors (parquet's _temporary dirs, JDBC staging
+    tables): no reader can observe a partial write.  Here the wire
+    format is JSONL; the proof is the round trip — the committed
+    files are read back with an explicit schema and hash-checked
+    against the source table.  At 100 TB a Python writer is for
+    systems with no JVM connector (feature stores, bespoke services);
+    throughput scales with partitions since writes never funnel
+    through the driver.
+    """
+    from tweetdb_spark import scratch
+    from tweetdb_spark.sources.tweetgen import register_sink
+
+    register_sink(spark)
+    out = scratch.fresh_dir("tweetdb_pysink")
+    src = t["nation"].select("n_nationkey", "n_name", "n_regionkey")
+    src.repartition(4).write.format("jsonlsink").mode("append").option(
+        "path", out
+    ).save()
+    return spark.read.schema(
+        "n_nationkey long, n_name string, n_regionkey long"
+    ).json(f"{out}/part-*.jsonl")

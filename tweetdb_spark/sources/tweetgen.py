@@ -122,3 +122,68 @@ class TweetGenDataSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration of the tweetgen format."""
     spark.dataSource.register(TweetGenDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Custom Python DataSource WRITE path (Spark 4): a JSONL sink whose
+# writer runs on the EXECUTORS (one file per partition, two-phase
+# commit via WriterCommitMessage) — completing the connector trio
+# (batch read, stream read, write).
+# ---------------------------------------------------------------------------
+import json as _json
+import os as _os
+import uuid as _uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+@dataclass
+class _WroteFile(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    def __init__(self, options):
+        self.path = options.get("path")
+
+    def write(self, rows) -> _WroteFile:
+        """Runs per partition ON AN EXECUTOR: stream rows to a
+        task-private temp file, hand the name to the driver commit."""
+        _os.makedirs(self.path, exist_ok=True)  # idempotent across tasks
+        tmp = _os.path.join(self.path, f"_tmp-{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in rows:
+                fh.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _WroteFile(path=tmp, rows=n)
+
+    def commit(self, messages) -> None:
+        """Driver-side two-phase commit: atomically rename every
+        task file into its final name only once ALL tasks succeeded."""
+        for i, m in enumerate(messages):
+            _os.rename(m.path, _os.path.join(self.path, f"part-{i:05d}.jsonl"))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and _os.path.exists(m.path):
+                _os.remove(m.path)
+
+
+class JsonlSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlsink"
+
+    def schema(self) -> str:  # pragma: no cover - not used on write
+        return "value string"
+
+    def writer(self, schema, overwrite: bool) -> JsonlSinkWriter:
+        return JsonlSinkWriter(self.options)
+
+
+def register_sink(spark) -> None:
+    """Idempotent registration of the jsonlsink format."""
+    spark.dataSource.register(JsonlSinkDataSource)
