@@ -1152,3 +1152,51 @@ def agg_bitmap_native(spark, t):
             (F.col("n_total") == F.col("n_direct")).alias("rollup_lossless"),
         )
     )
+
+
+@query(
+    "pandas_api_bridge",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pandas_api_bridge(spark, t):
+    """The third API surface over the same engine: pandas-API-on-Spark
+    (``pyspark.pandas``) — a pandas-shaped groupby/agg that COMPILES
+    INTO THE SAME CATALYST PLAN as the SQL/DataFrame forms (Q1's
+    shape, reduced).
+
+    Why it's worth a contract row: teams port pandas notebooks to the
+    cluster by swapping the import, and the thing to verify is that
+    the bridge is semantics-preserving and plan-clean — the oracle
+    here is the plain SQL aggregate, so the whole translation
+    (filter → boolean mask, groupby(as_index=False), named agg,
+    type round-trip back to a Spark DataFrame) is value-hash-checked.
+    At 100 TB the caveats are the docstring: avoid default-index
+    materialization (use ``distributed`` index type or go through
+    ``to_spark()`` as here), and remember ``.to_pandas()`` is a
+    driver collect — the bridge is for LOGIC reuse, not for pulling
+    data local.
+    """
+    import pyspark.pandas as ps
+
+    psdf = t["lineitem"].select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_shipdate"
+    ).pandas_api()
+    masked = psdf[psdf["l_shipdate"] <= "1998-09-02"]
+    g = (
+        masked.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+        .agg(sum_qty=("l_quantity", "sum"), n_rows=("l_quantity", "count"))
+    )
+    out = g.to_spark()
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sum_qty").cast("long").alias("sum_qty"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )

@@ -1208,3 +1208,89 @@ def stream_rollup_ingest(spark, t):
     )
     q.awaitTermination()
     return spark.read.parquet(state["cur"])
+
+
+@query(
+    "stream_topk_windowed",
+    oracle="""
+    WITH counts AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             user_id, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT day, user_id, cnt,
+             row_number() OVER (
+               PARTITION BY day ORDER BY cnt DESC, user_id) AS rnk
+      FROM counts
+    )
+    SELECT day, user_id, cnt, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def stream_topk_windowed(spark, t):
+    """Streaming windowed top-k (the classic "trending users per day"
+    leaderboard): per-(day, user) activity counts maintained by
+    commutative merge as batches arrive, ranked top-3 per day from
+    the FINAL state.
+
+    The decomposition is the whole design: the STREAM maintains only
+    the mergeable part (counter state — order-independent, so the end
+    state is batching-invariant and the key carries a full value-hash
+    ORACLE), while the rank is computed over the compact state table
+    (|days|×|users| rows, not raw events) wherever it's read — rank
+    is NOT mergeable, so pushing it into the stream would force
+    complete-mode rewrites of every window per trigger.  This is how
+    leaderboards actually run at 100 TB: counters in the streaming
+    state store, top-k on read (or per trigger over changed windows
+    only).  COW state + replayed-batch skip, as in
+    stream_rollup_ingest; deterministic ties by user_id.
+    """
+    import os as _os
+
+    from tweetdb_spark import scratch
+
+    root = scratch.fresh_dir("tweetdb_topkingest")
+    ckpt = scratch.fresh_dir("tweetdb_topkingestchk")
+    feed_dir = _os.path.join(root, "feed")
+    ev = t["events"].select("ts", "user_id")
+    ev.repartition(4).write.mode("overwrite").parquet(feed_dir)
+
+    state = {"cur": None, "n": 0, "applied": set()}
+
+    def apply_batch(bdf, batch_id):
+        if batch_id in state["applied"]:
+            return
+        part = bdf.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "user_id"
+        ).agg(F.count("*").alias("cnt"))
+        if state["cur"] is not None:
+            part = part.unionByName(bdf.sparkSession.read.parquet(state["cur"]))
+        merged = part.groupBy("day", "user_id").agg(
+            F.sum("cnt").alias("cnt")
+        )
+        nxt = _os.path.join(root, f"v{state['n'] + 1}")
+        merged.write.mode("overwrite").parquet(nxt)
+        state["cur"] = nxt
+        state["n"] += 1
+        state["applied"].add(batch_id)
+
+    feed = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    q = (
+        feed.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql.window import Window
+
+    st = spark.read.parquet(state["cur"])
+    w = Window.partitionBy("day").orderBy(F.col("cnt").desc(), "user_id")
+    return (
+        st.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("day", "user_id", "cnt", "rnk")
+    )
