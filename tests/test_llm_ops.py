@@ -1050,3 +1050,23 @@ def test_shard_manifest_is_tar_consistent(q):
         assert r.shard_id * 65536 + r.shard_offset == cum, r
         cum += r.n_bytes
     assert cum == sum(r.n_bytes for r in rows)
+
+
+def test_hybrid_rrf_fuses_both_legs(q):
+    """Top-10 must carry contributions from both retrievers: every row
+    has at least one rank, the fused score is exactly the RRF formula
+    of its ranks, and the list is rrf-descending."""
+    rows = q("sim_hybrid_rrf").collect()
+    assert len(rows) == 10
+    prev = None
+    for r in rows:
+        want = 0.0
+        if r.text_rank is not None:
+            want += 1.0 / (60 + r.text_rank)
+        if r.vec_rank is not None:
+            want += 1.0 / (60 + r.vec_rank)
+        assert abs(r.rrf_score - want) < 1e-8
+        assert prev is None or r.rrf_score <= prev
+        prev = r.rrf_score
+    assert any(r.text_rank is not None for r in rows)
+    assert any(r.vec_rank is not None for r in rows)

@@ -1220,3 +1220,149 @@ def embed_pca_power(spark, t):
     return spark.createDataFrame(
         [(i, round(x, 6)) for i, x in enumerate(v)], "pos int, loading double"
     )
+
+
+# Hybrid-search query parameters (engine constants): the text leg's
+# query terms and the vector leg's query id.  k1/b use exactly binary-
+# representable rationals (5/4, 3/4) so every BM25 arithmetic step is
+# the same IEEE value on both engines.
+_HY_TERMS = ["fast", "merge", "batch"]
+_HY_TERM_VALUES = ", ".join(f"('{w}')" for w in _HY_TERMS)
+
+
+@query(
+    "sim_hybrid_rrf",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), lens AS (
+      SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+    ), stats AS (
+      SELECT (SELECT count(*) FROM documents) AS n,
+             (SELECT AVG(dl) FROM lens) AS avgdl
+    ), qt(token) AS (VALUES {_HY_TERM_VALUES}),
+    tf AS (
+      SELECT tok.doc_id, tok.token, count(*) AS tf
+      FROM tok JOIN qt USING (token) GROUP BY 1, 2
+    ), df AS (
+      SELECT token, count(*) AS df FROM tf GROUP BY token
+    ), bm AS (
+      SELECT tf.doc_id,
+             SUM(tf.tf * 2.25 / (tf.tf + 1.25 * (0.25 + 0.75 * lens.dl / stats.avgdl))
+                 * ((stats.n - df.df + 0.5) / (df.df + 0.5))) AS text_score
+      FROM tf JOIN df USING (token) JOIN lens USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ), trank AS (
+      SELECT doc_id, row_number() OVER (
+               ORDER BY ROUND(text_score, 6) DESC, doc_id) AS text_rank
+      FROM bm
+    ), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    vrank AS (
+      SELECT e.vec_id AS doc_id, row_number() OVER (
+               ORDER BY ROUND({{_DOT}} / ({{_NA}} * {{_NQ}}), 6) DESC, e.vec_id)
+               AS vec_rank
+      FROM embeddings e, q
+    ), fused AS (
+      SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+             t.text_rank, v.vec_rank,
+             COALESCE(1.0 / (60 + t.text_rank), 0)
+               + COALESCE(1.0 / (60 + v.vec_rank), 0) AS rrf
+      FROM trank t FULL OUTER JOIN vrank v ON t.doc_id = v.doc_id
+    )
+    SELECT doc_id, text_rank, vec_rank, ROUND(rrf, 8) + 0 AS rrf_score
+    FROM fused
+    ORDER BY ROUND(rrf, 8) DESC, doc_id
+    LIMIT 10
+    """.replace("{_DOT}", _DUCK_DOT.format(a="e.embedding", b="q.qv"))
+       .replace("{_NA}", _DUCK_NORM.format(v="e.embedding"))
+       .replace("{_NQ}", _DUCK_NORM.format(v="q.qv")),
+)
+def sim_hybrid_rrf(spark, t):
+    """Hybrid retrieval — BM25 text scoring ∪ vector cosine, fused by
+    Reciprocal Rank Fusion: the shape modern search actually ships
+    (lexical recall + semantic recall, rank-level fusion so neither
+    score scale needs calibrating).
+
+    The text leg is real BM25 (k1=1.25, b=0.75 — exactly-binary
+    rationals; idf kept in rational form rather than ln so every
+    arithmetic step is IEEE-identical across engines — a monotone
+    per-term reweighting of textbook BM25, swap ln-idf in when the
+    oracle isn't DuckDB).  The vector leg reuses the hash-proven
+    cosine machinery (vec_id ≡ doc_id on this fixture — the linkage a
+    real corpus carries explicitly).  RRF folds ranks, not scores:
+    1/(60+r_text) + 1/(60+r_vec), rational again.  Both rank lists
+    are deterministic (ROUND(score,6), id tiebreak), so the entire
+    hybrid pipeline — two retrievers, a full-outer rank join, fusion,
+    top-10 — is value-hash-checked.  At 100 TB each leg is its own
+    indexed top-k (inverted/IVF — sim_ann_* for the vector side, the
+    token equi-join here IS the inverted-index probe), and fusion
+    touches only the two k-row rank lists.
+    """
+    from pyspark.sql.window import Window
+
+    docs = t["documents"]
+    qt = F.broadcast(
+        spark.createDataFrame([(w,) for w in _HY_TERMS], "token string")
+    )
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    lens = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = F.broadcast(
+        docs.agg(F.count("*").alias("n"))
+        .crossJoin(lens.agg(F.avg("dl").alias("avgdl")))
+    )
+    tf = tok.join(qt, "token").groupBy("doc_id", "token").agg(
+        F.count("*").alias("tf")
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    bm = (
+        tf.join(F.broadcast(df_), "token")
+        .join(lens, "doc_id")
+        .crossJoin(stats)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("tf") * 2.25
+                / (F.col("tf") + 1.25 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+                * ((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            ).alias("text_score")
+        )
+    )
+    wt = Window.orderBy(F.round("text_score", 6).desc(), "doc_id")
+    trank = bm.select("doc_id", F.row_number().over(wt).alias("text_rank"))
+    e = t["embeddings"]
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cos = F.round(
+        dot(F.col("embedding"), F.col("qv"))
+        / (l2_norm(F.col("embedding")) * l2_norm(F.col("qv"))),
+        6,
+    )
+    wv = Window.orderBy(F.col("cos").desc(), "doc_id")
+    vrank = (
+        e.crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cos"))
+        .select("doc_id", F.row_number().over(wv).alias("vec_rank"))
+    )
+    fused = (
+        trank.join(vrank, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "text_rank",
+            "vec_rank",
+            (
+                F.coalesce(1.0 / (60 + F.col("text_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("vec_rank")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    return (
+        fused.select(
+            "doc_id",
+            "text_rank",
+            "vec_rank",
+            (F.round("rrf", 8) + 0).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(10)
+    )
