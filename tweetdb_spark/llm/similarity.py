@@ -1253,15 +1253,19 @@ _HY_TERM_VALUES = ", ".join(f"('{w}')" for w in _HY_TERMS)
       FROM tf JOIN df USING (token) JOIN lens USING (doc_id) CROSS JOIN stats
       GROUP BY tf.doc_id
     ), trank AS (
-      SELECT doc_id, row_number() OVER (
-               ORDER BY ROUND(text_score, 6) DESC, doc_id) AS text_rank
-      FROM bm
+      SELECT doc_id, text_rank FROM (
+        SELECT doc_id, row_number() OVER (
+                 ORDER BY ROUND(text_score, 6) DESC, doc_id) AS text_rank
+        FROM bm
+      ) WHERE text_rank <= 100
     ), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
     vrank AS (
-      SELECT e.vec_id AS doc_id, row_number() OVER (
-               ORDER BY ROUND({{_DOT}} / ({{_NA}} * {{_NQ}}), 6) DESC, e.vec_id)
-               AS vec_rank
-      FROM embeddings e, q
+      SELECT doc_id, vec_rank FROM (
+        SELECT e.vec_id AS doc_id, row_number() OVER (
+                 ORDER BY ROUND({{_DOT}} / ({{_NA}} * {{_NQ}}), 6) DESC, e.vec_id)
+                 AS vec_rank
+        FROM embeddings e, q
+      ) WHERE vec_rank <= 100
     ), fused AS (
       SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
              t.text_rank, v.vec_rank,
@@ -1291,12 +1295,16 @@ def sim_hybrid_rrf(spark, t):
     cosine machinery (vec_id ≡ doc_id on this fixture — the linkage a
     real corpus carries explicitly).  RRF folds ranks, not scores:
     1/(60+r_text) + 1/(60+r_vec), rational again.  Both rank lists
-    are deterministic (ROUND(score,6), id tiebreak), so the entire
-    hybrid pipeline — two retrievers, a full-outer rank join, fusion,
-    top-10 — is value-hash-checked.  At 100 TB each leg is its own
-    indexed top-k (inverted/IVF — sim_ann_* for the vector side, the
-    token equi-join here IS the inverted-index probe), and fusion
-    touches only the two k-row rank lists.
+    are deterministic (ROUND(score,6), id tiebreak), and each leg
+    returns only its TOP-100 (TakeOrdered, then a rank window over k
+    rows — the window never sees the corpus), so the entire hybrid
+    pipeline — two bounded retrievers, a full-outer rank join,
+    fusion, top-10 — is value-hash-checked.  At 100 TB each leg is
+    its own indexed top-k (inverted/IVF — sim_ann_* for the vector
+    side, the token equi-join here IS the inverted-index probe), and
+    fusion touches only the two k-row rank lists.  Truncation IS the
+    semantics (RRF is defined over the lists the retrievers RETURN,
+    not the corpus) — the oracle applies the identical k.
     """
     from pyspark.sql.window import Window
 
@@ -1329,8 +1337,16 @@ def sim_hybrid_rrf(spark, t):
             ).alias("text_score")
         )
     )
+    # each retriever returns its TOP-k (k=100) only — standard RRF
+    # practice, and what keeps the rank window bounded: orderBy+limit
+    # is TakeOrdered (per-partition top-k merge), and row_number then
+    # runs over k rows, never the corpus
     wt = Window.orderBy(F.round("text_score", 6).desc(), "doc_id")
-    trank = bm.select("doc_id", F.row_number().over(wt).alias("text_rank"))
+    trank = (
+        bm.orderBy(F.round("text_score", 6).desc(), "doc_id")
+        .limit(100)
+        .select("doc_id", F.row_number().over(wt).alias("text_rank"))
+    )
     e = t["embeddings"]
     q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     cos = F.round(
@@ -1342,6 +1358,8 @@ def sim_hybrid_rrf(spark, t):
     vrank = (
         e.crossJoin(F.broadcast(q))
         .select(F.col("vec_id").alias("doc_id"), cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), "doc_id")
+        .limit(100)
         .select("doc_id", F.row_number().over(wv).alias("vec_rank"))
     )
     fused = (
