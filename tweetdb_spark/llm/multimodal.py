@@ -309,19 +309,40 @@ def multimodal_shard_manifest(spark, t):
     shard write streams them in manifest order; appending a new batch
     re-runs only the tail (offsets are monotone in the shuffle key).
     A row whose blob exceeds the budget simply spans shards, exactly
-    like tar.
+    like tar.  The prefix sum is TWO-LEVEL (within 64 contiguous
+    key-range groups, plus a 64-row base-offset table) — no global
+    window ever sees the corpus, same trick as corpus_pack.
     """
     shuf = "((doc_id % 2147483647) * 2654435761) % 2147483647"
+    # two-level prefix sum (corpus_pack's pattern): the shuffle-key
+    # space splits into 64 CONTIGUOUS ranges, so (group, within-group
+    # order) == global order; running sums parallelize across groups
+    # and only the 64 group totals see a global window — never the
+    # corpus.  Output values identical to a single global window.
+    grp = F.expr(f"({shuf}) div {(2147483647 // 64) + 1}")
     blobs = t["documents"].select(
         "doc_id",
         F.octet_length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+        F.expr(shuf).alias("shuf"),
+        grp.alias("grp"),
     )
-    w = (
-        Window.orderBy(F.expr(shuf), "doc_id")
+    w_in = (
+        Window.partitionBy("grp")
+        .orderBy("shuf", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ordered = blobs.withColumn(
-        "offset_global", F.sum("n_bytes").over(w) - F.col("n_bytes")
+    within = blobs.withColumn(
+        "cum_in", F.sum("n_bytes").over(w_in) - F.col("n_bytes")
+    )
+    w_base = Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        blobs.groupBy("grp")
+        .agg(F.sum("n_bytes").alias("grp_bytes"))
+        .withColumn("base", F.coalesce(F.sum("grp_bytes").over(w_base), F.lit(0)))
+        .select("grp", "base")
+    )
+    ordered = within.join(F.broadcast(bases), "grp").withColumn(
+        "offset_global", F.col("base") + F.col("cum_in")
     )
     return ordered.select(
         "doc_id",

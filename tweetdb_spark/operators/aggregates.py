@@ -975,7 +975,7 @@ def sketch_kmv_intersect(spark, t):
         return df.agg(*aggs)
 
     n_both = (
-        kmvu.join(kmva.withColumnRenamed("h", "h"), "h")
+        kmvu.join(kmva, "h")
         .join(kmvb, "h")
         .agg(F.count("*").cast("double").alias("n_both"))
     )

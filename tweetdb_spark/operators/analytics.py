@@ -1265,8 +1265,8 @@ def itemsets_frequent_pairs(spark, t):
     minsup = 3
     li = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
     freq_items = (
-        li.groupBy("l_partkey")
-        .agg(F.countDistinct("l_orderkey").alias("item_sup"))
+        li.groupBy("l_partkey")  # li is already (order, part)-distinct
+        .agg(F.count("*").alias("item_sup"))
         .where(F.col("item_sup") >= minsup)
         .select("l_partkey")
     )
