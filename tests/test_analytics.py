@@ -206,3 +206,15 @@ def test_regression_on_planted_trend(spark):
     assert out["lin"].r2 == 1.0
     assert out["flat"].slope == 0.0 and out["flat"].intercept == 7.0
     assert out["flat"].r2 == 1.0  # zero-variance y: R² defined as 1
+
+
+def test_pit_join_never_leaks_future_state(q):
+    """Intervals partition time per key, so no fact may match more
+    than one dimension version — the row-explosion guard (temporal
+    correctness itself is oracle-hash-checked)."""
+    from collections import Counter
+
+    rows = q("join_pit_scd2").collect()
+    assert rows
+    per_fact = Counter(r.event_id for r in rows)
+    assert max(per_fact.values()) == 1

@@ -1070,3 +1070,20 @@ def test_hybrid_rrf_fuses_both_legs(q):
         prev = r.rrf_score
     assert any(r.text_rank is not None for r in rows)
     assert any(r.vec_rank is not None for r in rows)
+
+
+def test_entropy_separates_planted_extremes(spark):
+    """A constant-char doc must score ~0 bits/char (low_entropy), a
+    64-distinct-char doc exactly 6 bits/char."""
+    from tweetdb_spark.llm.text import text_entropy
+
+    flat = "a" * 100
+    rich = "".join(chr(33 + i) for i in range(64))
+    docs = spark.createDataFrame(
+        [(0, flat, 100), (1, rich, 64), (2, "", 0)],
+        "doc_id long, text string, n_chars long",
+    )
+    out = {r.doc_id: r for r in text_entropy(spark, {"documents": docs}).collect()}
+    assert out[0].bits_per_char == 0.0 and out[0].low_entropy
+    assert out[1].bits_per_char == 6.0 and not out[1].low_entropy
+    assert out[2].bits_per_char == 0.0 and out[2].low_entropy

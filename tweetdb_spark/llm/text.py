@@ -2257,3 +2257,70 @@ def corpus_url_filter(spark, t):
             F.coalesce("blocked_hit", F.lit(False)).alias("blocked"),
         )
     )
+
+
+@query(
+    "text_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
+      FROM documents, LATERAL unnest(range(1, length(text) + 1)) AS u(i)
+      WHERE length(text) > 0
+    ), freq AS (
+      SELECT doc_id, ch, count(*) AS cnt FROM chars GROUP BY doc_id, ch
+    ), lens AS (
+      SELECT doc_id, CAST(SUM(cnt) AS DOUBLE) AS n FROM freq GROUP BY doc_id
+    ), ent AS (
+      SELECT f.doc_id,
+             -SUM((f.cnt / l.n) * log2(f.cnt / l.n)) AS h
+      FROM freq f JOIN lens l USING (doc_id)
+      GROUP BY f.doc_id
+    )
+    SELECT d.doc_id,
+           ROUND(COALESCE(e.h, 0), 4) + 0 AS bits_per_char,
+           COALESCE(e.h, 0) < 2.0 AS low_entropy
+    FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id
+    """,
+)
+def text_entropy(spark, t):
+    """Character-level Shannon entropy per document (bits/char) — the
+    compression-ratio quality signal: templated or repetitive docs
+    (license boilerplate, generated spam, base64 blobs masquerading as
+    text) sit far from natural language's ~4 bits/char, in both
+    directions.
+
+    Completes the quality suite's signal set (length/punct gates,
+    repetition share, dup-n-gram fraction, LM fluency) with the one
+    model-free signal that needs NO vocabulary: explode to chars, one
+    (doc, char) count agg, −Σ p·log₂p.  The per-term p is a rational
+    count ratio and the sum runs over ≤ ~96 character classes, so
+    ROUND(·, 4) is engine-stable (same discipline as the unigram-LM
+    scorer's ln).  At 100 TB both aggs combine map-side and the
+    shuffle unit is (doc, char-class) — bounded at 96 rows per doc
+    regardless of length; empty docs keep a 0-entropy low_entropy
+    verdict via the left join.
+    """
+    chars = (
+        t["documents"]
+        .where(F.length("text") > 0)
+        .select("doc_id", F.explode(F.split("text", "(?!^)")).alias("ch"))
+        .where(F.length("ch") > 0)
+    )
+    freq = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("cnt"))
+    lens = freq.groupBy("doc_id").agg(F.sum("cnt").cast("double").alias("n"))
+    p = F.col("cnt") / F.col("n")
+    ent = (
+        freq.join(lens, "doc_id")
+        .groupBy("doc_id")
+        .agg((-F.sum(p * F.log2(p))).alias("h"))
+    )
+    return (
+        t["documents"]
+        .select("doc_id")
+        .join(ent, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.round(F.coalesce("h", F.lit(0.0)), 4) + 0).alias("bits_per_char"),
+            (F.coalesce("h", F.lit(0.0)) < 2.0).alias("low_entropy"),
+        )
+    )

@@ -1516,3 +1516,84 @@ def agg_regression(spark, t):
         (F.round(F.regr_intercept("value", x), 4) + 0).alias("intercept"),
         (F.round(F.regr_r2("value", x), 6) + 0).alias("r2"),
     )
+
+
+@query(
+    "join_pit_scd2",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM events WHERE event_type IN ('signup', 'error')
+    ), facts AS (
+      SELECT event_id, user_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, f.user_id, f.cents, d.state,
+           CAST(d.valid_from AS TIMESTAMP) AS state_since
+    FROM facts f JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+)
+def join_pit_scd2(spark, t):
+    """Point-in-time join against an SCD2 dimension — the feature-
+    store correctness pattern: every purchase fact picks up the
+    dimension row that was VALID AT THE FACT'S OWN TIMESTAMP, never
+    the current one (which would leak the future into training
+    features).
+
+    The dimension is built inline with scd2_build's lead() transform
+    (signup/error events as the tracked states); the join carries the
+    business key as an EQUI conjunct, so Spark hash/sort-merge joins
+    on user_id and evaluates the validity-range predicate as a
+    post-join filter within the key group — never a nested-loop over
+    the cross product (the join_interval posture).  Intervals
+    partition time per key, so each fact matches AT MOST one version
+    — row counts can't explode.  At 100 TB: facts and dimension
+    bucket on the business key (zero exchange when co-located, the
+    join_bucketed_colocated layout), and the at-most-one-match
+    property is what makes PIT joins safe to run wide.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        t["events"]
+        .where(F.col("event_type").isin("signup", "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    facts = (
+        t["events"]
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    return (
+        facts.alias("f")
+        .join(
+            dim.alias("d"),
+            (F.col("f.user_id") == F.col("d.user_id"))
+            & (F.col("f.ts") >= F.col("d.valid_from"))
+            & (F.col("d.valid_to").isNull() | (F.col("f.ts") < F.col("d.valid_to"))),
+        )
+        .select(
+            "f.event_id",
+            "f.user_id",
+            "f.cents",
+            "d.state",
+            F.col("d.valid_from").alias("state_since"),
+        )
+    )
