@@ -555,3 +555,36 @@ def test_sql_udf_inlines_into_codegen(q):
     # '*'-starred operators are inside WholeStageCodegen; the inlined
     # CASE body is visible in the Project, no function-call node left
     assert "* Project" in plan and "ELSE standard END" in plan
+
+
+def test_keyset_page_is_gapless_and_disjoint(q, spark):
+    """Pages 1 and 2 must be disjoint, and their union must equal the
+    top-40 of the same total order — no skipped or repeated rows at
+    the page boundary (the keyset invariant)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from tweetdb_spark.catalog import load_tables
+
+    page2 = [(r.cents, r.o_orderkey) for r in q("topk_keyset_page").collect()]
+    orders = load_tables(spark, SF_DIR)["orders"]
+    ranked = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    top40 = [
+        (r.cents, r.o_orderkey)
+        for r in ranked.orderBy(F.col("cents").desc(), "o_orderkey")
+        .limit(40)
+        .collect()
+    ]
+    assert page2 == top40[20:]
+
+
+def test_filtered_agg_measures_are_conditioned(q):
+    """Filtered measures must be bounded by the unconditioned ones."""
+    rows = q("agg_filtered").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_urgent <= r.n_orders
+        assert r.recent_cents >= 0

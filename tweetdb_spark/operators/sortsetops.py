@@ -193,3 +193,58 @@ def setop_except(spark, t):
     c = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
     s = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
     return c.subtract(s)
+
+
+@query(
+    "topk_keyset_page",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), page1 AS (
+      SELECT * FROM ranked ORDER BY cents DESC, o_orderkey LIMIT 20
+    ), anchor AS (
+      SELECT cents AS a_cents, o_orderkey AS a_key FROM page1
+      ORDER BY cents, o_orderkey DESC LIMIT 1
+    )
+    SELECT r.o_orderkey, r.o_custkey, r.cents
+    FROM ranked r, anchor
+    WHERE r.cents < a_cents
+       OR (r.cents = a_cents AND r.o_orderkey > a_key)
+    ORDER BY r.cents DESC, r.o_orderkey
+    LIMIT 20
+    """,
+)
+def topk_keyset_page(spark, t):
+    """Keyset (seek) pagination — page 2 of the order leaderboard via
+    a WHERE-anchor on page 1's last row, never OFFSET.
+
+    OFFSET n is the pagination scale-trap: the engine must compute
+    and DISCARD the first n rows of a global order, so page p costs
+    O(p·k) — and Spark's sort for it is a full exchange.  Keyset
+    instead filters PAST the anchor tuple ((cents, key) strictly
+    after page 1's last, in the total order) and takes a fresh top-k:
+    both pages are TakeOrderedAndProject over a pushed-down-filterable
+    scan — page 1000 costs the same as page 1.  The anchor is read
+    from the engine's own page-1 result (1 driver row — the same
+    cursor a paginating service holds); the total order (cents DESC,
+    key) makes pages deterministic and gap-free, which the oracle
+    pins by reproducing both hops.  At 100 TB this is the only
+    pagination that works; the equivalent for time-series is the
+    (ts, id) cursor every changelog reader uses.
+    """
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    ranked = t["orders"].select(
+        "o_orderkey", "o_custkey", cents.alias("cents")
+    )
+    page1 = ranked.orderBy(F.col("cents").desc(), "o_orderkey").limit(20)
+    anchor = page1.orderBy("cents", F.col("o_orderkey").desc()).limit(1).collect()[0]
+    return (
+        ranked.where(
+            (F.col("cents") < anchor.cents)
+            | ((F.col("cents") == anchor.cents) & (F.col("o_orderkey") > anchor.o_orderkey))
+        )
+        .orderBy(F.col("cents").desc(), "o_orderkey")
+        .limit(20)
+    )
