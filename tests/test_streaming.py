@@ -673,3 +673,16 @@ def test_stream_topk_equals_batch_leaderboard(q):
         xs.sort()
         assert [r for r, _ in xs] == [1, 2, 3]
         assert all(a[1] >= b[1] for a, b in zip(xs, xs[1:]))
+
+
+def test_cdc_deletes_remove_and_dont_resurrect(q):
+    """Tombstoned keys (÷15) must be absent from the final table;
+    changed-but-kept keys (÷3, not ÷5) must carry version 2; untouched
+    keys stay at version 1."""
+    rows = {r.o_orderkey: r for r in q("stream_cdc_delete_apply").collect()}
+    assert rows
+    assert not [k for k in rows if k % 15 == 0], "tombstoned key survived"
+    changed = [k for k in rows if k % 3 == 0]
+    assert changed and all(rows[k].version == 2 for k in changed)
+    untouched = [k for k in rows if k % 3 != 0]
+    assert untouched and all(rows[k].version == 1 for k in untouched)

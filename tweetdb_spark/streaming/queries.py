@@ -1294,3 +1294,118 @@ def stream_topk_windowed(spark, t):
         .where(F.col("rnk") <= 3)
         .select("day", "user_id", "cnt", "rnk")
     )
+
+
+@query(
+    "stream_cdc_delete_apply",
+    oracle="""
+    WITH changes AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'D' ELSE 'U' END AS op,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice
+                  ELSE FLOOR(o_totalprice * 1.1 * 100 + 0.5) / 100 END
+               AS o_totalprice,
+             2 AS version
+      FROM orders WHERE o_orderkey % 3 = 0
+    ), base AS (
+      SELECT o_orderkey, 'U' AS op, o_totalprice, 1 AS version FROM orders
+    ), unioned AS (
+      SELECT * FROM base UNION ALL SELECT * FROM changes
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY o_orderkey ORDER BY version DESC
+             ) AS rn
+      FROM unioned
+    )
+    SELECT o_orderkey, o_totalprice, version
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def stream_cdc_delete_apply(spark, t):
+    """CDC apply WITH DELETES — the full I/U/D change-feed contract
+    ``stream_cdc_apply`` left at upserts: every third order gets a
+    change, every fifteenth a tombstone (op='D'), and the final table
+    must contain neither the deleted keys nor any resurrected
+    version of them.
+
+    Deletes ride the SAME latest-wins state machine as updates — a
+    tombstone is just the winning version whose rows are excluded AT
+    READ (rn=1 ∧ op≠'D') — which preserves the two properties that
+    make the key hash-checkable: batch-order independence (max-
+    version wins regardless of arrival order) and replay idempotence
+    (re-applying any batch reproduces the same snapshot).  Dropping
+    the tombstone ROW at write time instead would break both: a
+    late-arriving version-1 row for a deleted key would resurrect
+    it.  Tombstones compact away only once no older version can
+    still arrive — the retention contract every CDC consumer
+    (Debezium → Delta/Iceberg MERGE WHEN MATCHED DELETE) documents,
+    here made explicit in a COW snapshot chain.
+    """
+    import os
+
+    from pyspark.sql.window import Window
+
+    from tweetdb_spark import scratch
+
+    root = scratch.fresh_dir("tweetdb_cdcdel")
+    ckpt = scratch.fresh_dir("tweetdb_cdcdelchk")
+    base_dir = os.path.join(root, "v0")
+    feed_dir = os.path.join(root, "feed")
+    base = t["orders"].select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        "o_totalprice",
+        F.lit(1).alias("version"),
+    )
+    base.write.mode("overwrite").parquet(base_dir)
+    (
+        t["orders"]
+        .where(F.col("o_orderkey") % 3 == 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 5 == 0, "D").otherwise("U").alias("op"),
+            F.when(
+                F.col("o_orderkey") % 5 == 0, F.col("o_totalprice")
+            ).otherwise(
+                F.floor(F.col("o_totalprice") * 1.1 * 100 + 0.5) / 100
+            ).alias("o_totalprice"),
+            F.lit(2).alias("version"),
+        )
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(feed_dir)
+    )
+    state = {"cur": base_dir, "n": 0}
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
+
+    def apply_batch(bdf, batch_id):
+        cur = bdf.sparkSession.read.parquet(state["cur"])
+        nxt = os.path.join(root, f"v{state['n'] + 1}")
+        (
+            cur.unionByName(bdf)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+            .write.mode("overwrite")
+            .parquet(nxt)
+        )
+        state["cur"] = nxt
+        state["n"] += 1
+
+    feed = (
+        spark.readStream.schema(spark.read.parquet(feed_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    q = (
+        feed.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(state["cur"])
+        .where(F.col("op") != "D")
+        .select("o_orderkey", "o_totalprice", "version")
+    )
