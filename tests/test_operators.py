@@ -588,3 +588,25 @@ def test_filtered_agg_measures_are_conditioned(q):
     for r in rows:
         assert 0 <= r.n_urgent <= r.n_orders
         assert r.recent_cents >= 0
+
+
+def test_pattern_detect_on_planted_journey(spark):
+    """Hand-checkable journeys: 'svvp' matches s[cv]*p with the full
+    string; 'pvs' doesn't; 'spsp' counts 2 direct conversions."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for uid, seq in [(1, "svvp"), (2, "pvs"), (3, "spsp")]:
+        names = {"s": "signup", "v": "view", "p": "purchase", "c": "click"}
+        for i, ch in enumerate(seq):
+            rows.append((uid * 100 + i, base + datetime.timedelta(minutes=i), uid, names[ch], 1.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    from tweetdb_spark.operators.events import events_pattern_detect
+
+    out = {r.user_id: r for r in events_pattern_detect(spark, {"events": df}).collect()}
+    assert out[1].has_conversion_path and out[1].first_path == "svvp"
+    assert not out[2].has_conversion_path and out[2].first_path == ""
+    assert out[3].n_direct_conversions == 2 and out[3].first_path == "sp"

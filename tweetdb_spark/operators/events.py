@@ -785,3 +785,60 @@ def events_gap_islands(spark, t):
         F.count("*").alias("n_streaks"),
         F.max("len").alias("longest_streak"),
     )
+
+
+@query(
+    "events_pattern_detect",
+    oracle="""
+    WITH j AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS journey
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           length(journey) AS journey_len,
+           regexp_matches(journey, 's[cv]*p') AS has_conversion_path,
+           COALESCE(regexp_extract(journey, 's[cv]*p'), '') AS first_path,
+           CAST((length(journey) - length(replace(journey, 'sp', ''))) / 2
+                AS BIGINT) AS n_direct_conversions
+    FROM j
+    """,
+)
+def events_pattern_detect(spark, t):
+    """Event-sequence pattern matching (the MATCH_RECOGNIZE /
+    Snowplow-funnel shape Spark lacks natively): compress each user's
+    ordered event stream into a journey STRING — one char per event —
+    and run regular expressions over it.
+
+    ``signup → (click|view)* → purchase`` becomes the regex
+    ``s[cv]*p``: detection, first-match extraction, and direct-
+    conversion counting are then ordinary codegen string functions —
+    the whole state machine the SQL standard needed MATCH_RECOGNIZE
+    for, paid as one deterministic LISTAGG (total order: ts,
+    event_id) plus regex over a |events-per-user|-char string.  The
+    oracle runs the identical encoding in DuckDB, so the journey
+    construction AND the pattern semantics are value-hash-checked.
+    At 100 TB: one shuffle on user_id (map-side partials carry
+    ordered runs), journey strings are KBs for even hyperactive
+    users, and new patterns are regex edits — no replan, no second
+    shuffle.  Patterns needing event PAYLOADS (amounts, gaps) join
+    the match positions back to the events — the funnel/attribution
+    keys cover those shapes.
+    """
+    j = t["events"].groupBy("user_id").agg(
+        F.expr(
+            "listagg(substring(event_type, 1, 1)) WITHIN GROUP "
+            "(ORDER BY ts, event_id)"
+        ).alias("journey")
+    )
+    return j.select(
+        "user_id",
+        F.length("journey").alias("journey_len"),
+        F.expr("journey rlike 's[cv]*p'").alias("has_conversion_path"),
+        F.regexp_extract("journey", "s[cv]*p", 0).alias("first_path"),
+        (
+            (F.length("journey") - F.length(F.regexp_replace("journey", "sp", "")))
+            / 2
+        ).cast("long").alias("n_direct_conversions"),
+    )
