@@ -610,3 +610,26 @@ def test_pattern_detect_on_planted_journey(spark):
     assert out[1].has_conversion_path and out[1].first_path == "svvp"
     assert not out[2].has_conversion_path and out[2].first_path == ""
     assert out[3].n_direct_conversions == 2 and out[3].first_path == "sp"
+
+
+def test_geo_grid_blocking_is_complete_on_planted_edges(spark):
+    """The grid join's center-0 hit count must equal a pure-Python
+    all-pairs reference over 5000 derived points — on/off-radius and
+    diagonal-neighbor-cell cases all occur in that range, so a 3x3
+    neighborhood gap would show up as a count mismatch."""
+    import datetime
+
+    from tweetdb_spark.operators.joins import join_geo_grid, _GEO_R
+
+    hits = 0
+    for eid in range(5000):
+        plat, plon = (eid * 37) % 1700, (eid * 73) % 1700
+        if (plat - 200) ** 2 + (plon - 300) ** 2 <= _GEO_R * _GEO_R:
+            hits += 1
+    base = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(eid, base, 1, "click", 1.0) for eid in range(5000)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    out = {r.center_id: r.n_within for r in join_geo_grid(spark, {"events": df}).collect()}
+    assert out.get(0, 0) == hits

@@ -958,3 +958,107 @@ def q10_returned_items(spark, t):
         .orderBy(F.col("revenue_cents").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# Geo fixtures are synthesized in integer DECIDEGREES (documented, same
+# policy as the URL/XML wires): exact arithmetic end-to-end, no trig.
+_GEO_R = 40  # radius in decidegree units; also the grid cell size
+_GEO_CENTER_VALUES = ", ".join(
+    f"({i}, {lat}, {lon})"
+    for i, (lat, lon) in enumerate([(200, 300), (850, 1200), (1400, 400),
+                                    (500, 1600), (1000, 800)])
+)
+
+
+@query(
+    "join_geo_grid",
+    oracle=f"""
+    WITH centers(center_id, clat, clon) AS (VALUES {_GEO_CENTER_VALUES}),
+    points AS (
+      SELECT event_id,
+             (event_id * 37) % 1700 AS plat,
+             (event_id * 73) % 1700 AS plon
+      FROM events
+    ), hits AS (
+      SELECT c.center_id, p.event_id,
+             (p.plat - c.clat) * (p.plat - c.clat)
+               + (p.plon - c.clon) * (p.plon - c.clon) AS d2
+      FROM centers c, points p
+      WHERE (p.plat - c.clat) * (p.plat - c.clat)
+              + (p.plon - c.clon) * (p.plon - c.clon)
+            <= {_GEO_R} * {_GEO_R}
+    )
+    SELECT center_id, count(*) AS n_within,
+           CAST(MIN(d2) AS BIGINT) AS min_d2
+    FROM hits GROUP BY center_id
+    """,
+)
+def join_geo_grid(spark, t):
+    """Grid-blocked spatial radius join — the geo member of the
+    blocking-rewrite family (theta→price bins, interval→hour buckets,
+    edit-distance→PassJoin segments): points within radius R of each
+    center, found via a CELL EQUI-JOIN instead of a cross join.
+
+    Blocking scheme: cells of side R, so every point within R of a
+    center lies in the center's 3×3 cell neighborhood — the small
+    CENTERS side explodes its 9 neighbor cells (dim-sized ×9, still a
+    broadcast), the points side computes ONE cell key (narrow), and
+    the join is a plain broadcast equi-join followed by the exact
+    distance² verify.  The ORACLE is the unblocked all-pairs query,
+    so neighborhood completeness is value-hash-checked — the same
+    proof obligation as every other blocking rewrite here.
+    Coordinates are synthesized integer decidegrees (pure-integer
+    distance², no trig, no FP caveats); real lat/lon swaps in
+    geohash/S2 cells and a haversine verify with identical shape.  At
+    100 TB: the points table never cross-joins anything — candidate
+    volume is |points in matching cells| — and heavy cells are the
+    usual skew story (salt the cell key or split the hot cell).
+    """
+    centers = spark.createDataFrame(
+        [
+            (i, lat, lon)
+            for i, (lat, lon) in enumerate(
+                [(200, 300), (850, 1200), (1400, 400), (500, 1600), (1000, 800)]
+            )
+        ],
+        "center_id int, clat long, clon long",
+    )
+    neigh = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    )
+    c_cells = centers.select("*", neigh.alias("o")).select(
+        "center_id",
+        "clat",
+        "clon",
+        (F.expr(f"clat div {_GEO_R}") + F.col("o.dx")).alias("cx"),
+        (F.expr(f"clon div {_GEO_R}") + F.col("o.dy")).alias("cy"),
+    )
+    points = (
+        t["events"]
+        .select(
+            "event_id",
+            ((F.col("event_id") * 37) % 1700).alias("plat"),
+            ((F.col("event_id") * 73) % 1700).alias("plon"),
+        )
+        .select(
+            "*",
+            F.expr(f"plat div {_GEO_R}").alias("cx"),
+            F.expr(f"plon div {_GEO_R}").alias("cy"),
+        )
+    )
+    d2 = (F.col("plat") - F.col("clat")) * (F.col("plat") - F.col("clat")) + (
+        F.col("plon") - F.col("clon")
+    ) * (F.col("plon") - F.col("clon"))
+    return (
+        points.join(F.broadcast(c_cells), ["cx", "cy"])
+        .where(d2 <= _GEO_R * _GEO_R)
+        .select("center_id", d2.alias("d2"))
+        .groupBy("center_id")
+        .agg(F.count("*").alias("n_within"), F.min("d2").alias("min_d2"))
+    )
