@@ -74,6 +74,13 @@ LADDER = [
     "events_gap_islands",
     "win_rolling_quantile",
     "agg_bitmap_distinct",
+    "stream_cdc_delete_apply",
+    "events_pattern_detect",
+    "join_geo_grid",
+    "join_pit_scd2",
+    "text_entropy",
+    "agg_filtered",
+    "topk_keyset_page",
 ]
 
 
