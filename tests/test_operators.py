@@ -633,3 +633,59 @@ def test_geo_grid_blocking_is_complete_on_planted_edges(spark):
     )
     out = {r.center_id: r.n_within for r in join_geo_grid(spark, {"events": df}).collect()}
     assert out.get(0, 0) == hits
+
+
+def test_url_parse_dissects_planted_url(spark):
+    """parse_url must agree with a hand-decomposed URL: host/path split,
+    full query, keyed param extraction, and %20 decoding."""
+    df = spark.createDataFrame(
+        [(42, "body", "en", "src3", 4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from tweetdb_spark.functions.scalar import fn_url_parse
+
+    r = fn_url_parse(spark, {"documents": df}).collect()[0]
+    assert r.url == "https://src3.example.com/docs/en/42?q=en%20src3&page=0"
+    assert r.host == "src3.example.com"
+    assert r.path == "/docs/en/42"
+    assert r.query == "q=en%20src3&page=0"
+    assert r.q_raw == "en%20src3"
+    assert r.q_decoded == "en src3"
+    assert r.page == 0
+
+
+def test_nested_struct_variants_and_field_surgery(spark):
+    """withField/dropFields/inline must emit exactly two variants per
+    order: part 1 verbatim cents, part 2 lower-cased + doubled; the
+    dropped float price must not survive into the output schema."""
+    df = spark.createDataFrame(
+        [(50, "O", 12.345), (100, "F", 2.0)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    from tweetdb_spark.functions.scalar import fn_nested_struct
+
+    out = fn_nested_struct(spark, {"orders": df})
+    assert set(out.columns) == {"o_orderkey", "part", "status", "cents"}
+    rows = {(r.o_orderkey, r.part): r for r in out.collect()}
+    assert len(rows) == 4
+    assert rows[(50, 1)].status == "O" and rows[(50, 1)].cents == 1235
+    assert rows[(50, 2)].status == "o" and rows[(50, 2)].cents == 2470
+    assert rows[(100, 2)].cents == 400
+
+
+def test_embed_outlier_flags_planted_antipode(spark):
+    """A vector pointing opposite a tight cluster must be the unique
+    outlier: most-negative z and is_outlier set; cluster members not."""
+    base = [1.0] + [0.1] * 7
+    anti = [-1.0] + [-0.1] * 7
+    rows = [(i, [v + 0.001 * i for v in base], 0) for i in range(40)]
+    rows.append((99, anti, 1))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    from tweetdb_spark.llm.similarity import embed_outlier_mean
+
+    out = {r.vec_id: r for r in embed_outlier_mean(spark, {"embeddings": df}).collect()}
+    assert out[99].is_outlier
+    assert min(out.values(), key=lambda r: r.z).vec_id == 99
+    assert all(not out[i].is_outlier for i in range(40))

@@ -505,3 +505,129 @@ def fn_sql_udf(spark, t):
             "size_class(o_totalprice) AS size_class",
         )
     )
+
+
+@query(
+    "fn_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || lang || '/'
+               || doc_id || '?q=' || lang || '%20' || source || '&page='
+               || (doc_id % 7) AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           url,
+           regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]q=([^&]*)', 1) AS q_raw,
+           replace(regexp_extract(url, '[?&]q=([^&]*)', 1), '%20', ' ')
+             AS q_decoded,
+           CAST(regexp_extract(url, '[?&]page=([^&]*)', 1) AS BIGINT) AS page
+    FROM u
+    """,
+)
+def fn_url_parse(spark, t):
+    """URL dissection builtins: ``parse_url`` (HOST / PATH / QUERY /
+    keyed query param) + ``url_decode`` — the click-log and crawl-
+    ingest primitive (corpus_url_filter's regexp gate is the policy
+    layer; this is the structural parser under it).
+
+    URLs are synthesized deterministically from documents columns so
+    the fixture needs no URL column; percent-escapes are restricted to
+    ``%20`` because DuckDB has no url_decode — the oracle's
+    ``replace('%20', ' ')`` is exactly RFC-decode on that alphabet.
+    All eight outputs are java.net.URI / codegen expressions: map-only,
+    no shuffle, scan stays the only exchange-free stage a 100 TB URL
+    normalization pass needs.
+    """
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("lang"), F.lit("/"), F.col("doc_id"),
+        F.lit("?q="), F.col("lang"), F.lit("%20"), F.col("source"),
+        F.lit("&page="), F.col("doc_id") % 7,
+    )
+    return t["documents"].select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("q")).alias("q_raw"),
+        F.url_decode(F.parse_url(url, F.lit("QUERY"), F.lit("q"))).alias(
+            "q_decoded"
+        ),
+        F.parse_url(url, F.lit("QUERY"), F.lit("page"))
+        .cast("bigint")
+        .alias("page"),
+    )
+
+
+@query(
+    "fn_nested_struct",
+    oracle="""
+    SELECT o_orderkey,
+           u.part AS part,
+           u.status AS status,
+           u.cents AS cents
+    FROM (
+      SELECT o_orderkey,
+             unnest([
+               {'part': 1, 'status': o_orderstatus,
+                'cents': CAST(ROUND(o_totalprice * 100) AS BIGINT)},
+               {'part': 2, 'status': lower(o_orderstatus),
+                'cents': CAST(ROUND(o_totalprice * 100) AS BIGINT) * 2}
+             ]) AS u
+      FROM orders WHERE o_orderkey % 50 = 0
+    )
+    """,
+)
+def fn_nested_struct(spark, t):
+    """Nested-struct surgery: ``struct`` build → ``withField`` add /
+    replace → ``dropFields`` → array-of-struct → ``inline`` re-
+    flatten.  The schema-evolution primitive for deeply nested event
+    payloads (add a field, retire a field, fan a record out into
+    versioned variants) done entirely inside Catalyst — withField /
+    dropFields rewrite the struct expression in place, so there is no
+    serialization, no UDF, and column pruning still reaches the scan.
+
+    The pipeline: pack (status, price) into a struct, derive integer
+    cents with withField, drop the float price, then emit two struct
+    variants per order (part 1 verbatim, part 2 lower-cased and
+    doubled) and inline() them back to rows.  Output is flattened to
+    scalar cells (driver canonicalizer cannot hash struct cells); the
+    oracle builds the same two variants as DuckDB struct literals and
+    unnests.  Map-only: the only exchange in the plan is whatever the
+    sink needs.
+    """
+    base = (
+        t["orders"]
+        .where(F.col("o_orderkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").alias("price"),
+            ).alias("s"),
+        )
+    )
+    s2 = (
+        F.col("s")
+        .withField("cents", F.round(F.col("s.price") * 100).cast("bigint"))
+        .dropFields("price")
+    )
+    v1 = s2.withField("part", F.lit(1))
+    v2 = (
+        s2.withField("part", F.lit(2))
+        .withField("status", F.lower(F.col("s.status")))
+        .withField(
+            "cents", F.round(F.col("s.price") * 100).cast("bigint") * 2
+        )
+    )
+    return (
+        base.select("o_orderkey", F.array(v1, v2).alias("variants"))
+        .select("o_orderkey", F.inline("variants"))
+        .select("o_orderkey", "part", "status", "cents")
+    )

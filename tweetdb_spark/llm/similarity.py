@@ -1384,3 +1384,80 @@ def sim_hybrid_rrf(spark, t):
         .orderBy(F.col("rrf_score").desc(), "doc_id")
         .limit(10)
     )
+
+
+@query(
+    "embed_outlier_mean",
+    oracle="""
+    WITH mu AS (
+      SELECT CAST(p AS INT) AS pos,
+             AVG(CAST(embedding[CAST(p + 1 AS INT)] AS DOUBLE)) AS mu
+      FROM embeddings, unnest(range(0, len(embedding))) AS u(p)
+      GROUP BY p
+    ),
+    cos AS (
+      SELECT vec_id,
+             SUM(CAST(embedding[pos + 1] AS DOUBLE) * mu)
+               / (sqrt(SUM(CAST(embedding[pos + 1] AS DOUBLE)
+                           * CAST(embedding[pos + 1] AS DOUBLE)))
+                  * sqrt(SUM(mu * mu))) AS c
+      FROM embeddings, mu
+      GROUP BY vec_id
+    ),
+    st AS (SELECT AVG(c) AS m, STDDEV_SAMP(c) AS sd FROM cos)
+    SELECT vec_id,
+           ROUND(c, 6) + 0 AS cos_mean,
+           ROUND((c - m) / sd, 4) + 0 AS z,
+           ROUND((c - m) / sd, 4) <= -2.0 AS is_outlier
+    FROM cos, st
+    """,
+)
+def embed_outlier_mean(spark, t):
+    """Embedding-space outlier scoring against the corpus mean vector —
+    the cheap first-pass curation gate (mis-embedded rows, encoder
+    failures, off-distribution junk) before any clustering is paid for.
+
+    Three aggregates, all map-side-combining, none proportional to a
+    pair count: (1) posexplode → (pos) avg gives the mean vector as
+    dims rows (shuffle carries 64 partials per task, independent of N);
+    (2) the assembled 1-row mean broadcasts onto every vector for a
+    codegen zip_with/aggregate cosine — map-only; (3) a 1-row
+    mean/stddev of the scores broadcasts back for the z-score.  At
+    100 TB this is two scans and two 64-ish-row exchanges.  The outlier
+    flag compares the ROUNDED z on both engines, so flag parity is
+    implied by the z parity the hash already requires.
+    """
+    emb = t["embeddings"]
+    mu = (
+        emb.select(F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("mu"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+                lambda s: s["mu"],
+            ).alias("mu_vec")
+        )
+    )
+    ed = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    dot = F.aggregate(
+        F.zip_with(ed, F.col("mu_vec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nrm = lambda arr: F.sqrt(  # noqa: E731
+        F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    scored = emb.crossJoin(F.broadcast(mu)).select(
+        "vec_id", (dot / (nrm(ed) * nrm(F.col("mu_vec")))).alias("c")
+    )
+    st = scored.agg(
+        F.avg("c").alias("m"), F.stddev_samp("c").alias("sd")
+    )
+    z = (F.col("c") - F.col("m")) / F.col("sd")
+    return scored.crossJoin(F.broadcast(st)).select(
+        "vec_id",
+        (F.round("c", 6) + 0).alias("cos_mean"),
+        (F.round(z, 4) + 0).alias("z"),
+        (F.round(z, 4) <= -2.0).alias("is_outlier"),
+    )
