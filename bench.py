@@ -97,22 +97,62 @@ def main() -> None:
         df = tweetdb_spark.QUERIES[key](spark, sf_dir)
         times[name], runs[name] = _timed_runs(df.collect)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_warm_total",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "calibration": calibration,
-                "runs": runs,
-                "methodology": "median of 3 warm runs per query; "
-                "calibration = fixed 64M-row groupBy probe (host-speed "
-                "normalizer, code-independent)",
-            }
-        )
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "headline_warm_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calibration": calibration,
+        # host-speed-normalized total: divide out the probe so
+        # cross-round comparisons self-adjudicate (r7 incident)
+        "calibrated_total": round(total / calibration, 3) if calibration else None,
+        "runs": runs,
+        "methodology": "median of 3 warm runs per query; "
+        "calibration = fixed 64M-row groupBy probe (host-speed "
+        "normalizer, code-independent); calibrated_total = "
+        "value / calibration; vs_prior compares against the newest "
+        "committed BENCH_r*.json on both raw and calibrated axes",
+    }
+    out["vs_prior"] = _vs_prior(total, calibration, out["calibrated_total"])
+    print(json.dumps(out))
+
+
+def _vs_prior(total: float, calibration: float, calibrated: float | None):
+    """Round-over-round comparison against the newest BENCH_r*.json in
+    the repo root, inline in the artifact so regressions (or host-speed
+    swings dressed as regressions) adjudicate themselves."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    priors = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
     )
+    if not priors:
+        return None
+    path = priors[-1]
+    try:
+        with open(path) as fh:
+            prior = json.load(fh)
+    except Exception as exc:  # artifact unreadable — record why, don't die
+        return {"prior": os.path.basename(path), "error": str(exc)}
+    # driver artifacts wrap this script's JSON line under "parsed"
+    if "parsed" in prior and isinstance(prior["parsed"], dict):
+        prior = prior["parsed"]
+    cmp = {
+        "prior": os.path.basename(path),
+        "prior_value": prior.get("value"),
+        "prior_sf": prior.get("sf"),
+        "raw_ratio": round(total / prior["value"], 3) if prior.get("value") else None,
+    }
+    p_cal = prior.get("calibration")
+    if p_cal and prior.get("value") and calibration and calibrated is not None:
+        cmp["prior_calibrated_total"] = round(prior["value"] / p_cal, 3)
+        cmp["calibrated_ratio"] = round(calibrated / (prior["value"] / p_cal), 3)
+    return cmp
 
 
 if __name__ == "__main__":

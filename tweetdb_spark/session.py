@@ -51,8 +51,37 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+def _pin_derby_home(spark: SparkSession) -> None:
+    """Point embedded Derby's home (and error log) at a scratch dir
+    BEFORE any JDBC touch can boot the engine.
+
+    Derby reads ``derby.system.home`` / ``derby.stream.error.file`` once,
+    at engine boot; the boot is lazy (first EmbeddedDriver connection),
+    so setting the properties here — on every session, including foreign
+    driver-provided ones — guarantees derby.log never lands in the cwd.
+    Previously the pin lived inside the JDBC sink itself, which left a
+    window where another Derby boot (e.g. a verify harness touching the
+    sink through a different entry point) wrote derby.log to the repo
+    root.  Idempotent: re-setting after boot is a no-op but harmless.
+    """
+    try:
+        import tempfile
+
+        jvm = spark._jvm
+        sysprop = jvm.java.lang.System
+        if not sysprop.getProperty("derby.system.home"):
+            home = tempfile.mkdtemp(prefix="tweetdb_derby_home_")
+            sysprop.setProperty("derby.system.home", home)
+            sysprop.setProperty(
+                "derby.stream.error.file", os.path.join(home, "derby.log")
+            )
+    except Exception:
+        pass  # no JVM gateway (e.g. Spark Connect) — sink gates handle it
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an existing session (idempotent)."""
+    _pin_derby_home(spark)
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)

@@ -562,17 +562,20 @@ def _sink_jdbc_derby(spark, t):
 
     Derby folds unquoted identifiers to uppercase while Spark's JDBC
     writer creates quoted lowercase columns, so every column reference
-    in the hand-written SQL is quoted.  derby.system.home is pinned to
-    a temp dir so derby.log never lands in the repo."""
+    in the hand-written SQL is quoted.  derby.system.home /
+    derby.stream.error.file are pinned by session.configure() BEFORE any
+    JDBC touch (Derby reads them once at lazy engine boot), so derby.log
+    never lands in the repo; the DB itself lives under an explicit
+    scratch path in the URL."""
     import os as _os
     import uuid as _uuid
 
-    from tweetdb_spark import scratch
+    from tweetdb_spark import scratch, session as _session
 
     jvm = spark._jvm
+    _session._pin_derby_home(spark)  # no-op if configure() already ran
     home = scratch.fresh_dir("tweetdb_derby")  # reapable, pid-tagged
     _os.makedirs(home)
-    jvm.java.lang.System.setProperty("derby.system.home", home)
     url = f"jdbc:derby:{home}/sink_{_uuid.uuid4().hex[:8]};create=true"
 
     con = jvm.java.sql.DriverManager.getConnection(url)
