@@ -11,6 +11,7 @@ Usage:
     python tools/check.py agg_grouped ...  # subset
     python tools/check.py --vanilla        # driver-sim: plain SparkSession
     python tools/check.py --strict         # driver-sim canonicalizer (see below)
+    python tools/check.py --missing-sweep  # keys lacking a committed sweep row
     SF_DIR=/root/testdata/sf0.001 python tools/check.py
 
 ``--strict`` mirrors the DRIVER's pandas-based canonicalizer rather than
@@ -128,11 +129,44 @@ def strict_multiset(pdf):
     return out
 
 
+def missing_sweep() -> int:
+    """Evidence-gap audit: list registered keys with NO row in any
+    committed sweep log (sweeps/*.log).  Round 8's end-of-round snapshot
+    added three operators whose sweep evidence was never committed; this
+    mode makes that class of gap a one-command check instead of a
+    judge finding.  Exit 1 if any hash-checked key lacks evidence."""
+    import glob
+    import re
+
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    logs = sorted(glob.glob(os.path.join(here, "sweeps", "*.log")))
+    for path in logs:
+        with open(path, errors="replace") as fh:
+            for m in re.finditer(r"(?:PASS|rows) (\w+):", fh.read()):
+                seen.add(m.group(1))
+    missing_hash = sorted(k for k in oracles if k not in seen)
+    missing_rows = sorted(k for k in qs if k not in oracles and k not in seen)
+    print(f"{len(logs)} sweep logs scanned, {len(seen & set(qs))} keys evidenced")
+    for k in missing_hash:
+        print(f"MISSING (hash) {k}")
+    for k in missing_rows:
+        print(f"MISSING (rows-only) {k}")
+    if not missing_hash and not missing_rows:
+        print("all registered keys have committed sweep evidence")
+    return 1 if missing_hash else 0
+
+
 def main() -> int:
     import __spark_entry__ as e
 
     sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
     args = sys.argv[1:]
+    if "--missing-sweep" in args:
+        return missing_sweep()
     vanilla = "--vanilla" in args
     strict = "--strict" in args
     only = {a for a in args if not a.startswith("--")}
