@@ -1,0 +1,84 @@
+"""flatten_structs — the shared driver-output flattening helper."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from tweetdb_spark.functions.structs import flatten_structs
+
+
+@pytest.fixture(scope="module")
+def nested_df(spark):
+    return spark.range(3).select(
+        F.col("id"),
+        F.struct(
+            (F.col("id") * 2).alias("a"),
+            F.struct(
+                F.lit("x").alias("b"),
+                (F.col("id") + 10).alias("c"),
+            ).alias("inner"),
+        ).alias("s"),
+        F.array(F.lit(1), F.lit(2)).alias("arr"),
+    )
+
+
+def test_flattens_recursively_and_preserves_order(nested_df):
+    out = flatten_structs(nested_df)
+    assert out.columns == ["id", "s_a", "s_inner_b", "s_inner_c", "arr"]
+    assert not any(
+        isinstance(f.dataType, StructType) for f in out.schema.fields
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[2]["s_a"] == 4
+    assert rows[2]["s_inner_b"] == "x"
+    assert rows[2]["s_inner_c"] == 12
+    assert rows[2]["arr"] == [1, 2]
+
+
+def test_values_match_manual_flatten(nested_df):
+    helper = flatten_structs(nested_df).orderBy("id").collect()
+    manual = (
+        nested_df.select(
+            "id",
+            F.col("s.a").alias("s_a"),
+            F.col("s.inner.b").alias("s_inner_b"),
+            F.col("s.inner.c").alias("s_inner_c"),
+            "arr",
+        )
+        .orderBy("id")
+        .collect()
+    )
+    assert helper == manual
+
+
+def test_no_structs_is_identity(spark):
+    df = spark.range(2).select("id", F.lit("v").alias("v"))
+    out = flatten_structs(df)
+    assert out.columns == df.columns
+    assert out.collect() == df.collect()
+
+
+def test_collision_raises(spark):
+    df = spark.range(1).select(
+        F.struct(F.lit(1).alias("a")).alias("s"),
+        F.lit(2).alias("s_a"),
+    )
+    with pytest.raises(ValueError, match="collision"):
+        flatten_structs(df)
+
+
+def test_pure_plan_no_udf(nested_df):
+    """The flatten is GetStructField projections — nothing Python-side."""
+    plan = flatten_structs(nested_df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_special_chars_in_field_names(spark):
+    df = spark.range(1).select(
+        F.struct(F.lit(5).alias("odd name")).alias("s.dotted")
+    )
+    out = flatten_structs(df)
+    assert out.columns == ["s.dotted_odd name"]
+    assert out.collect()[0][0] == 5

@@ -631,3 +631,50 @@ def fn_nested_struct(spark, t):
         .select("o_orderkey", F.inline("variants"))
         .select("o_orderkey", "part", "status", "cents")
     )
+
+
+@query(
+    "fn_struct_flatten",
+    oracle="""
+    SELECT c_custkey,
+           c_name AS prof_name,
+           c_mktsegment AS prof_segment,
+           CAST(ROUND(c_acctbal * 100) AS BIGINT) AS prof_acct_cents,
+           c_nationkey AS prof_acct_nation
+    FROM customer WHERE c_custkey % 7 = 0
+    """,
+)
+def fn_struct_flatten(spark, t):
+    """Shared struct-flatten surface: build a two-level nested profile
+    struct, then emit it through :func:`functions.structs.
+    flatten_structs` — the tested helper that every nested-struct
+    operator uses to satisfy the driver canonicalizer's scalar-cells
+    requirement (struct cells crash its pandas hasher; see
+    CORRECTNESS_r01 notes in tools/check.py).
+
+    The flatten is pure Catalyst GetStructField projection — no UDF,
+    no serialization — so at 100 TB it is map-only and the parquet
+    scan still prunes to exactly the referenced leaves.  The oracle is
+    the equivalent flat projection with the helper's ``sep``-joined
+    leaf names.
+    """
+    from tweetdb_spark.functions.structs import flatten_structs
+
+    base = (
+        t["customer"]
+        .where(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            F.struct(
+                F.col("c_name").alias("name"),
+                F.col("c_mktsegment").alias("segment"),
+                F.struct(
+                    F.round(F.col("c_acctbal") * 100)
+                    .cast("bigint")
+                    .alias("cents"),
+                    F.col("c_nationkey").alias("nation"),
+                ).alias("acct"),
+            ).alias("prof"),
+        )
+    )
+    return flatten_structs(base)
