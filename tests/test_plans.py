@@ -410,3 +410,31 @@ def test_not_in_compiles_to_null_aware_anti_join(q):
     # NOT EXISTS ignores the NULLs (0 here only because the sf0.001
     # fixture is referentially complete — every customer has orders)
     assert row.n_not_exists >= 0
+
+
+def test_agg_multi_distinct_decomposed_avoids_expand(q, spark):
+    """The decomposed multi-distinct plan must NOT contain Expand, and
+    every one of its exchanges must sit above a partial HashAggregate
+    (map-side dedup/combine before any shuffle).  The naive 2-distinct
+    form DOES plan an Expand (row replication per distinct column) —
+    asserted as the contrast; the 1-distinct form doesn't need either
+    trick (two-phase rewrite), also asserted so the docstring's claim
+    stays true on Spark upgrades."""
+    from pyspark.sql import functions as F
+    from tweetdb_spark.catalog import load_tables
+
+    plan = _plan(q("agg_multi_distinct_decomposed"))
+    assert "Expand" not in plan
+
+    ev = load_tables(spark, SF_DIR)["events"]
+    naive2 = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id"),
+        F.count_distinct(F.to_date("ts")),
+        F.count("*"),
+    )
+    assert "Expand" in _plan(naive2)
+
+    naive1 = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id"), F.count("*")
+    )
+    assert "Expand" not in _plan(naive1)

@@ -1250,3 +1250,68 @@ def agg_filtered(spark, t):
             F.lit(0),
         ).alias("recent_cents"),
     )
+
+
+@query(
+    "agg_multi_distinct_decomposed",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS distinct_days,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_multi_distinct_decomposed(spark, t):
+    """Multi-DISTINCT aggregation WITHOUT Expand: N distinct measures
+    decomposed into N dedup-aggregates joined on the group key.
+
+    The naive form — ``groupBy(type).agg(count_distinct(user),
+    count_distinct(day), count(*))`` — makes Catalyst plan an Expand
+    node: every input row is replicated once per distinct column (+1
+    for the plain measures), so the FIRST shuffle carries ~3× the
+    input rows whatever the data's own cardinality.  (One distinct
+    aggregate alone avoids Expand via the two-phase rewrite; it is
+    the 2+ case that explodes — asserted both ways in
+    tests/test_plans.py.)
+
+    The decomposed form computes each distinct count as its own
+    map-side-deduped two-phase aggregate — partial HashAggregate on
+    (type, col) BEFORE its exchange, so the shuffle carries at most
+    the distinct-pair count, not N, let alone 3N — and the plain
+    measures as a plain aggregate, then joins the ≤|groups|-row
+    results on the group key (broadcast-scale by construction: the
+    grouping column has few values).  Three column-pruned scans of
+    2-3 columns each replace one 3×-replicated shuffle; at 100 TB
+    shuffle bytes are the scarce resource, scans are the cheap one,
+    and AQE broadcasts the joins.  Sums are integer cents (the
+    FP-parity rule), and the join keys are the group keys, so row
+    multiplicity is provably 1:1:1.
+    """
+    ev = t["events"].select(
+        "event_type",
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    plain = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    du = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("distinct_users"))
+    )
+    dd = (
+        ev.select("event_type", "day")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("distinct_days"))
+    )
+    return plain.join(du, "event_type").join(dd, "event_type").select(
+        "event_type", "distinct_users", "distinct_days", "n_events", "sum_cents"
+    )
