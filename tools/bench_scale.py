@@ -81,6 +81,13 @@ LADDER = [
     "text_entropy",
     "agg_filtered",
     "topk_keyset_page",
+    # round-9 additions
+    "fn_url_parse",
+    "fn_nested_struct",
+    "embed_outlier_mean",
+    "sim_hybrid_rrf",
+    "fn_struct_flatten",
+    "agg_multi_distinct_decomposed",
 ]
 
 

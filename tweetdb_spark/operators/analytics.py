@@ -817,7 +817,13 @@ def dq_expectations(spark, t):
 # (both Spark and DuckDB compute identical BIGINT arithmetic; max
 # event_id * 2654435761 stays far below 2^63 at every fixture SF).
 # rand(seed) can't be oracle-checked: engine RNGs never agree.
-_SAMPLE_SHUFFLE = "(event_id * 2654435761) % 2147483647"
+# Key reduced mod P BEFORE the affine multiply: replica-offset event_ids
+# reach ~9e9 at sf1+, and 9e9 × 2654435761 overflows int64 (ANSI
+# ARITHMETIC_OVERFLOW — caught by the r9 sf1 strict sweep, same class as
+# the sketch_cms_merge and corpus_split catches in r7/r8).  (P-1) ×
+# 2654435761 ≈ 5.7e18 < 2^63, and both engines evaluate the identical
+# expression, so the draw stays deterministic and hash-checkable.
+_SAMPLE_SHUFFLE = "((event_id % 2147483647) * 2654435761) % 2147483647"
 
 
 @query(
