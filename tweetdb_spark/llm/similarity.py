@@ -347,11 +347,16 @@ def multimodal_norm(spark, t):
 
 
 # Portable deterministic "random" order: a Knuth multiplicative hash of
-# vec_id, expressible identically in Spark SQL and DuckDB (bigint-safe:
-# max vec_id * 2654435761 << 2^63).  Used instead of rand(seed) because
-# engine RNGs never agree; determinism makes the SAMPLED estimator
-# hash-checkable against an oracle that draws the same sample.
-_PORTABLE_SHUFFLE = "(vec_id * 2654435761) % 2147483647"
+# vec_id, expressible identically in Spark SQL and DuckDB.  The key is
+# reduced mod P BEFORE the multiply: replica-offset vec_ids reach ~9e9
+# at sf1+ and 9e9 × 2654435761 overflows int64 (ANSI
+# ARITHMETIC_OVERFLOW in sim_ann_ivf_pq's codebook sample — caught by
+# the r9 sf1 strict sweep, same class as the sample_group_fixed_k /
+# sketch_cms_merge / corpus_split catches); (P−1) × 2654435761 ≈ 5.7e18
+# < 2^63.  Used instead of rand(seed) because engine RNGs never agree;
+# determinism makes the SAMPLED estimator hash-checkable against an
+# oracle that draws the same sample.
+_PORTABLE_SHUFFLE = "((vec_id % 2147483647) * 2654435761) % 2147483647"
 
 
 @query(
