@@ -116,6 +116,23 @@ def test_sink_jdbc_batch_idempotent_totals(q, tables):
     assert sunk == batch
 
 
+def test_derby_log_never_lands_in_cwd(spark):
+    """Regression (r8 verdict hygiene nit): Derby's boot-time log must go
+    to the scratch home pinned by session.configure(), never the repo
+    root.  Runs after the JDBC sink test in this module, so if any Derby
+    boot escaped the pin, ./derby.log would exist here."""
+    import os
+
+    from tweetdb_spark.session import _pin_derby_home
+
+    _pin_derby_home(spark)  # idempotent; asserts the seam exists
+    jvm_home = spark._jvm.java.lang.System.getProperty("derby.system.home")
+    assert jvm_home, "derby.system.home not pinned by session.configure()"
+    assert not os.path.exists("derby.log"), (
+        "derby.log leaked into cwd despite the session-factory pin"
+    )
+
+
 def test_sink_jdbc_sqlite_fallback_matches_batch(registry, spark, tables):
     """The SQLite fallback branch stays green even while the container
     has Derby (the gate would otherwise be the only thing exercising
