@@ -168,7 +168,7 @@ def sim_topk_cosine_batch(spark, t):
     SELECT CAST(a.label = b.label AS INTEGER) AS same_label,
            count(*) AS n_pairs,
            ROUND(AVG({_DUCK_DOT.format(a='a.embedding', b='b.embedding')}
-                     / (a.norm * b.norm)), 3) AS mean_cos
+                     / (a.norm * b.norm)), 3) + 0 AS mean_cos
     FROM n a JOIN n b ON a.vec_id < b.vec_id
     GROUP BY 1
     """,
@@ -200,7 +200,11 @@ def sim_pairwise_label(spark, t):
         )
         .agg(
             F.count("*").alias("n_pairs"),
-            F.round(F.avg(cos), 3).alias("mean_cos"),
+            # "+ 0" absorbs IEEE -0.0 (a near-zero mean can round to
+            # -0.0 on one engine and +0.0 on the other — caught by the
+            # r9 sf0.001 strict sweep; the established analytics.py
+            # parity rule)
+            (F.round(F.avg(cos), 3) + F.lit(0.0)).alias("mean_cos"),
         )
     )
 
