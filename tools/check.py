@@ -12,6 +12,7 @@ Usage:
     python tools/check.py --vanilla        # driver-sim: plain SparkSession
     python tools/check.py --strict         # driver-sim canonicalizer (see below)
     python tools/check.py --missing-sweep  # keys lacking a committed sweep row
+    python tools/check.py --ladder KEY ... # strict at every scale point
     SF_DIR=/root/testdata/sf0.001 python tools/check.py
 
 ``--strict`` mirrors the DRIVER's pandas-based canonicalizer rather than
@@ -160,6 +161,36 @@ def missing_sweep() -> int:
     return 1 if missing_hash else 0
 
 
+def ladder(keys: list[str]) -> int:
+    """Run the given keys in strict mode at every available scale point
+    (sf0.001 / sf0.01 / sf0.1, plus /tmp/tweetdb_sf1 if present) via
+    one subprocess per SF.  This is the verification pattern every new
+    operator goes through before its COVERAGE.md row — three of the
+    four r9 bug catches (int64 overflow ×3, IEEE -0.0 drift) were
+    reachable at exactly one scale point, which is why one-SF checks
+    aren't enough."""
+    import subprocess
+
+    if not keys:
+        print("usage: check.py --ladder key [key ...]")
+        return 2
+    dirs = [d for d in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+        "/tmp/tweetdb_sf1",
+    ) if os.path.isdir(d)]
+    rc = 0
+    for d in dirs:
+        print(f"=== {d} ===", flush=True)
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--strict", *keys],
+            env={**os.environ, "SF_DIR": d},
+        )
+        rc = rc or r.returncode
+    return rc
+
+
 def main() -> int:
     import __spark_entry__ as e
 
@@ -167,6 +198,8 @@ def main() -> int:
     args = sys.argv[1:]
     if "--missing-sweep" in args:
         return missing_sweep()
+    if "--ladder" in args:
+        return ladder([a for a in args if not a.startswith("--")])
     vanilla = "--vanilla" in args
     strict = "--strict" in args
     only = {a for a in args if not a.startswith("--")}
