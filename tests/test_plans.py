@@ -438,3 +438,14 @@ def test_agg_multi_distinct_decomposed_avoids_expand(q, spark):
         F.count_distinct("user_id"), F.count("*")
     )
     assert "Expand" not in _plan(naive1)
+
+
+def test_events_top_paths_single_window_and_takeordered(q):
+    """Both lead() columns must collapse into ONE Window node (same
+    partition+order spec), and the top-20 must be TakeOrderedAndProject,
+    not a global sort of the 3-gram counts."""
+    import re
+
+    plan = _plan(q("events_top_paths"))
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+    assert "TakeOrderedAndProject" in plan

@@ -842,3 +842,56 @@ def events_pattern_detect(spark, t):
             / 2
         ).cast("long").alias("n_direct_conversions"),
     )
+
+
+@query(
+    "events_top_paths",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS nxt1,
+             lead(event_type, 2) OVER w AS nxt2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || nxt1 || '>' || nxt2 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM s WHERE nxt1 IS NOT NULL AND nxt2 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path
+    LIMIT 20
+    """,
+)
+def events_top_paths(spark, t):
+    """Top-20 three-step user journeys — lightweight sequential-pattern
+    mining (the MATCH_RECOGNIZE-family gap events_pattern_detect's
+    regex form doesn't cover: frequency-ranked raw paths, no pattern
+    given a priori).
+
+    One user_id shuffle serves both lead() windows (same partition +
+    order spec collapses to a single Window node); the 3-gram count is
+    a plain 2-phase HashAggregate whose key space is |event_types|^3 —
+    a few hundred groups however many events — and the final top-20 is
+    TakeOrderedAndProject, never a global sort.  Fully deterministic:
+    ties broken by path string in BOTH engines, (ts, event_id) gives
+    the windows a total order, and the outputs are strings + bigints
+    (no FP parity surface).  At 100 TB this is the same plan: the only
+    data-sized exchange is the user partition, which every sessionize/
+    funnel/retention key in this module already pays.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = t["events"].select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("nxt1"),
+        F.lead("event_type", 2).over(w).alias("nxt2"),
+    )
+    return (
+        s.where(F.col("nxt1").isNotNull() & F.col("nxt2").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "nxt1", "nxt2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )
