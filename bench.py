@@ -43,6 +43,13 @@ HEADLINE = {
     "events_sessionize": "events_sessionize",
     "events_tumbling": "events_tumbling",
     "json_extract": "fn_map_json",
+    # LLM-pipeline headliners (added r10): the two operators whose perf
+    # matters most at 100 TB — banded MinHash near-dup over documents and
+    # the partition-pruned IVF ANN probe over embeddings.  The warm-up run
+    # absorbs the one-time IVF index build (amortized at scale); timed
+    # runs measure the steady-state probe/banding path.
+    "dedup_minhash_lsh": "dedup_minhash_lsh",
+    "sim_ann_ivf": "sim_ann_ivf",
 }
 
 N_RUNS = 3
@@ -108,28 +115,51 @@ def main() -> None:
         # host-speed-normalized total: divide out the probe so
         # cross-round comparisons self-adjudicate (r7 incident)
         "calibrated_total": round(total / calibration, 3) if calibration else None,
+        # per-query host-normalized values (round-9 verdict ask #2): a
+        # single-query code regression can't hide behind — or be faked
+        # by — host drift when each query self-normalizes
+        "calibrated_queries": {
+            n: round(t / calibration, 3) for n, t in times.items()
+        } if calibration else None,
         "runs": runs,
         "methodology": "median of 3 warm runs per query; "
         "calibration = fixed 64M-row groupBy probe (host-speed "
         "normalizer, code-independent); calibrated_total = "
-        "value / calibration; vs_prior compares against the newest "
-        "committed BENCH_r*.json on both raw and calibrated axes",
+        "value / calibration; calibrated_queries = per-query "
+        "time / calibration; vs_prior compares against the newest "
+        "BENCH_r*.json present on raw and calibrated axes, per-query "
+        "and over the intersection of query sets (comparable_total)",
     }
-    out["vs_prior"] = _vs_prior(total, calibration, out["calibrated_total"])
+    out["vs_prior"] = _vs_prior(times, calibration)
     print(json.dumps(out))
 
 
-def _vs_prior(total: float, calibration: float, calibrated: float | None):
-    """Round-over-round comparison against the newest BENCH_r*.json in
-    the repo root, inline in the artifact so regressions (or host-speed
-    swings dressed as regressions) adjudicate themselves."""
+def _vs_prior(times: dict[str, float], calibration: float):
+    """Round-over-round comparison against the newest BENCH_r*.json
+    present in the repo root, inline in the artifact so regressions (or
+    host-speed swings dressed as regressions) adjudicate themselves.
+
+    Because the headline set can grow between rounds (r10 added the two
+    LLM keys), totals are compared over the INTERSECTION of query names
+    (``comparable_total``); per-query ratios are emitted for every shared
+    key on both raw and calibrated axes.
+    """
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+    # strict filename shape: BENCH_r<digits>.json only — a stray
+    # BENCH_rerun.json or scratch artifact must not crash (or win) the
+    # "newest prior" pick
     priors = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+        (
+            p
+            for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
+        ),
+        key=lambda p: int(
+            re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p)).group(1)
+        ),
     )
     if not priors:
         return None
@@ -142,6 +172,7 @@ def _vs_prior(total: float, calibration: float, calibrated: float | None):
     # driver artifacts wrap this script's JSON line under "parsed"
     if "parsed" in prior and isinstance(prior["parsed"], dict):
         prior = prior["parsed"]
+    total = round(sum(times.values()), 3)
     cmp = {
         "prior": os.path.basename(path),
         "prior_value": prior.get("value"),
@@ -149,9 +180,32 @@ def _vs_prior(total: float, calibration: float, calibrated: float | None):
         "raw_ratio": round(total / prior["value"], 3) if prior.get("value") else None,
     }
     p_cal = prior.get("calibration")
-    if p_cal and prior.get("value") and calibration and calibrated is not None:
+    p_times = prior.get("queries") or {}
+    shared = [n for n in times if n in p_times and p_times[n]]
+    if shared:
+        comp = round(sum(times[n] for n in shared), 3)
+        p_comp = round(sum(p_times[n] for n in shared), 3)
+        cmp["comparable_total"] = comp
+        cmp["prior_comparable_total"] = p_comp
+        cmp["comparable_ratio"] = round(comp / p_comp, 3) if p_comp else None
+        cmp["query_ratios"] = {
+            n: round(times[n] / p_times[n], 3) for n in shared
+        }
+        if p_cal and calibration:
+            # host-normalized per-query ratios: >1 here is a CODE
+            # regression, not a slow host
+            cmp["calibrated_query_ratios"] = {
+                n: round((times[n] / calibration) / (p_times[n] / p_cal), 3)
+                for n in shared
+            }
+            cmp["calibrated_comparable_ratio"] = round(
+                (comp / calibration) / (p_comp / p_cal), 3
+            )
+    if p_cal and prior.get("value") and calibration:
         cmp["prior_calibrated_total"] = round(prior["value"] / p_cal, 3)
-        cmp["calibrated_ratio"] = round(calibrated / (prior["value"] / p_cal), 3)
+        cmp["calibrated_ratio"] = round(
+            (total / calibration) / (prior["value"] / p_cal), 3
+        )
     return cmp
 
 
