@@ -1,7 +1,7 @@
 """Driver-window ordering guard.
 
 The per-round CORRECTNESS check has graded the FIRST 50 keys of
-``queries()`` in insertion order in every round so far (r01-r08).  The
+``queries()`` in insertion order in every round so far (r01-r10).  The
 registry deliberately fills those 50 positions with hash-checkable
 SURVEY §2 contract rows (registry.CONTRACT_ORDER, rotation-managed).
 This test asserts the invariant at import speed so an accidental reorder
@@ -11,15 +11,30 @@ rows-only check — inside the graded window.
 
 from __future__ import annotations
 
+import glob
+import os
+import re
+
 DRIVER_WINDOW = 50
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _newest_correctness_round() -> int:
+    """Round number of the newest CORRECTNESS_r*.json artifact (0 if none)."""
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))
+        if (m := re.fullmatch(r"CORRECTNESS_r(\d+)\.json", os.path.basename(p)))
+    ]
+    return max(rounds, default=0)
 
 
 def test_first_50_keys_are_hashable_or_declared_rotation():
-    """The graded window must be hash-checkable keys only, EXCEPT the
-    explicitly declared streaming-evidence rotation set (r10: five §2
-    rows-only streaming keys collecting their first driver rows_match
-    evidence — round-9 verdict ask #4).  Anything else rows-only in the
-    window is an accidental reorder."""
+    """The graded window must be hash-checkable keys only, EXCEPT an
+    explicitly declared evidence-rotation set (r10 carved out five §2
+    rows-only streaming keys for one round).  Anything else rows-only in
+    the window is an accidental reorder."""
     from tweetdb_spark import registry
 
     queries, oracles = registry.ordered_queries()
@@ -40,6 +55,27 @@ def test_first_50_keys_are_hashable_or_declared_rotation():
     missing = sorted(registry.WINDOW_ROWS_ONLY_KEYS - set(window))
     assert not missing, (
         f"WINDOW_ROWS_ONLY_KEYS declares keys not in the window: {missing}"
+    )
+
+
+def test_rows_only_carveout_expires_with_its_round():
+    """A rows-only carve-out is a ONE-ROUND evidence rotation, not a new
+    normal (round-10 ADVICE): the r10 set silently surviving past its
+    planned r11 revert would permanently weaken the graded window.  Any
+    non-empty WINDOW_ROWS_ONLY_KEYS must carry a ROTATION_ROUND newer
+    than the newest recorded CORRECTNESS_r*.json — i.e. the carve-out is
+    for the round ABOUT to be graded, not one already graded."""
+    from tweetdb_spark import registry
+
+    if not registry.WINDOW_ROWS_ONLY_KEYS:
+        return  # empty carve-out never expires
+    newest = _newest_correctness_round()
+    assert registry.ROTATION_ROUND > newest, (
+        f"WINDOW_ROWS_ONLY_KEYS={sorted(registry.WINDOW_ROWS_ONLY_KEYS)} is "
+        f"declared for round {registry.ROTATION_ROUND}, but "
+        f"CORRECTNESS_r{newest:02d}.json already exists — the carve-out "
+        "expired; execute the planned revert (empty the set) or re-declare "
+        "it for the upcoming round"
     )
 
 

@@ -94,9 +94,15 @@ def query(name: str, oracle: Optional[str] = None):
 #        fn_string/fn_datetime/fn_math/fn_conditional/fn_array OUT —
 #        each driver-hash-green in ALL NINE prior rounds (r01-r09), the
 #        most redundantly evidenced keys in the registry.
-#   r11 (PLANNED): reverse swap (b) — the five fn_* keys back IN, the
-#        five streaming keys back out to their natural rows-only
-#        positions, restoring the all-hashable 50-key window.
+#   r11 (EXECUTED, round-10 verdict ask #3): reverse swap (b) — the five
+#        fn_* keys back IN (driver-hash-green in ALL of r01-r09), the
+#        five streaming keys back OUT to their natural rows-only
+#        positions, restoring the all-hashable 50-key window.  What the
+#        r10 rotation actually yielded (per ADVICE r10): the driver
+#        records ``spark_rows`` with ``err: "no_oracle"`` for
+#        oracle-less keys — NOT ``rows_match=true`` — so the streaming
+#        keys now hold driver-executed row counts (spark_rows evidence),
+#        with hash-level correctness still living in their batch twins.
 # If the driver's window size or selection policy ever differs,
 # ``tools/check.py --strict`` still verifies ALL registered hashable keys
 # locally regardless of position — that local sweep, not this ordering,
@@ -149,31 +155,29 @@ CONTRACT_ORDER: list[str] = [
     "text_sentiment_lexicon",# L7
     "text_stats",            # L8
     "multimodal_norm",       # L9
-    # --- positions 46-50: STREAMING EVIDENCE ROTATION (r10 only) ---
-    # §2 rows-only keys, never driver-graded before; the driver records
-    # the weaker rows_match check for these five this round.  Hash-level
-    # evidence lives in their batch twins (events_tumbling /
-    # events_session_batch etc.), which stay hash-graded in this window.
-    "stream_tumbling",       # ST1  (rows-only; batch twin hash-green)
-    "stream_session",        # ST3  (rows-only; batch twin hash-green)
-    "stream_dedup",          # ST5  (rows-only)
-    "stream_stateful",       # ST6  (rows-only; equals-batch-totals pytest)
-    "join_stream_static",    # J11  (rows-only)
-    # --- positions 51-60: hashable contract rows parked in r10 ---
-    # (five rotated out in r10 swap (a), green r01+r03+r08+r09; five
-    # parked for the streaming rotation (b), green in ALL of r01-r09;
-    # every one still in check.py --strict each round)
-    "join_cross",            # J7  (r01+r03+r05+r08+r09 pass)
-    "sort_multicol",         # O1  (r01+r03+r05+r08+r09 pass)
-    "setop_union",           # O3  (r01+r03+r05+r08+r09 pass)
-    "setop_intersect",       # O4  (r01+r03+r05+r08+r09 pass)
-    "setop_except",          # O5  (r01+r03+r05+r08+r09 pass)
+    # --- positions 46-50: fn_* rows restored by the r11 reverse swap ---
+    # (driver-hash-green in ALL NINE rounds r01-r09, refreshed r11)
     "fn_string",             # F1  (r01-r09 pass, 9/9 rounds)
     "fn_datetime",           # F3  (r01-r09 pass, 9/9 rounds)
     "fn_math",               # F4  (r01-r09 pass, 9/9 rounds)
     "fn_conditional",        # F5  (r01-r09 pass, 9/9 rounds)
     "fn_array",              # F6  (r01-r09 pass, 9/9 rounds)
+    # --- positions 51-60: hashable contract rows parked in r11 ---
+    # (rotated out in r10 swap (a), green r01+r03+r08+r09; every one
+    # still in check.py --strict each round)
+    "join_cross",            # J7  (r01+r03+r05+r08+r09 pass)
+    "sort_multicol",         # O1  (r01+r03+r05+r08+r09 pass)
+    "setop_union",           # O3  (r01+r03+r05+r08+r09 pass)
+    "setop_intersect",       # O4  (r01+r03+r05+r08+r09 pass)
+    "setop_except",          # O5  (r01+r03+r05+r08+r09 pass)
     # --- remaining SURVEY §2 rows-only rows (no faithful ANSI oracle) ---
+    # (the five streaming keys now carry driver spark_rows evidence from
+    # their r10 tour through the graded window)
+    "stream_tumbling",       # ST1  (r10 driver rows; batch twin hash-green)
+    "stream_session",        # ST3  (r10 driver rows; batch twin hash-green)
+    "stream_dedup",          # ST5  (r10 driver rows; doubled-feed pytest)
+    "stream_stateful",       # ST6  (r10 driver rows; equals-batch pytest)
+    "join_stream_static",    # J11  (r10 driver rows)
     "source_stream_file",    # S4
     "sink_jdbc_batch",       # S5
     "agg_approx_distinct",   # A5
@@ -182,16 +186,14 @@ CONTRACT_ORDER: list[str] = [
     "dedup_minhash_lsh",     # L3
 ]
 
-# The r10 window deliberately contains these rows-only keys (swap (b)
-# above).  tests/test_registry_order.py allows exactly this set inside
-# the graded window; anything else rows-only in positions 1-50 is a bug.
-WINDOW_ROWS_ONLY_KEYS: frozenset[str] = frozenset({
-    "stream_tumbling",
-    "stream_session",
-    "stream_dedup",
-    "stream_stateful",
-    "join_stream_static",
-})
+# Rows-only keys deliberately placed inside the graded 50-key window
+# this round.  EMPTY since the r11 reverse swap — the r10 streaming
+# evidence rotation was a one-round carve-out (its yield: driver
+# spark_rows counts, recorded in CORRECTNESS_r10.json).  Any future
+# rotation must both name its keys here AND bump ROTATION_ROUND so the
+# expiry test can tell a planned carve-out from a forgotten one.
+ROTATION_ROUND: int = 11
+WINDOW_ROWS_ONLY_KEYS: frozenset[str] = frozenset()
 
 
 def ordered_queries() -> tuple[dict[str, Callable], dict[str, str]]:
