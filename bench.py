@@ -1,8 +1,19 @@
 """Benchmark runner — BASELINE.md headline workload.
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+local[$SPARK_GRAFT_CPUS] and prints ONE COMPACT JSON line as the final
+stdout line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "calibration": ..., "calibration2": ..., "calibrated_total": ...}
+
+ARTIFACT-SIZE CONTRACT (round-10 incident): the driver captures only the
+TAIL of stdout (~2000 chars), so the final line must stay well under
+that or the artifact records ``parsed: null`` — which is exactly what
+round 10's verbose single-line output caused (and round 4 before it).
+Everything verbose — per-run samples, methodology, per-query calibrated
+values, the vs-prior comparison — goes to ``BENCH_DETAIL.json`` next to
+this script (and stderr), never the stdout line.
+``tests/test_bench_artifact.py`` asserts the compact line's size.
 
 Timing methodology (self-normalizing since round 8):
 - per query: one untimed warm-up execution (plans + JIT warm, matching
@@ -16,8 +27,14 @@ Timing methodology (self-normalizing since round 8):
   rebench of the prior commit disproved it) show up directly in this
   number, so cross-round BENCH_r*.json comparisons can divide it out
   instead of requiring forensics.
-- ``runs``: the raw per-query samples, so the artifact itself shows
-  run-to-run spread.
+- ``calibration2`` (round-10 verdict ask #6): a SECOND probe shaped
+  like the real queries — 1M-row join + window-top-k + groupBy — at
+  roughly headline-query duration.  The r10 round showed the single
+  64M-row probe is non-linear vs 50-270 ms queries (different
+  memory/JIT/IO sensitivity): an unchanged-code round read as a
+  uniform ~1.4x calibrated "regression".  Two probes with different
+  shapes bracket host drift; a calibrated ratio only indicts code when
+  it moves against BOTH.
 """
 
 from __future__ import annotations
@@ -43,26 +60,64 @@ HEADLINE = {
     "events_sessionize": "events_sessionize",
     "events_tumbling": "events_tumbling",
     "json_extract": "fn_map_json",
-    # LLM-pipeline headliners (added r10): the two operators whose perf
-    # matters most at 100 TB — banded MinHash near-dup over documents and
-    # the partition-pruned IVF ANN probe over embeddings.  The warm-up run
-    # absorbs the one-time IVF index build (amortized at scale); timed
-    # runs measure the steady-state probe/banding path.
-    "dedup_minhash_lsh": "dedup_minhash_lsh",
+    # LLM-pipeline headliners: the two operators whose perf matters most
+    # at 100 TB.  dedup_minhash_verdicts is the PRODUCTION near-dup form
+    # (exact-collapse → LSH on unique reps → components → one verdict
+    # row per doc, output LINEAR in corpus size); it replaced the
+    # r10-benched pair-list dedup_minhash_lsh, whose output is quadratic
+    # on clone-heavy corpora (round-10 verdict ask #2 — the pair list is
+    # the documented scale-killer, kept only as small-N oracle ground
+    # truth).  The warm-up run absorbs one-time index builds (amortized
+    # at scale); timed runs measure the steady-state path.
+    "dedup_minhash_verdicts": "dedup_minhash_verdicts",
     "sim_ann_ivf": "sim_ann_ivf",
 }
 
 N_RUNS = 3
 
+# Keys whose operator materializes work EAGERLY at query-construction
+# time (dedup_minhash_verdicts runs its component fixpoint loop with
+# eager localCheckpoints while building the plan): timing only the
+# collect() of a pre-built DataFrame would measure a cached re-read
+# (~0.06 s for a 36 s pipeline).  These keys rebuild the DataFrame
+# inside every timed run.  sim_ann_ivf is NOT here by design: its index
+# build is a one-time persisted artifact (amortized at scale); the
+# steady-state probe is the production path being measured.
+REBUILD_KEYS = {"dedup_minhash_verdicts"}
+
+# Adaptive run count: a key whose first timed run exceeds this many
+# seconds reports that single sample instead of a median of 3 — at that
+# duration run-to-run spread is <1% (measured: 36.1/36.5/36.1 s) and
+# two more runs would only burn the round's bench budget.
+HEAVY_CUTOFF_SEC = 5.0
+
+# stdout tail budget: the driver keeps ~2000 chars; leave headroom
+MAX_COMPACT_LINE = 1500
+
+# keys allowed on the compact stdout line — everything else is detail
+COMPACT_KEYS = (
+    "metric",
+    "value",
+    "unit",
+    "queries",
+    "sf",
+    "calibration",
+    "calibration2",
+    "calibrated_total",
+)
+
 
 def _timed_runs(action) -> tuple[float, list[float]]:
-    """(median, samples) of N_RUNS executions, after one warm-up."""
+    """(median, samples) after one warm-up: N_RUNS executions, or a
+    single one if the first already exceeds HEAVY_CUTOFF_SEC."""
     action()
     samples = []
     for _ in range(N_RUNS):
         t0 = time.time()
         action()
         samples.append(round(time.time() - t0, 3))
+        if samples[0] >= HEAVY_CUTOFF_SEC:
+            break
     return round(statistics.median(samples), 3), samples
 
 
@@ -85,6 +140,42 @@ def _calibration(spark) -> float:
     return med
 
 
+def _calibration_joinwin(spark) -> float:
+    """Second, QUERY-SHAPED host probe (round-10 verdict ask #6): 1M-row
+    fact joined to a 50k-row dim, per-group window top-100, then a
+    7-group aggregate — the join/exchange/window/agg mix of the real
+    headliners at roughly their duration, still 100% code-independent."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    def run():
+        fact = spark.range(0, 1_000_000, 1, 32).withColumn(
+            "k", F.col("id") % 50_000
+        )
+        dim = spark.range(0, 50_000).select(
+            F.col("id").alias("k2"), (F.col("id") % 7).alias("lbl")
+        )
+        w = Window.partitionBy("lbl").orderBy(F.col("id").desc())
+        (
+            fact.join(dim, F.col("k") == F.col("k2"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 100)
+            .groupBy("lbl")
+            .agg(F.sum("id").alias("s"))
+            .collect()
+        )
+
+    med, _ = _timed_runs(run)
+    return med
+
+
+def split_artifact(full: dict) -> tuple[dict, dict]:
+    """(compact, detail): compact is the driver-facing stdout line —
+    ONLY the COMPACT_KEYS — detail is everything, for the sidecar."""
+    compact = {k: full[k] for k in COMPACT_KEYS if k in full}
+    return compact, full
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -97,21 +188,28 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     calibration = _calibration(spark)
+    calibration2 = _calibration_joinwin(spark)
 
     times: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     for name, key in HEADLINE.items():
-        df = tweetdb_spark.QUERIES[key](spark, sf_dir)
-        times[name], runs[name] = _timed_runs(df.collect)
+        if key in REBUILD_KEYS:
+            q = tweetdb_spark.QUERIES[key]
+            action = lambda q=q: q(spark, sf_dir).collect()  # noqa: E731
+        else:
+            df = tweetdb_spark.QUERIES[key](spark, sf_dir)
+            action = df.collect
+        times[name], runs[name] = _timed_runs(action)
 
     total = round(sum(times.values()), 3)
-    out = {
+    full = {
         "metric": "headline_warm_total",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calibration": calibration,
+        "calibration2": calibration2,
         # host-speed-normalized total: divide out the probe so
         # cross-round comparisons self-adjudicate (r7 incident)
         "calibrated_total": round(total / calibration, 3) if calibration else None,
@@ -123,27 +221,43 @@ def main() -> None:
         } if calibration else None,
         "runs": runs,
         "methodology": "median of 3 warm runs per query; "
-        "calibration = fixed 64M-row groupBy probe (host-speed "
-        "normalizer, code-independent); calibrated_total = "
-        "value / calibration; calibrated_queries = per-query "
-        "time / calibration; vs_prior compares against the newest "
+        "calibration = fixed 64M-row groupBy probe, calibration2 = "
+        "fixed 1M-row join+window+agg probe (host-speed normalizers, "
+        "code-independent; a calibrated ratio indicts code only when "
+        "it moves against BOTH probes); calibrated_total = "
+        "value / calibration; vs_prior compares against the newest "
         "BENCH_r*.json present on raw and calibrated axes, per-query "
-        "and over the intersection of query sets (comparable_total)",
+        "and over the intersection of query sets (comparable_total); "
+        "stdout carries ONLY the compact line (driver tail capture is "
+        "~2000 chars) — this full object lives in BENCH_DETAIL.json",
     }
-    out["vs_prior"] = _vs_prior(times, calibration)
-    print(json.dumps(out))
+    full["vs_prior"] = _vs_prior(times, calibration)
+
+    compact, detail = split_artifact(full)
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(json.dumps(detail), file=sys.stderr)
+    line = json.dumps(compact)
+    assert len(line) <= MAX_COMPACT_LINE, (
+        f"compact bench line {len(line)} chars > {MAX_COMPACT_LINE} — "
+        "would overflow the driver's stdout tail capture (r04/r10 "
+        "incidents); move fields to BENCH_DETAIL.json"
+    )
+    print(line)
 
 
 def _vs_prior(times: dict[str, float], calibration: float):
     """Round-over-round comparison against the newest BENCH_r*.json
-    present in the repo root, inline in the artifact so regressions (or
+    present in the repo root, in the DETAIL artifact so regressions (or
     host-speed swings dressed as regressions) adjudicate themselves.
 
-    Because the headline set can grow between rounds (r10 added the two
-    LLM keys), totals are compared over the INTERSECTION of query names
-    (``comparable_total``); per-query ratios are emitted for every shared
-    key on both raw and calibrated axes.
-    """
+    Because the headline set can change between rounds (r10 added two
+    LLM keys; r11 swapped one), totals are compared over the
+    INTERSECTION of query names (``comparable_total``); ``raw_ratio``
+    is reported ONLY when the two query sets are identical — a
+    grown/shrunk set makes the raw total ratio meaningless and it used
+    to read as a fake ~11x regression (round-10 ADVICE)."""
     import glob
     import re
 
@@ -172,15 +286,24 @@ def _vs_prior(times: dict[str, float], calibration: float):
     # driver artifacts wrap this script's JSON line under "parsed"
     if "parsed" in prior and isinstance(prior["parsed"], dict):
         prior = prior["parsed"]
+    if not isinstance(prior, dict) or prior.get("queries") is None:
+        # r10-style truncated artifact: no usable prior numbers
+        return {"prior": os.path.basename(path), "error": "prior unparsed"}
     total = round(sum(times.values()), 3)
+    p_times = prior.get("queries") or {}
+    same_set = set(times) == set(p_times)
     cmp = {
         "prior": os.path.basename(path),
         "prior_value": prior.get("value"),
         "prior_sf": prior.get("sf"),
-        "raw_ratio": round(total / prior["value"], 3) if prior.get("value") else None,
+        # only meaningful when the query sets match exactly
+        "raw_ratio": (
+            round(total / prior["value"], 3)
+            if same_set and prior.get("value")
+            else None
+        ),
     }
     p_cal = prior.get("calibration")
-    p_times = prior.get("queries") or {}
     shared = [n for n in times if n in p_times and p_times[n]]
     if shared:
         comp = round(sum(times[n] for n in shared), 3)
@@ -192,8 +315,8 @@ def _vs_prior(times: dict[str, float], calibration: float):
             n: round(times[n] / p_times[n], 3) for n in shared
         }
         if p_cal and calibration:
-            # host-normalized per-query ratios: >1 here is a CODE
-            # regression, not a slow host
+            # host-normalized per-query ratios: >1 here on BOTH probes
+            # is a CODE regression, not a slow host
             cmp["calibrated_query_ratios"] = {
                 n: round((times[n] / calibration) / (p_times[n] / p_cal), 3)
                 for n in shared
@@ -201,7 +324,7 @@ def _vs_prior(times: dict[str, float], calibration: float):
             cmp["calibrated_comparable_ratio"] = round(
                 (comp / calibration) / (p_comp / p_cal), 3
             )
-    if p_cal and prior.get("value") and calibration:
+    if same_set and p_cal and prior.get("value") and calibration:
         cmp["prior_calibrated_total"] = round(prior["value"] / p_cal, 3)
         cmp["calibrated_ratio"] = round(
             (total / calibration) / (prior["value"] / p_cal), 3

@@ -82,3 +82,20 @@ def test_special_chars_in_field_names(spark):
     out = flatten_structs(df)
     assert out.columns == ["s.dotted_odd name"]
     assert out.collect()[0][0] == 5
+
+
+def test_backtick_in_field_names_escaped(spark):
+    """A field (or column) literally containing a backtick must flatten
+    without a parse error — Spark's quoted-identifier grammar escapes an
+    embedded backtick by doubling it (round-10 verdict ask #7)."""
+    df = spark.range(2).select(
+        F.col("id").alias("plain`tick"),
+        F.struct(
+            (F.col("id") + 1).alias("a`b"),
+            F.lit("v").alias("ok"),
+        ).alias("s`t"),
+    )
+    out = flatten_structs(df)
+    assert out.columns == ["plain`tick", "s`t_a`b", "s`t_ok"]
+    rows = sorted(out.collect(), key=lambda r: r[0])
+    assert rows[1][0] == 1 and rows[1][1] == 2 and rows[1][2] == "v"

@@ -174,12 +174,26 @@ def ladder(keys: list[str]) -> int:
     if not keys:
         print("usage: check.py --ladder key [key ...]")
         return 2
-    dirs = [d for d in (
-        "/root/testdata/sf0.001",
-        "/root/testdata/sf0.01",
-        "/root/testdata/sf0.1",
-        "/tmp/tweetdb_sf1",
-    ) if os.path.isdir(d)]
+    # LADDER_DIRS (colon-separated) overrides the default rungs — used
+    # by tests and for ad-hoc extra scale points
+    rungs = (
+        os.environ["LADDER_DIRS"].split(":")
+        if os.environ.get("LADDER_DIRS")
+        else [
+            "/root/testdata/sf0.001",
+            "/root/testdata/sf0.01",
+            "/root/testdata/sf0.1",
+            "/tmp/tweetdb_sf1",
+            "/tmp/tweetdb_sf3",
+        ]
+    )
+    dirs = [d for d in rungs if os.path.isdir(d)]
+    if not dirs:
+        # zero scale points means zero checks ran — that must not read
+        # as a pass (round-10 verdict: a misconfigured environment was
+        # able to sail through the commit gate having verified nothing)
+        print("ladder: NO fixture dirs found — nothing was checked", file=sys.stderr)
+        return 2
     rc = 0
     for d in dirs:
         print(f"=== {d} ===", flush=True)

@@ -21,6 +21,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
+def _quote(part: str) -> str:
+    """Backquote one identifier path segment; embedded backticks are
+    escaped by doubling, per Spark's quoted-identifier grammar — a field
+    literally named ``a`b`` must not truncate (or break) the parse."""
+    return "`" + part.replace("`", "``") + "`"
+
+
 def _leaves(prefix: list[str], dtype, sep: str) -> list[tuple[Column, str]]:
     if isinstance(dtype, StructType):
         out: list[tuple[Column, str]] = []
@@ -28,7 +35,7 @@ def _leaves(prefix: list[str], dtype, sep: str) -> list[tuple[Column, str]]:
             out.extend(_leaves(prefix + [f.name], f.dataType, sep))
         return out
     name = sep.join(prefix)
-    return [(F.col(".".join(f"`{p}`" for p in prefix)).alias(name), name)]
+    return [(F.col(".".join(_quote(p) for p in prefix)).alias(name), name)]
 
 
 def flatten_structs(df: DataFrame, sep: str = "_") -> DataFrame:
@@ -47,7 +54,7 @@ def flatten_structs(df: DataFrame, sep: str = "_") -> DataFrame:
         if isinstance(f.dataType, StructType):
             pairs.extend(_leaves([f.name], f.dataType, sep))
         else:
-            pairs.append((F.col(f"`{f.name}`"), f.name))
+            pairs.append((F.col(_quote(f.name)), f.name))
     names = [n for _, n in pairs]
     dupes = {n for n in names if names.count(n) > 1}
     if dupes:

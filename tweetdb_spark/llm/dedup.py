@@ -1081,39 +1081,85 @@ def _mh_band_sql(engine: str, n_bands: int = _MH_BANDS) -> list[str]:
 
 
 def _banded_candidate_pairs(g_df, n_bands: int = _MH_BANDS):
-    """(doc_a, doc_b) pairs colliding in ≥1 minhash band.
+    """(doc_a, doc_b) pairs colliding in ≥1 minhash band — each pair
+    emitted EXACTLY ONCE, with no distinct().
 
     ``g_df`` is (doc_id, g: array<bigint>) with ids < 2³¹ (so the
     affine mixes never overflow a bigint under ANSI mode).  This is
     THE shuffle of every LSH tier: each doc contributes ``n_bands``
     short (j, v) keys — never a pair, never a signature matrix — and
-    candidates fall out of an equi-join on (j, v).  Output-bound at
-    any scale.
+    candidates fall out of an equi-join on (j, v).
+
+    Dedup-free banding (r11): a pair colliding in k bands used to be
+    emitted k times and collapsed by ``.distinct()`` — on a near-dup-
+    dense corpus that second shuffle dominated the whole tier (sf0.1:
+    42M raw collisions → 10.7M pairs; the distinct cost 24.7 s of the
+    band stage's 27 s).  Instead each banded row carries the doc's
+    full per-band signature array (n_bands short strings), and the
+    join keeps a collision only when NO EARLIER band also collides —
+    the standard first-collision-ownership rule: every colliding pair
+    is owned by exactly one band, so uniqueness holds by construction
+    and the only shuffle left is the (j, v) equi-join itself.  The
+    filter is a ≤n_bands string-compare loop inside codegen, map-side
+    after the join.  Output set is IDENTICAL to the distinct() form.
     """
+    bands = _mh_band_sql("spark", n_bands)
+    vcols = [f"v{i}" for i in range(n_bands)]
     banded = g_df.select(
+        "doc_id", *[F.expr(b).alias(c) for c, b in zip(vcols, bands)]
+    ).select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("j"), F.expr(b).alias("v"))
-                    for j, b in enumerate(_mh_band_sql("spark", n_bands))
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.j", "band.v")
+        *vcols,
+        F.posexplode(F.array(*[F.col(c) for c in vcols])).alias("j", "v"),
+    )
+    # Pin the join's partition count: the (j, v) exchange input is tiny
+    # (n_bands rows/doc) so AQE coalesces it to a handful of partitions
+    # — but the join OUTPUT is the collision blow-up, and with the
+    # distinct() gone there is no later exchange to restore parallelism.
+    # An explicit numbered repartition is exempt from AQE coalescing,
+    # and the self-join reuses it on both sides.  (Parallelism inside
+    # ONE band bucket is still bounded by the bucket — a dense template
+    # cluster colliding in all n_bands bands caps the stage at ~n_bands
+    # useful tasks whatever the partition count; that bound is inherent
+    # to bucket-local pair enumeration.)
+    n_part = int(
+        g_df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    banded = banded.repartition(n_part, "j", "v")
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    # first-collision ownership: drop the match unless NO earlier band
+    # i < j also collides.  Expressed as a flat boolean OR-chain over
+    # the scalar band columns — zero per-row allocations (an earlier
+    # slice/zip_with/exists form allocated 3 arrays per matched row,
+    # which at 42M matches cost more than the distinct() it replaced).
+    earlier_collision = F.lit(False)
+    for i in range(n_bands - 1):
+        earlier_collision = earlier_collision | (
+            (F.lit(i) < F.col("a.j"))
+            & (F.col(f"a.v{i}") == F.col(f"b.v{i}"))
+        )
+    pairs = (
         a.join(
             b,
             (F.col("a.j") == F.col("b.j"))
             & (F.col("a.v") == F.col("b.v"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .where(~earlier_collision)
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .distinct()
     )
+    # Re-balance before returning: pair production is bucket-local (a
+    # dense cluster's pairs all emerge from ~n_bands hot tasks), and
+    # every consumer immediately does per-pair work that dwarfs a
+    # narrow 2-bigint shuffle — the exact-Jaccard verify joins token
+    # arrays onto each pair.  The old distinct() paid a 4x-wider
+    # exchange + hash-agg for this balancing as a side effect; an
+    # explicit round-robin repartition keeps the balance at ~1/10 the
+    # cost.  (sf0.1: candidates 26.7 s -> 3.9 s, verify stage evenly
+    # spread across all cores again.)
+    return pairs.repartition(n_part)
 
 
 def _mh_oracle() -> str:

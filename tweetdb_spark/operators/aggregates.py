@@ -1300,18 +1300,45 @@ def agg_multi_distinct_decomposed(spark, t):
         F.count("*").alias("n_events"),
         F.sum("cents").alias("sum_cents"),
     )
+    # COUNT(DISTINCT x) excludes NULLs; a bare count("*") after
+    # .distinct() would count a NULL x as one extra distinct value per
+    # group.  Fixture-invisible today (user_id/ts are non-null), but the
+    # decomposition must match the oracle's NULL semantics by
+    # construction, not by fixture luck (round-10 verdict ask #7).
     du = (
-        ev.select("event_type", "user_id")
+        ev.where(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
         .distinct()
         .groupBy("event_type")
         .agg(F.count("*").alias("distinct_users"))
     )
     dd = (
-        ev.select("event_type", "day")
+        ev.where(F.col("day").isNotNull())
+        .select("event_type", "day")
         .distinct()
         .groupBy("event_type")
         .agg(F.count("*").alias("distinct_days"))
     )
-    return plain.join(du, "event_type").join(dd, "event_type").select(
-        "event_type", "distinct_users", "distinct_days", "n_events", "sum_cents"
+    # Left joins + coalesce: a group whose user_ids (or days) are ALL
+    # NULL has no du/dd row, but the oracle still reports it with a
+    # distinct count of 0 — an inner join would drop the group.  The
+    # join is null-safe (<=>) because GROUP BY keeps a NULL group in
+    # both engines and plain `=` would strand it; eqNullSafe on an
+    # equi-key stays hash-join-able, so the broadcast plan is unchanged.
+    du = du.withColumnRenamed("event_type", "et_u")
+    dd = dd.withColumnRenamed("event_type", "et_d")
+    return (
+        plain.join(du, F.col("event_type").eqNullSafe(F.col("et_u")), "left")
+        .join(dd, F.col("event_type").eqNullSafe(F.col("et_d")), "left")
+        .select(
+            "event_type",
+            F.coalesce("distinct_users", F.lit(0).cast("bigint")).alias(
+                "distinct_users"
+            ),
+            F.coalesce("distinct_days", F.lit(0).cast("bigint")).alias(
+                "distinct_days"
+            ),
+            "n_events",
+            "sum_cents",
+        )
     )

@@ -856,7 +856,8 @@ def events_pattern_detect(spark, t):
     )
     SELECT event_type || '>' || nxt1 || '>' || nxt2 AS path,
            CAST(COUNT(*) AS BIGINT) AS n
-    FROM s WHERE nxt1 IS NOT NULL AND nxt2 IS NOT NULL
+    FROM s WHERE event_type IS NOT NULL
+       AND nxt1 IS NOT NULL AND nxt2 IS NOT NULL
     GROUP BY 1
     ORDER BY n DESC, path
     LIMIT 20
@@ -879,6 +880,15 @@ def events_top_paths(spark, t):
     data-sized exchange is the user partition, which every sessionize/
     funnel/retention key in this module already pays.
     """
+    # NULL guard AFTER the window, on all three path segments, mirrored
+    # in the oracle's WHERE: a NULL event_type would make the oracle's
+    # `||` produce a NULL path while concat_ws silently skips the NULL
+    # segment ("a>b" from a 3-gram) — fixture-invisible today,
+    # semantics-divergent by construction (round-10 verdict ask #7).
+    # The guard is post-window so a NULL event BREAKS the journey (its
+    # neighbors' 3-grams drop) rather than splicing its neighbors
+    # together; the window still sees every event, identically in both
+    # engines.
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     s = t["events"].select(
         "event_type",
@@ -886,7 +896,11 @@ def events_top_paths(spark, t):
         F.lead("event_type", 2).over(w).alias("nxt2"),
     )
     return (
-        s.where(F.col("nxt1").isNotNull() & F.col("nxt2").isNotNull())
+        s.where(
+            F.col("event_type").isNotNull()
+            & F.col("nxt1").isNotNull()
+            & F.col("nxt2").isNotNull()
+        )
         .select(
             F.concat_ws(">", "event_type", "nxt1", "nxt2").alias("path")
         )
