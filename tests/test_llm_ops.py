@@ -1087,3 +1087,65 @@ def test_entropy_separates_planted_extremes(spark):
     assert out[0].bits_per_char == 0.0 and out[0].low_entropy
     assert out[1].bits_per_char == 6.0 and not out[1].low_entropy
     assert out[2].bits_per_char == 0.0 and out[2].low_entropy
+
+
+def test_banded_candidates_exactly_once_vs_multiband_distinct(spark):
+    """The r11 dedup-free banding (first-collision ownership) must emit
+    each colliding pair EXACTLY once and match the distinct() of the
+    naive emit-per-band form — on a corpus built to collide in multiple
+    bands (identical docs collide in ALL 8; near-identical in several)."""
+    from pyspark.sql import functions as F
+
+    from tweetdb_spark.llm.dedup import _banded_candidate_pairs, _mh_band_sql
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (1, base),
+        (2, base),                          # identical → all 8 bands collide
+        (3, base + " extra"),               # near-identical → several bands
+        (4, base.replace("alpha", "omega")),
+        (5, "totally different words here nothing shared at all xyzzy"),
+        (6, base),                          # 3-clique of identicals
+    ]
+    g = (
+        spark.createDataFrame(docs, "doc_id long, text string")
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(array_distinct(split(text, ' ')),"
+                " w -> xxhash64(w) & 2147483647)"
+            ).alias("g"),
+        )
+    )
+    got = [(r.doc_a, r.doc_b) for r in _banded_candidate_pairs(g, n_bands=8).collect()]
+    assert len(got) == len(set(got)), "a pair was emitted by more than one band"
+
+    # reference: naive per-band emission + distinct
+    bands = _mh_band_sql("spark", 8)
+    banded = g.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), F.expr(b).alias("v"))
+                    for j, b in enumerate(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.j", "band.v")
+    a, b = banded.alias("a"), banded.alias("b")
+    ref = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .collect()
+    }
+    assert set(got) == ref
+    # the identical trio must be fully connected candidates
+    assert {(1, 2), (1, 6), (2, 6)} <= ref

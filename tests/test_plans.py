@@ -449,3 +449,16 @@ def test_events_top_paths_single_window_and_takeordered(q):
     plan = _plan(q("events_top_paths"))
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ann_ivf_pq_batch_query_prep_is_distributed(q):
+    """r11 (round-10 verdict ask #5): the batch PQ probe must derive
+    per-query LUTs/probe cells in an Arrow-batched pandas UDF over the
+    query DataFrame — query vectors never collect to the driver — while
+    keeping the codes read partition-pruned to the probed cells."""
+    plan = _plan(q("sim_ann_ivf_pq_batch"))
+    assert "ArrowEvalPython" in plan, plan  # the _qprep pandas UDF
+    frags = [
+        seg.splitlines()[0] for seg in plan.split("PartitionFilters:")[1:]
+    ]
+    assert any("cell#" in f for f in frags), plan

@@ -2,10 +2,11 @@
 
 Usage:  python tools/bench_scale.py [sf_dir] [key ...]
 
-Prints one JSON line {key: sec, ...} — single-execution wall clock
-(unlike bench.py's warm-run methodology: several ladder ops cost
-minutes, so a second run would double an already-long sweep; the
-sf0.1-vs-sf1 RATIO is what SCALE.md cares about and it is unaffected).
+Prints one JSON line {key: sec, ...} — wall clock of ONE warm
+construction + count after ONE untimed warm-up construction (r11: the
+warm-up absorbs one-time index builds and JIT; the timed run rebuilds
+the DataFrame so eagerly-materializing operators are timed honestly;
+the sf0.1-vs-sf1 RATIO is what SCALE.md cares about).
 Default key set is the LLM-pipeline scale ladder — the operators whose
 100 TB viability SCALE.md claims; their quadratic ground-truth twins
 are deliberately excluded (size-guarded, and O(n²) would dwarf the
@@ -104,9 +105,16 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for key in keys:
-        df = tweetdb_spark.QUERIES[key](spark, sf_dir)
+        # warm construction first (builds any one-time persisted index,
+        # warms scans/JIT), then time a FULL reconstruction + count: a
+        # few operators materialize work eagerly while BUILDING the
+        # DataFrame (dedup_minhash_verdicts runs its component-fixpoint
+        # loop with eager localCheckpoints), so timing only count() on
+        # a pre-built frame reads a 25 s pipeline as 1.3 s (r11 catch —
+        # same blind spot bench.py had).
+        tweetdb_spark.QUERIES[key](spark, sf_dir).count()
         t0 = time.time()
-        n = df.count()
+        n = tweetdb_spark.QUERIES[key](spark, sf_dir).count()
         times[key] = round(time.time() - t0, 2)
         print(f"  {key}: {times[key]}s ({n} rows)", file=sys.stderr)
 

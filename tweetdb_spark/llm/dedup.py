@@ -1155,11 +1155,16 @@ def _banded_candidate_pairs(g_df, n_bands: int = _MH_BANDS):
     # every consumer immediately does per-pair work that dwarfs a
     # narrow 2-bigint shuffle — the exact-Jaccard verify joins token
     # arrays onto each pair.  The old distinct() paid a 4x-wider
-    # exchange + hash-agg for this balancing as a side effect; an
-    # explicit round-robin repartition keeps the balance at ~1/10 the
-    # cost.  (sf0.1: candidates 26.7 s -> 3.9 s, verify stage evenly
-    # spread across all cores again.)
-    return pairs.repartition(n_part)
+    # exchange + hash-agg for this balancing as a side effect.  The
+    # rebalance key is doc_a, NOT round-robin: every consumer's first
+    # move is a join on doc_a, so a doc_a hash exchange satisfies that
+    # join's distribution requirement and the shuffle is paid ONCE
+    # (sf1 A/B on the banded tier, candidates + verify end-to-end:
+    # doc_a-keyed 64 s, old distinct() 70 s, round-robin 97 s — the
+    # extra exchange — and no rebalance at all 488 s, skew-bound).
+    # Within a dense clique doc_a spreads across all members (the
+    # smaller id of each pair), so the key is balanced enough.
+    return pairs.repartition(n_part, "doc_a")
 
 
 def _mh_oracle() -> str:
