@@ -239,11 +239,22 @@ def main() -> None:
         json.dump(detail, fh, indent=1)
     print(json.dumps(detail), file=sys.stderr)
     line = json.dumps(compact)
-    assert len(line) <= MAX_COMPACT_LINE, (
-        f"compact bench line {len(line)} chars > {MAX_COMPACT_LINE} — "
-        "would overflow the driver's stdout tail capture (r04/r10 "
-        "incidents); move fields to BENCH_DETAIL.json"
-    )
+    if len(line) > MAX_COMPACT_LINE:
+        # Never ship an overflowing line (the r04/r10 parsed-null class)
+        # and never crash with no artifact either: degrade to the
+        # minimal driver-required core.  tests/test_bench_artifact.py
+        # keeps this branch unreachable for the committed HEADLINE set.
+        print(
+            f"bench: compact line {len(line)} chars > {MAX_COMPACT_LINE};"
+            " emitting minimal core (full object in BENCH_DETAIL.json)",
+            file=sys.stderr,
+        )
+        minimal = {
+            k: compact[k]
+            for k in ("metric", "value", "unit", "sf", "calibration")
+            if k in compact
+        }
+        line = json.dumps(minimal)
     print(line)
 
 

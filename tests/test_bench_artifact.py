@@ -102,3 +102,23 @@ def test_vs_prior_suppresses_raw_ratio_on_query_set_change():
     assert cmp["raw_ratio"] is None
     assert cmp["comparable_ratio"] == 1.0
     assert set(cmp["query_ratios"]) == {"a", "b"}
+
+
+def test_overflow_fallback_emits_minimal_parseable_line(capsys, monkeypatch):
+    """If the compact line somehow outgrows the budget at driver time,
+    bench must still print a parseable line with metric+value (the
+    minimal core), never crash artifact-less or ship a truncatable one."""
+    monkeypatch.setattr(bench, "MAX_COMPACT_LINE", 10)  # force overflow
+    compact, _ = bench.split_artifact(_representative_full())
+    line = json.dumps(compact)
+    assert len(line) > bench.MAX_COMPACT_LINE
+    # exercise the fallback shaping directly
+    minimal = {
+        k: compact[k]
+        for k in ("metric", "value", "unit", "sf", "calibration")
+        if k in compact
+    }
+    out = json.dumps(minimal)
+    parsed = json.loads(out)
+    assert parsed["metric"] and parsed["value"] is not None
+    assert len(out) < 200
