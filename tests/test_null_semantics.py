@@ -54,6 +54,13 @@ NULL_EVENTS = [
     (15, _t(21), 21, "b", 1.0, None),
     (16, _t(22), 21, "c", 1.0, None),
     (17, _t(23), 21, "d", 1.0, None),
+    # user 22: NULL-ts event in a 4-step journey — Spark sorts NULLs
+    # FIRST ascending, DuckDB defaults them LAST; the oracle pins
+    # NULLS FIRST so both engines read the journey x>y>z>w
+    (18, None, 22, "x", 1.0, None),
+    (19, _t(30), 22, "y", 1.0, None),
+    (20, _t(31), 22, "z", 1.0, None),
+    (21, _t(32), 22, "w", 1.0, None),
 ]
 
 
@@ -126,5 +133,14 @@ def test_events_top_paths_null_parity(null_events, spark):
     # crucially no second "a>b>c" from skipping the NULL.  The NULL
     # *user* partition (events 2, 5, 6 — both engines group NULL
     # user_ids into one window partition) yields click>ghost>ghost.
-    assert paths == {"a>b>c", "b>c>d", "click>ghost>ghost"}
+    assert paths == {
+        "a>b>c",
+        "b>c>d",
+        "click>ghost>ghost",
+        # user 22: the NULL-ts event sorts FIRST in both engines (the
+        # oracle pins NULLS FIRST to match Spark's ascending default),
+        # so the journey is x>y>z>w
+        "x>y>z",
+        "y>z>w",
+    }
     assert all(r[1] == 1 for r in rows)

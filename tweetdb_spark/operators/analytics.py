@@ -413,10 +413,10 @@ def fn_levenshtein_blocked(spark, t):
     "scd2_build",
     oracle="""
     SELECT user_id, event_type AS state, ts AS valid_from,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
              AS valid_to,
            CASE WHEN lead(ts) OVER (
-                  PARTITION BY user_id ORDER BY ts, event_id
+                  PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                 ) IS NULL THEN 1 ELSE 0 END AS is_current
     FROM events
     """,
@@ -1529,7 +1529,7 @@ def agg_regression(spark, t):
     oracle="""
     WITH dim AS (
       SELECT user_id, event_type AS state, ts AS valid_from,
-             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
                AS valid_to
       FROM events WHERE event_type IN ('signup', 'error')
     ), facts AS (

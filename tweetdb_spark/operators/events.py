@@ -85,9 +85,9 @@ def events_sliding(spark, t):
     WITH gaps AS (
       SELECT user_id, ts, event_id,
              CASE WHEN epoch_us(ts) - epoch_us(
-                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id))
                   > 1800 * 1000000
-                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
                      IS NULL
              THEN 1 ELSE 0 END AS new_session
       FROM events
@@ -97,7 +97,7 @@ def events_sliding(spark, t):
              -- pandas materializes as float64 (1.0 != Spark's bigint 1
              -- under the driver's dtype-sensitive hash, r01 fail)
              CAST(SUM(new_session) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
+               PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS BIGINT) AS session_no
       FROM gaps
@@ -618,7 +618,7 @@ def events_attribution(spark, t):
       SELECT event_id, user_id, ts,
              row_number() OVER (
                PARTITION BY user_id, date_trunc('hour', ts)
-               ORDER BY ts, event_id) AS rn
+               ORDER BY ts NULLS FIRST, event_id) AS rn
       FROM events
     )
     SELECT event_id, user_id,
@@ -792,7 +792,7 @@ def events_gap_islands(spark, t):
     oracle="""
     WITH j AS (
       SELECT user_id,
-             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts NULLS FIRST, event_id)
                AS journey
       FROM events GROUP BY user_id
     )
@@ -829,7 +829,7 @@ def events_pattern_detect(spark, t):
     j = t["events"].groupBy("user_id").agg(
         F.expr(
             "listagg(substring(event_type, 1, 1)) WITHIN GROUP "
-            "(ORDER BY ts, event_id)"
+            "(ORDER BY ts NULLS FIRST, event_id)"
         ).alias("journey")
     )
     return j.select(
@@ -852,7 +852,7 @@ def events_pattern_detect(spark, t):
              lead(event_type, 1) OVER w AS nxt1,
              lead(event_type, 2) OVER w AS nxt2
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
     )
     SELECT event_type || '>' || nxt1 || '>' || nxt2 AS path,
            CAST(COUNT(*) AS BIGINT) AS n
@@ -888,7 +888,11 @@ def events_top_paths(spark, t):
     # The guard is post-window so a NULL event BREAKS the journey (its
     # neighbors' 3-grams drop) rather than splicing its neighbors
     # together; the window still sees every event, identically in both
-    # engines.
+    # engines.  The oracle's ORDER BY adds NULLS FIRST because Spark's
+    # ascending sort defaults NULLs first while DuckDB defaults them
+    # last — a NULL ts would otherwise reorder a user's journey
+    # differently per engine (same latent class, locked by the NULL-
+    # fixture test).
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     s = t["events"].select(
         "event_type",

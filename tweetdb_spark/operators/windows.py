@@ -132,7 +132,7 @@ def win_rank_dense(spark, t):
            (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1000000.0 AS gap_sec,
            epoch_us(lead(ts) OVER w) - epoch_us(ts) AS lead_gap_us
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
     """,
 )
 def win_lag_lead(spark, t):
@@ -294,7 +294,7 @@ def win_distribution(spark, t):
     )
     SELECT event_id, user_id,
            quantile_cont(cents, 0.5) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
+             PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
            ) AS rolling_median_cents
     FROM cents
@@ -327,7 +327,7 @@ def win_rolling_quantile(spark, t):
             "rolling_median_cents",
             F.expr(
                 "percentile(cents, 0.5) OVER ("
-                "PARTITION BY user_id ORDER BY ts, event_id "
+                "PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id "
                 "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)"
             ),
         )
@@ -342,13 +342,13 @@ def win_rolling_quantile(spark, t):
       SELECT event_id, user_id, ts,
              CASE WHEN row_number() OVER (
                     PARTITION BY user_id, event_type
-                    ORDER BY ts, event_id) = 1
+                    ORDER BY ts NULLS FIRST, event_id) = 1
                   THEN 1 ELSE 0 END AS is_first
       FROM events WHERE user_id < 15
     )
     SELECT event_id, user_id,
            CAST(SUM(is_first) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
+             PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS BIGINT) AS distinct_types_to_date
     FROM marked
