@@ -179,3 +179,74 @@ def test_minhash_signature_spark_matches_python(spark):
             "-".join(str(m) for m in ref[j * 4 : (j + 1) * 4]) for j in range(4)
         ]
         assert got[s] == want, s
+
+
+def test_banded_first_collision_equals_distinct_on_random_corpora(spark):
+    """Property: the r11 dedup-free banding (first-collision ownership)
+    emits EXACTLY the distinct pair set of the emit-per-band reference,
+    each pair once — over randomized corpora engineered for heavy
+    multi-band collisions (clone groups + near-clones + noise docs).
+    A fixed-seed loop rather than @given: each example pays two Spark
+    jobs, and the randomness we need is corpus shape, not shrinking."""
+    from pyspark.sql import functions as F
+
+    from tweetdb_spark.llm.dedup import _banded_candidate_pairs, _mh_band_sql
+
+    rng = random.Random(20260815)
+    vocab = [f"tok{i}" for i in range(60)]
+    for trial in range(4):
+        docs = []
+        doc_id = 0
+        for group in range(rng.randint(2, 5)):
+            base = rng.sample(vocab, rng.randint(5, 15))
+            for member in range(rng.randint(1, 4)):
+                words = list(base)
+                for _ in range(rng.randint(0, 2)):  # near-clone mutations
+                    words[rng.randrange(len(words))] = rng.choice(vocab)
+                docs.append((doc_id, " ".join(words)))
+                doc_id += 1
+        for _ in range(rng.randint(1, 4)):  # noise docs
+            docs.append((doc_id, " ".join(rng.sample(vocab, 8))))
+            doc_id += 1
+        g = spark.createDataFrame(docs, "doc_id long, text string").select(
+            "doc_id",
+            F.expr(
+                "transform(array_distinct(split(text, ' ')),"
+                " w -> xxhash64(w) & 2147483647)"
+            ).alias("g"),
+        )
+        for n_bands in (4, 8):
+            got = [
+                (r.doc_a, r.doc_b)
+                for r in _banded_candidate_pairs(g, n_bands=n_bands).collect()
+            ]
+            assert len(got) == len(set(got)), (trial, n_bands, "duplicate pair")
+            bands = _mh_band_sql("spark", n_bands)
+            banded = g.select(
+                "doc_id",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(F.lit(j).alias("j"), F.expr(b).alias("v"))
+                            for j, b in enumerate(bands)
+                        ]
+                    )
+                ).alias("band"),
+            ).select("doc_id", "band.j", "band.v")
+            a, b = banded.alias("a"), banded.alias("b")
+            ref = {
+                (r.doc_a, r.doc_b)
+                for r in a.join(
+                    b,
+                    (F.col("a.j") == F.col("b.j"))
+                    & (F.col("a.v") == F.col("b.v"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")),
+                )
+                .select(
+                    F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                )
+                .distinct()
+                .collect()
+            }
+            assert set(got) == ref, (trial, n_bands)
