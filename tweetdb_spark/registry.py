@@ -103,6 +103,11 @@ def query(name: str, oracle: Optional[str] = None):
 #        oracle-less keys — NOT ``rows_match=true`` — so the streaming
 #        keys now hold driver-executed row counts (spark_rows evidence),
 #        with hash-level correctness still living in their batch twins.
+#   r12 (PLANNED, 2-round cadence): join_cross/sort_multicol/setop_union/
+#        setop_intersect/setop_except back IN (will be 2 rounds
+#        driver-stale after r11); scan_parquet/project_arith/filter_like/
+#        agg_global/topk_global OUT (green r01+r02+r06+r07+r10, and
+#        r11 pending).
 # If the driver's window size or selection policy ever differs,
 # ``tools/check.py --strict`` still verifies ALL registered hashable keys
 # locally regardless of position — that local sweep, not this ordering,
