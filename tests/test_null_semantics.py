@@ -144,3 +144,39 @@ def test_events_top_paths_null_parity(null_events, spark):
         "y>z>w",
     }
     assert all(r[1] == 1 for r in rows)
+
+
+def test_events_pattern_detect_null_parity(null_events, spark):
+    """A user whose event_types are ALL NULL has a NULL journey: Spark's
+    regexp_extract propagates NULL while the oracle's no-match COALESCE
+    used to turn it into '' (r11 NULL-survey catch)."""
+    from tweetdb_spark.operators.events import events_pattern_detect
+
+    rows = _parity("events_pattern_detect", events_pattern_detect, null_events, spark)
+    by_user = {r[0]: r for r in rows}
+    # user 12: both events have NULL event_type → NULL journey → every
+    # derived column NULL (including first_path)
+    assert by_user[12][1:] == (None, None, None, None)
+
+
+def test_events_sliding_null_ts_dropped(null_events, spark):
+    """Spark's window(ts, ...) generates NO window for a NULL event
+    time; the oracle's raw bucket arithmetic must not keep a NULL-window
+    group (r11 NULL-survey catch)."""
+    from tweetdb_spark.operators.events import events_sliding
+
+    rows = _parity("events_sliding", events_sliding, null_events, spark)
+    assert all(r[0] is not None for r in rows)
+
+
+def test_events_funnel_zero_signups_null_rates(null_events, spark):
+    """No signup events → n_signup = 0: rates must be NULL on both
+    engines (DuckDB x/0 is NULL; Spark needs try_divide — the plain `/`
+    crashed with ANSI DIVIDE_BY_ZERO, r11 NULL-survey catch)."""
+    from tweetdb_spark.operators.events import events_funnel
+
+    rows = _parity("events_funnel", events_funnel, null_events, spark)
+    assert len(rows) == 1
+    n_signup, n_view, n_purchase, view_rate, purchase_rate = rows[0]
+    assert n_signup == 0
+    assert view_rate is None and purchase_rate is None

@@ -53,6 +53,10 @@ def events_tumbling(spark, t):
            count(*) AS cnt,
            FLOOR(ROUND(SUM(value), 2) * 100 / count(*)) / 100 AS avg_value
     FROM events, (SELECT unnest(range(0, 4)) AS k)
+    WHERE ts IS NOT NULL  -- Spark's window() explodes an event into its
+                          -- windows; a NULL event-time generates NONE,
+                          -- while raw bucket arithmetic would keep a
+                          -- NULL-window group (r11 NULL survey)
     GROUP BY 1
     """,
 )
@@ -309,11 +313,17 @@ def events_funnel(spark, t):
             "n_signup",
             "n_view_7d",
             "n_purchase_7d",
+            # try_divide, not `/`: a corpus with zero signups must yield
+            # NULL rates like the oracle (DuckDB's x/0 is NULL), not an
+            # ANSI DIVIDE_BY_ZERO crash (r11 NULL-fixture survey catch)
             F.round(
-                F.col("n_view_7d").cast("double") / F.col("n_signup"), 4
+                F.try_divide(F.col("n_view_7d").cast("double"), F.col("n_signup")), 4
             ).alias("view_rate"),
             F.round(
-                F.col("n_purchase_7d").cast("double") / F.col("n_signup"), 4
+                F.try_divide(
+                    F.col("n_purchase_7d").cast("double"), F.col("n_signup")
+                ),
+                4,
             ).alias("purchase_rate"),
         )
     )
@@ -799,7 +809,13 @@ def events_gap_islands(spark, t):
     SELECT user_id,
            length(journey) AS journey_len,
            regexp_matches(journey, 's[cv]*p') AS has_conversion_path,
-           COALESCE(regexp_extract(journey, 's[cv]*p'), '') AS first_path,
+           -- COALESCE aligns DuckDB's NULL-on-no-match with Spark's
+           -- ''-on-no-match, but must NOT fire when the journey itself
+           -- is NULL (a user whose event_types are all NULL): Spark's
+           -- regexp_extract propagates NULL there (r11 NULL survey)
+           CASE WHEN journey IS NULL THEN NULL
+                ELSE COALESCE(regexp_extract(journey, 's[cv]*p'), '')
+           END AS first_path,
            CAST((length(journey) - length(replace(journey, 'sp', ''))) / 2
                 AS BIGINT) AS n_direct_conversions
     FROM j
