@@ -245,7 +245,11 @@ def udf_cogrouped_map(spark, t):
 
     def merge(key, cust: pd.DataFrame, supp: pd.DataFrame) -> pd.DataFrame:
         def cents(s: pd.Series) -> int:
-            return int(sum(int(v * 100 + (0.5 if v >= 0 else -0.5)) for v in s))
+            # dropna: SQL SUM skips NULLs (NaN after Arrow transfer);
+            # int(NaN*...) crashed the worker (r11 NULL-survey catch)
+            return int(
+                sum(int(v * 100 + (0.5 if v >= 0 else -0.5)) for v in s.dropna())
+            )
 
         return pd.DataFrame(
             {

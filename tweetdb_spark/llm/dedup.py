@@ -151,7 +151,10 @@ def dedup_near_jaccard(spark, t):
     b = toks.alias("b")
     inter = F.size(F.array_intersect(F.col("a.tokens"), F.col("b.tokens")))
     union = F.size(F.col("a.tokens")) + F.size(F.col("b.tokens")) - inter
-    jac = inter.cast("double") / union
+    # try_divide: an empty token/gram set (NULL or degenerate text)
+    # gives union 0 — DuckDB yields NULL and the threshold filter
+    # drops it; ANSI `/` would crash (r11 NULL-survey catch)
+    jac = F.try_divide(inter.cast("double"), union)
     return (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
         .where(jac >= 0.8)
@@ -348,7 +351,10 @@ def dedup_ngram_jaccard(spark, t):
     a, b = grams.alias("a"), grams.alias("b")
     inter = F.size(F.array_intersect(F.col("a.g"), F.col("b.g")))
     union = F.size(F.col("a.g")) + F.size(F.col("b.g")) - inter
-    jac = inter.cast("double") / union
+    # try_divide: an empty token/gram set (NULL or degenerate text)
+    # gives union 0 — DuckDB yields NULL and the threshold filter
+    # drops it; ANSI `/` would crash (r11 NULL-survey catch)
+    jac = F.try_divide(inter.cast("double"), union)
     return (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
         .where(jac >= 0.7)
@@ -904,7 +910,7 @@ def dedup_minhash_lsh(spark, t):
     tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tokens").alias("t_b"))
     inter = F.size(F.array_intersect(F.col("t_a"), F.col("t_b")))
     union = F.size(F.col("t_a")) + F.size(F.col("t_b")) - inter
-    dist = 1.0 - inter.cast("double") / union
+    dist = 1.0 - F.try_divide(inter.cast("double"), union)
     return (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
@@ -975,7 +981,7 @@ def dedup_minhash_verdicts(spark, t):
     tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tokens").alias("t_b"))
     inter = F.size(F.array_intersect(F.col("t_a"), F.col("t_b")))
     union = F.size(F.col("t_a")) + F.size(F.col("t_b")) - inter
-    dist = 1.0 - inter.cast("double") / union
+    dist = 1.0 - F.try_divide(inter.cast("double"), union)
     edges = (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
@@ -1219,7 +1225,10 @@ def dedup_minhash_banded(spark, t):
     gb = g.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g_b"))
     inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
     union = F.size(F.col("g_a")) + F.size(F.col("g_b")) - inter
-    jac = inter.cast("double") / union
+    # try_divide: an empty token/gram set (NULL or degenerate text)
+    # gives union 0 — DuckDB yields NULL and the threshold filter
+    # drops it; ANSI `/` would crash (r11 NULL-survey catch)
+    jac = F.try_divide(inter.cast("double"), union)
     return (
         cand.join(ga, "doc_a")
         .join(gb, "doc_b")
@@ -1443,7 +1452,10 @@ def dedup_incremental_minhash(spark, t):
     gb = g.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g_b"))
     inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
     union = F.size(F.col("g_a")) + F.size(F.col("g_b")) - inter
-    jac = inter.cast("double") / union
+    # try_divide: an empty token/gram set (NULL or degenerate text)
+    # gives union 0 — DuckDB yields NULL and the threshold filter
+    # drops it; ANSI `/` would crash (r11 NULL-survey catch)
+    jac = F.try_divide(inter.cast("double"), union)
     p = (
         cand.join(ga, "doc_a")
         .join(gb, "doc_b")

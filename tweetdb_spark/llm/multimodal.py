@@ -144,6 +144,12 @@ def multimodal_features(spark, t):
         for pdf in batches:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    # a payload with no bytes contributes no byte rows:
+                    # the oracle's LATERAL unnest(range(...)) drops the
+                    # doc entirely, so the UDF must too (r11 NULL-survey
+                    # catch — bytes(None) used to crash the UDF)
+                    continue
                 raw = bytes(payload)
                 hist = [0, 0, 0, 0, 0]
                 for b in raw:
@@ -206,6 +212,22 @@ def multimodal_decode_stub(spark, t):
         for pdf in batches:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    # NULL payload → all media columns NULL, mirroring
+                    # the oracle's NULL propagation (r11 NULL-survey)
+                    out.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "n_bytes": None,
+                            "width": None,
+                            "height": None,
+                            "n_frames": None,
+                            "resized_w": None,
+                            "resized_h": None,
+                            "frame_idx": None,
+                        }
+                    )
+                    continue
                 raw = bytes(payload)
                 width, height, n_frames = fake_decode(raw)
                 out.append(

@@ -1223,8 +1223,16 @@ def cte_recursive_chain(spark, t):
                  o_totalprice AS cum_spend, next_key
           FROM tweetdb_cte_succ WHERE rn = 1
           UNION ALL
+          -- the fold reproduces SQL SUM-over-window NULL semantics
+          -- (the oracle's closed form): a NULL price is SKIPPED, and
+          -- the running sum stays NULL only until the first non-NULL
+          -- value.  Plain `c.cum_spend + s.o_totalprice` would
+          -- NULL-poison the rest of the chain (r11 NULL-survey catch).
           SELECT s.o_orderkey, s.o_custkey, c.seq + 1,
-                 c.cum_spend + s.o_totalprice, s.next_key
+                 CASE WHEN c.cum_spend IS NULL THEN s.o_totalprice
+                      ELSE c.cum_spend + COALESCE(s.o_totalprice, 0)
+                 END,
+                 s.next_key
           FROM chain c JOIN tweetdb_cte_succ s ON s.o_orderkey = c.next_key
         )
         SELECT o_orderkey, o_custkey, seq,

@@ -273,6 +273,7 @@ def sink_jsonl_sharded(spark, t):
                row_number() OVER (PARTITION BY source ORDER BY doc_id)
                  AS rn
         FROM documents
+        WHERE text IS NOT NULL AND source IS NOT NULL
       ) WHERE rn = 1
     )
     SELECT source || '.bin' AS fname,
@@ -311,6 +312,10 @@ def ingest_binary_files(spark, t):
     w = Window.partitionBy("source").orderBy("doc_id")
     firsts = (
         t["documents"]
+        # a file cannot hold a NULL payload (or be keyed by a NULL
+        # source): elect blobs from rows where both exist, mirrored in
+        # the oracle's WHERE (r11 NULL-survey catch — .encode crashed)
+        .where(F.col("text").isNotNull() & F.col("source").isNotNull())
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("source", "text")
