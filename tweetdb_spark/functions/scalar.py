@@ -27,7 +27,10 @@ from tweetdb_spark.registry import query
            lower(lang) AS lang_lc,
            upper(source) AS source_uc,
            substring(text, 1, 10) AS text_head,
-           trim(concat(' ', lang, ' ')) AS lang_trim,
+           -- `||`, not concat(): DuckDB's concat SKIPS NULL args while
+           -- Spark's concat propagates NULL — `||` propagates in both
+           -- (r11 NULL-survey catch; NULL lang must give NULL lang_trim)
+           trim(' ' || lang || ' ') AS lang_trim,
            concat_ws('-', lang, source) AS lang_source,
            length(text) AS text_len,
            regexp_extract(text, '^(\\w+)', 1) AS first_word

@@ -1190,7 +1190,11 @@ def pandas_api_bridge(spark, t):
     ).pandas_api()
     masked = psdf[psdf["l_shipdate"] <= "1998-09-02"]
     g = (
-        masked.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+        # dropna=False: pandas groupby SILENTLY DROPS NULL group keys
+        # by default — SQL GROUP BY (and therefore the oracle) keeps
+        # them.  The exact porting trap this contract row exists to
+        # verify (r11 NULL-survey catch).
+        masked.groupby(["l_returnflag", "l_linestatus"], as_index=False, dropna=False)
         .agg(sum_qty=("l_quantity", "sum"), n_rows=("l_quantity", "count"))
     )
     out = g.to_spark()

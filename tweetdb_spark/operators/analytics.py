@@ -104,7 +104,10 @@ def agg_approx_percentile(spark, t):
     ), ranked AS (
       SELECT lang, source, n,
              row_number() OVER (
-               PARTITION BY lang ORDER BY n DESC, source
+               -- NULLS FIRST pins the tie-break: Spark's ASC default
+               -- puts a NULL source first, DuckDB's puts it last —
+               -- divergent winner on count ties (r11 NULL-survey)
+               PARTITION BY lang ORDER BY n DESC, source NULLS FIRST
              ) AS rn
       FROM counts
     )

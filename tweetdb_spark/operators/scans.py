@@ -130,20 +130,24 @@ def ingest_json_corrupt(spark, t):
     )
     parsed = raw.select(
         "event_type",
+        "raw",
         F.from_json(
             "raw",
             schema,
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
         ).alias("p"),
     )
+    # a MISSING payload counts as corrupt, not valid: from_json(NULL)
+    # returns a NULL struct with a NULL quarantine column, which a bare
+    # _corrupt-IS-NULL test would tally as valid — while the oracle's
+    # json_valid(NULL) routes it to the corrupt side (r11 NULL survey).
+    # DQ-wise that's also the right call: absent payloads belong in the
+    # quarantine tally.
+    is_valid = F.col("raw").isNotNull() & F.col("p._corrupt").isNull()
     return parsed.groupBy("event_type").agg(
-        F.sum(F.when(F.col("p._corrupt").isNull(), 1).otherwise(0)).alias("n_valid"),
-        F.sum(F.when(F.col("p._corrupt").isNotNull(), 1).otherwise(0)).alias(
-            "n_corrupt"
-        ),
-        F.sum(
-            F.when(F.col("p._corrupt").isNull(), F.col("p.k")).otherwise(0)
-        ).alias("sum_k"),
+        F.sum(F.when(is_valid, 1).otherwise(0)).alias("n_valid"),
+        F.sum(F.when(is_valid, 0).otherwise(1)).alias("n_corrupt"),
+        F.sum(F.when(is_valid, F.col("p.k")).otherwise(0)).alias("sum_k"),
     )
 
 
@@ -339,9 +343,12 @@ def ingest_binary_files(spark, t):
 @query(
     "scan_merge_schema",
     oracle="""
-    SELECT CAST(o_orderkey % 2 = 1 AS INTEGER) AS has_priority,
+    SELECT CAST(o_orderkey % 2 AS INTEGER) AS vintage,
            count(*) AS cnt,
-           ROUND(SUM(o_totalprice), 2) AS sum_price
+           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0
+                         OR o_orderpriority IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_null_priority
     FROM orders
     GROUP BY 1
     """,
@@ -355,8 +362,14 @@ def scan_merge_schema(spark, t):
     every historical schema, and the reader — not a rewrite of
     petabytes — reconciles them (missing columns become NULLs).  The
     oracle computes the same aggregate from the ORIGINAL orders table,
-    so the hash check proves the evolved read lossless: rows from the
-    old vintage are exactly the NULL-priority group.
+    so the hash check proves the evolved read lossless.  The grouping
+    is the explicit vintage (key parity), NOT priority-nullability: a
+    source row whose priority VALUE is legitimately NULL would be
+    indistinguishable from the old vintage's backfilled NULLs (r11
+    NULL-survey catch); instead ``n_null_priority`` carries the
+    backfill proof — for the old vintage it must equal ``cnt`` (the
+    column didn't exist), for the new it counts genuine NULL values,
+    and both sides compute it identically.
     """
     from tweetdb_spark import scratch
 
@@ -376,10 +389,13 @@ def scan_merge_schema(spark, t):
         os.path.join(out, "v1"), os.path.join(out, "v2")
     )
     return merged.groupBy(
-        F.col("o_orderpriority").isNotNull().cast("int").alias("has_priority")
+        (F.col("o_orderkey") % 2).cast("int").alias("vintage")
     ).agg(
         F.count("*").alias("cnt"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.sum(F.col("o_orderpriority").isNull().cast("int")).alias(
+            "n_null_priority"
+        ),
     )
 
 
@@ -661,16 +677,33 @@ def ingest_xml(spark, t):
     cents — double→string→double round-trips are not format-stable
     across engines.
     """
+    # Per-field optional serialization: a NULL field must become a
+    # MISSING attribute/element (which from_xml reads back as NULL),
+    # not NULL-poison the whole document through concat — one NULL
+    # price used to blank every column of the row (r11 NULL survey).
+    def opt_attr(name, col):
+        return F.when(
+            col.isNotNull(), F.concat(F.lit(f' {name}="'), col, F.lit('"'))
+        ).otherwise(F.lit(""))
+
+    def opt_elem(name, col):
+        return F.when(
+            col.isNotNull(),
+            F.concat(F.lit(f"<{name}>"), col, F.lit(f"</{name}>")),
+        ).otherwise(F.lit(""))
+
     xml = F.concat(
         F.lit('<order id="'),
         F.col("o_orderkey").cast("string"),
-        F.lit('" status="'),
-        F.col("o_orderstatus"),
-        F.lit('"><total_cents>'),
-        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
-        F.lit("</total_cents><date>"),
-        F.col("o_orderdate").cast("date").cast("string"),
-        F.lit("</date></order>"),
+        F.lit('"'),
+        opt_attr("status", F.col("o_orderstatus")),
+        F.lit(">"),
+        opt_elem(
+            "total_cents",
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        ),
+        opt_elem("date", F.col("o_orderdate").cast("date").cast("string")),
+        F.lit("</order>"),
     )
     wire = (
         t["orders"]

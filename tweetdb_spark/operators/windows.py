@@ -201,10 +201,15 @@ def win_first_last(spark, t):
       FROM orders GROUP BY 1
     )
     SELECT d, revenue,
-           ROUND(AVG(revenue) OVER (
-             ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
-           ), 2) AS ma7
+           -- mean via rounded-sum/count, NOT ROUND(AVG(..)): dividing
+           -- by 7 lands on half-cent boundaries where 1-ulp FP
+           -- accumulation differences flip the rounding between
+           -- engines (r11 NULL-survey exposed 4 such rows; the same
+           -- discipline as events_sliding, SURVEY.md §5)
+           FLOOR(ROUND(SUM(revenue) OVER w, 2) * 100
+                 / COUNT(revenue) OVER w) / 100 AS ma7
     FROM daily
+    WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
     """,
 )
 def win_frame_rows(spark, t):
@@ -220,9 +225,16 @@ def win_frame_rows(spark, t):
         .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
     )
     w = Window.orderBy("d").rowsBetween(-3, 3)
-    return daily.select(
-        "d", "revenue", F.round(F.avg("revenue").over(w), 2).alias("ma7")
+    # rounded-sum/count mean (see oracle comment): sums of 2-decimal
+    # values are FP-exact, so both engines floor the same integer
+    ma7 = (
+        F.floor(
+            F.round(F.sum("revenue").over(w), 2) * 100
+            / F.count("revenue").over(w)
+        )
+        / 100
     )
+    return daily.select("d", "revenue", ma7.alias("ma7"))
 
 
 @query(
