@@ -154,7 +154,13 @@ def agg_approx_distinct(spark, t):
     "sketch_distinct_merge",
     oracle="""
     SELECT count(DISTINCT user_id) AS exact_distinct,
-           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_shards,
+           -- + the NULL-day shard when present: the engine shards by
+           -- groupBy(day), where NULL is a group like any other, while
+           -- COUNT(DISTINCT) would silently exclude it (r11 NULL
+           -- survey; events with no timestamp still need A shard)
+           CAST(count(DISTINCT CAST(ts AS DATE))
+                + MAX(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shards,
            TRUE AS merged_within_bound,
            TRUE AS single_within_bound
     FROM events
@@ -757,7 +763,14 @@ def agg_incremental(spark, t):
     partial = lambda df: df.groupBy("event_type").agg(  # noqa: E731
         F.count("*").alias("cnt"), F.sum("value").alias("sv")
     )
-    base = partial(t["events"].where(F.col("ts") < cut))
+    # p / NOT-p does not cover NULL: a NULL ts satisfies neither
+    # `ts < cut` nor `ts >= cut`, silently dropping the row from BOTH
+    # partials while the oracle's full aggregate keeps it (r11 NULL
+    # survey).  Unknown-time rows are assigned to the base partition —
+    # any deterministic side works, it just must be exactly one.
+    base = partial(
+        t["events"].where((F.col("ts") < cut) | F.col("ts").isNull())
+    )
     delta = partial(t["events"].where(F.col("ts") >= cut))
     return (
         base.unionByName(delta)

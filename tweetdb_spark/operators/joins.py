@@ -666,10 +666,14 @@ def join_asof_forward(spark, t):
     "join_asof_nearest",
     oracle="""
     WITH purchases AS (
-      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL
     ), signups AS (
-      SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'signup' AND ts IS NOT NULL
     ), ranked AS (
+      -- ts IS NOT NULL in both CTEs: see docstring on why no-time
+      -- rows are excluded from a 'nearest' match (r11 NULL survey)
       SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
              s.ts AS signup_ts,
              CAST(abs(epoch_us(p.ts) - epoch_us(s.ts)) AS BIGINT)
@@ -699,8 +703,16 @@ def join_asof_nearest(spark, t):
     coarse time-bucket prefilter FIRST (join on (user, bucket±1),
     then rank) — join_interval_bucketed's rewrite, noted here because
     the naive form's per-user fan-in is the scale risk.
+
+    ts IS NOT NULL on both sides (mirrored in the oracle's CTEs): a
+    row without a timestamp has no temporal position, so it can
+    neither anchor nor win a nearest-match — left in, its NULL
+    distance sorts FIRST under Spark's ASC default and the no-time
+    signup "wins" every purchase, while DuckDB's NULLS-LAST picks the
+    real one (r11 NULL survey).  The backward/forward variants are
+    immune: their range predicates are NULL-rejecting.
     """
-    e = t["events"]
+    e = t["events"].where(F.col("ts").isNotNull())
     p = e.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         "user_id",

@@ -273,7 +273,10 @@ def win_frame_range(spark, t):
            CAST(ntile(4) OVER w AS INT) AS quartile
     FROM orders
     WINDOW w AS (
-      PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+      -- NULLS FIRST: a NULL price must rank first like Spark's ASC
+      -- default, else every row's percentile shifts (r11 NULL survey)
+      PARTITION BY o_orderstatus
+      ORDER BY o_totalprice NULLS FIRST, o_orderkey
     )
     """,
 )
