@@ -450,10 +450,13 @@ def fn_aes_roundtrip(spark, t):
         .select(
             "c_custkey",
             dec.alias("decrypted"),
-            (dec == F.col("c_name")).alias("roundtrip_ok"),
-            (F.base64("ciphertext") != F.col("c_name")).alias(
-                "ciphertext_differs"
-            ),
+            # null-safe: encrypt/decrypt of a NULL plaintext is NULL,
+            # which IS a correct round-trip — plain `==` yields NULL
+            # where the oracle pins TRUE (r11 NULL survey)
+            dec.eqNullSafe(F.col("c_name")).alias("roundtrip_ok"),
+            F.when(F.col("c_name").isNull(), F.lit(True))
+            .otherwise(F.base64("ciphertext") != F.col("c_name"))
+            .alias("ciphertext_differs"),
         )
     )
 

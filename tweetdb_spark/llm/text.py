@@ -1650,7 +1650,12 @@ def text_bpe_encode(spark, t):
     SELECT doc_id, source, src_rank,
            ROUND((src_rank - 0.5) / w, 6) + 0 AS mix_key,
            CAST(row_number() OVER (
-             ORDER BY (src_rank - 0.5) / w, source, doc_id) AS BIGINT)
+             -- NULLS FIRST on both sort keys: a NULL source has no
+             -- parseable weight (NULL mix_key) and Spark schedules it
+             -- first under its ASC default; DuckDB's NULLS-LAST would
+             -- renumber every global_pos (r11 NULL survey)
+             ORDER BY (src_rank - 0.5) / w NULLS FIRST,
+                      source NULLS FIRST, doc_id) AS BIGINT)
              AS global_pos
     FROM ranked
     """,

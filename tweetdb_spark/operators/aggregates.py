@@ -360,6 +360,10 @@ _QSK_W = 256  # histogram buckets: width ≤ ~2.2 cents on this data
       SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
              CAST(ts AS DATE) AS day
       FROM events
+      -- quantiles are over VALUES: a NULL value has no rank, no
+      -- bucket, and must not inflate N (r11 NULL survey; mirrored in
+      -- the Spark body)
+      WHERE value IS NOT NULL
     ), bounds AS (
       SELECT min(v) AS lo, max(v) AS hi, count(*) AS n,
              greatest(1, (max(v) - min(v) + {_QSK_W}) // {_QSK_W}) AS width
@@ -431,7 +435,9 @@ def sketch_quantile_merge(spark, t):
     """
     from pyspark.sql.window import Window
 
-    ev = t["events"].select(
+    # value IS NOT NULL mirrors the oracle: a NULL value has no rank,
+    # no bucket, and must not inflate the rank divisor N
+    ev = t["events"].where(F.col("value").isNotNull()).select(
         F.to_date("ts").alias("day"),
         F.round(F.col("value") * 100, 0).cast("bigint").alias("v"),
     )
@@ -500,6 +506,7 @@ def sketch_quantile_merge(spark, t):
              CAST(round(value * 100, 0) AS BIGINT) AS v,
              CAST(ts AS DATE) AS day
       FROM events
+      WHERE value IS NOT NULL  -- see sketch_quantile_merge (r11)
     ), bounds AS (
       SELECT event_type, min(v) AS lo, count(*) AS n,
              greatest(1, (max(v) - min(v) + {_QSK_W}) // {_QSK_W}) AS width
@@ -563,7 +570,9 @@ def sketch_quantile_grouped(spark, t):
     """
     from pyspark.sql.window import Window
 
-    ev = t["events"].select(
+    # value IS NOT NULL mirrors the oracle (same rationale as
+    # sketch_quantile_merge: NULL values have no rank or bucket)
+    ev = t["events"].where(F.col("value").isNotNull()).select(
         "event_type",
         F.to_date("ts").alias("day"),
         F.round(F.col("value") * 100, 0).cast("bigint").alias("v"),

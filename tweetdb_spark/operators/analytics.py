@@ -573,7 +573,9 @@ def join_skew_report(spark, t):
     WITH b AS (
       SELECT event_type, value,
              CAST(ntile(10) OVER (
-               PARTITION BY event_type ORDER BY value, event_id
+               -- NULLS FIRST mirrors Spark's ASC default: NULL values
+               -- bin into decile 1, not 10 (r11 NULL survey)
+               PARTITION BY event_type ORDER BY value NULLS FIRST, event_id
              ) AS INT) AS decile
       FROM events
     )
@@ -1418,6 +1420,12 @@ def mask_format_preserving(spark, t):
         "i -> cast((cast(substring(c_name, 9 + i, 1) as int) * 7 + i * 3) "
         "% 10 as string)), ''))"
     )
+    # NULL name → NULL mask: there is nothing to transform, and the
+    # unguarded concat/array_join form produced the literal prefix
+    # 'Customer#' (array_join SKIPS NULL digits) where the oracle's ||
+    # propagates NULL (r11 NULL survey).  The proof columns then go
+    # NULL identically on both sides.
+    masked = F.when(F.col("c_name").isNotNull(), masked)
     return t["customer"].select(
         "c_custkey",
         masked.alias("name_masked"),

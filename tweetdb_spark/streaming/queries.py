@@ -1223,7 +1223,11 @@ def stream_rollup_ingest(spark, t):
     ), ranked AS (
       SELECT day, user_id, cnt,
              row_number() OVER (
-               PARTITION BY day ORDER BY cnt DESC, user_id) AS rnk
+               -- NULLS FIRST: the anonymous-user (NULL user_id) group
+               -- tie-breaks first like Spark's ASC default, else the
+               -- top-3 membership flips on count ties (r11 NULL survey)
+               PARTITION BY day ORDER BY cnt DESC, user_id NULLS FIRST
+             ) AS rnk
       FROM counts
     )
     SELECT day, user_id, cnt, rnk FROM ranked WHERE rnk <= 3
