@@ -47,6 +47,14 @@ FIXED_KEYS = [
     "fn_aes_roundtrip",
     "corpus_interleave",
     "stream_topk_windowed",
+    # round-2 sweep (injection widened to dates, quantities, join keys,
+    # n_chars, and embedding vectors)
+    "udaf_pandas_agg",
+    "win_first_last",
+    "win_frame_range",
+    "snapshot_time_travel",
+    "snapshot_expire",
+    "join_incremental",
 ]
 
 

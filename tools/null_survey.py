@@ -39,14 +39,27 @@ SEED_SALT = 20260815
 # arithmetic, strings for text ops).  events also gets NULL keys — the
 # NULL-group / NULL-partition classes live there.
 INJECT = {
-    "customer": ["c_name", "c_acctbal", "c_mktsegment"],
-    "supplier": ["s_name", "s_acctbal"],
+    "customer": ["c_name", "c_acctbal", "c_mktsegment", "c_nationkey"],
+    "supplier": ["s_name", "s_acctbal", "s_nationkey"],
     "part": ["p_name", "p_brand", "p_type"],
-    "orders": ["o_totalprice", "o_orderpriority"],
-    "lineitem": ["l_discount", "l_tax", "l_returnflag", "l_linestatus"],
+    "orders": [
+        "o_totalprice",
+        "o_orderpriority",
+        "o_orderdate",
+        "o_orderstatus",
+    ],
+    "lineitem": [
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+        "l_quantity",
+        "l_extendedprice",
+    ],
     "events": ["event_type", "value", "props", "user_id", "ts"],
-    "documents": ["text", "lang", "source"],
-    "embeddings": ["label"],
+    "documents": ["text", "lang", "source", "n_chars"],
+    "embeddings": ["label", "embedding"],
 }
 
 

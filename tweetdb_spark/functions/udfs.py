@@ -137,23 +137,34 @@ def udaf_pandas_agg(spark, t):
     """
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        # SQL NULL semantics by hand: a NULL embedding has a NULL norm
+        # — COUNT(*) still counts the row, MAX/AVG skip it, and an
+        # all-NULL group yields NULL stats (r11 NULL survey; iterating
+        # a None vector crashed the worker)
         norms = []
         for emb in pdf["embedding"]:
+            if emb is None:
+                continue
             acc = 0.0
             for x in emb:
                 xd = float(x)
                 acc += xd * xd
             norms.append(acc**0.5)
-        s = pd.Series(norms)
-        mean = sum(norms) / len(norms)
+        if norms:
+            mean = sum(norms) / len(norms)
+            max_norm = pd.Series(norms).max()
+            # half-away-from-zero like DuckDB ROUND — Python's
+            # round() is half-to-even and diverges on exact ties
+            mean_norm = int(mean * 100 + 0.5) / 100
+        else:
+            max_norm = None
+            mean_norm = None
         return pd.DataFrame(
             {
                 "label": [pdf["label"].iloc[0]],
-                "n": [len(s)],
-                "max_norm": [s.max()],
-                # half-away-from-zero like DuckDB ROUND — Python's
-                # round() is half-to-even and diverges on exact ties
-                "mean_norm": [int(mean * 100 + 0.5) / 100],
+                "n": [len(pdf)],
+                "max_norm": [max_norm],
+                "mean_norm": [mean_norm],
             }
         )
 
@@ -218,7 +229,8 @@ def udtf_python(spark, t):
            COALESCE(s.n_supp, 0) AS n_supp,
            COALESCE(c.cust_bal_cents, 0) AS cust_bal_cents,
            COALESCE(s.supp_bal_cents, 0) AS supp_bal_cents
-    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    FROM c FULL OUTER JOIN s
+      ON c.nationkey IS NOT DISTINCT FROM s.nationkey
     """,
 )
 def udf_cogrouped_map(spark, t):
@@ -253,7 +265,11 @@ def udf_cogrouped_map(spark, t):
 
         return pd.DataFrame(
             {
-                "nationkey": [int(key[0])],
+                # a NULL nationkey is ONE cogroup (grouping treats NULL
+                # as a key value), and Arrow hands the NULL key to
+                # Python as NaN — int(NaN) crashed the worker (r11
+                # NULL survey; the oracle's join is null-safe to match)
+                "nationkey": [None if pd.isna(key[0]) else int(key[0])],
                 "n_cust": [len(cust)],
                 "n_supp": [len(supp)],
                 "cust_bal_cents": [cents(cust["c_acctbal"]) if len(cust) else 0],

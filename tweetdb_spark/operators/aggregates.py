@@ -1181,7 +1181,10 @@ def agg_bitmap_native(spark, t):
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-           count(*) AS n_rows
+           -- COUNT(col), not count(*): pandas' named-agg "count" is
+           -- the NON-NULL count — the second pandas-porting trap this
+           -- row pins (with groupby dropna; r11 NULL survey)
+           count(l_quantity) AS n_rows
     FROM lineitem
     WHERE l_shipdate <= DATE '1998-09-02'
     GROUP BY l_returnflag, l_linestatus

@@ -1167,11 +1167,11 @@ def table_drift_psi(spark, t):
     SELECT o_orderkey, o_custkey,
            CAST(row_number() OVER w AS BIGINT) AS seq,
            ROUND(SUM(o_totalprice) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) + 0
              AS cum_spend
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey)
     """,
 )
 def cte_recursive_chain(spark, t):

@@ -897,7 +897,10 @@ def join_incremental(spark, t):
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
     cust = t["customer"].select("c_custkey", "c_mktsegment")
-    a = orders.where(F.col("o_orderdate") < cut)
+    # NULL-date orders go to the base partition: p / NOT-p does not
+    # cover NULL, and the oracle's monolithic join keeps every order
+    # (r11 NULL survey — same class as agg_incremental)
+    a = orders.where((F.col("o_orderdate") < cut) | F.col("o_orderdate").isNull())
     da = orders.where(F.col("o_orderdate") >= cut)
     b = cust.where(F.col("c_custkey") < 1000)
     db = cust.where(F.col("c_custkey") >= 1000)

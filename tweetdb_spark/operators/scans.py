@@ -528,6 +528,13 @@ def _snapshot_root(spark, t) -> str:
         s: write_group(base.where(F.col("o_orderstatus") == s), f"v0_{s}")
         for s in ("O", "F", "P")
     }
+    # rows whose group key is NULL need a file group too — `== s`
+    # matches none of them, and without this group the snapshot store
+    # silently LOSES every NULL-status order (r11 NULL survey).  The
+    # same reason Hive/Iceberg keep a __HIVE_DEFAULT_PARTITION__.
+    groups["NULL"] = write_group(
+        base.where(F.col("o_orderstatus").isNull()), "v0_NULL"
+    )
     v1_f = write_group(
         base.where(F.col("o_orderstatus") == "F").withColumn(
             "o_totalprice",
@@ -539,7 +546,12 @@ def _snapshot_root(spark, t) -> str:
         json.dump({"version": 0, "files": sum(groups.values(), [])}, fh)
     with open(os.path.join(man, "v1.json"), "w") as fh:
         json.dump(
-            {"version": 1, "files": groups["O"] + groups["P"] + v1_f}, fh
+            {
+                "version": 1,
+                # COW touches only the 'F' group; O/P/NULL carry over
+                "files": groups["O"] + groups["P"] + groups["NULL"] + v1_f,
+            },
+            fh,
         )
     return root
 

@@ -158,13 +158,13 @@ def win_lag_lead(spark, t):
     SELECT o_custkey, o_orderkey, o_totalprice,
            FIRST_VALUE(o_totalprice) OVER w AS first_price,
            LAST_VALUE(o_totalprice) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
            ) AS last_price,
            NTH_VALUE(o_totalprice, 2) OVER w AS second_price
     FROM orders
     WINDOW w AS (
-      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
     )
     """,
@@ -209,7 +209,7 @@ def win_first_last(spark, t):
            FLOOR(ROUND(SUM(revenue) OVER w, 2) * 100
                  / COUNT(revenue) OVER w) / 100 AS ma7
     FROM daily
-    WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    WINDOW w AS (ORDER BY d NULLS FIRST ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
     """,
 )
 def win_frame_rows(spark, t):
@@ -243,7 +243,7 @@ def win_frame_rows(spark, t):
     SELECT o_custkey, o_orderkey, o_orderdate,
            ROUND(SUM(o_totalprice) OVER (
              PARTITION BY o_custkey
-             ORDER BY o_orderdate, o_orderkey
+             ORDER BY o_orderdate NULLS FIRST, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ), 2) AS cum_spend
     FROM orders
