@@ -63,16 +63,35 @@ INJECT = {
 }
 
 
-def nullify(df, cols, keycol):
-    from pyspark.sql import functions as F
+def nullify(df, cols, keycol, mode: str = "null"):
+    """Inject edge values into a deterministic row subset per column.
 
+    mode='null'  — replace with NULL (the default survey)
+    mode='empty' — strings become '', arrays become array() (non-string
+                   non-array columns pass through untouched): a
+                   DIFFERENT divergence class — '' is where engines'
+                   string functions disagree (ascii, split, regexp,
+                   substr) without any NULL involved.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, StringType
+
+    types = {f.name: f.dataType for f in df.schema.fields}
     out = df
     for i, c in enumerate(cols):
         gate = (
             F.pmod(F.xxhash64(F.col(keycol), F.lit(SEED_SALT + i)), F.lit(100))
             < int(NULL_RATE * 100)
         )
-        out = out.withColumn(c, F.when(gate, F.lit(None)).otherwise(F.col(c)))
+        if mode == "null":
+            repl = F.lit(None)
+        elif isinstance(types[c], StringType):
+            repl = F.lit("")
+        elif isinstance(types[c], ArrayType):
+            repl = F.array().cast(types[c])
+        else:
+            continue  # empty mode: only string/array columns
+        out = out.withColumn(c, F.when(gate, repl).otherwise(F.col(c)))
     return out
 
 
@@ -98,6 +117,7 @@ def main() -> int:
     from tools.check import rows_multiset
 
     sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+    mode = os.environ.get("NULL_MODE", "null")  # null | empty
     tweetdb_spark.load_all_operators()
     spark = get_spark("tweetdb-null-survey")
     spark.sparkContext.setLogLevel("ERROR")
@@ -108,7 +128,7 @@ def main() -> int:
     views = {}
     for name, df in src.items():
         if name in INJECT:
-            df = nullify(df, INJECT[name], KEYCOL[name])
+            df = nullify(df, INJECT[name], KEYCOL[name], mode=mode)
         p = f"{out_dir}/{name}.parquet"
         df.coalesce(1).write.mode("overwrite").parquet(p)
         con.execute(
@@ -118,7 +138,7 @@ def main() -> int:
         # the real load_tables also registers temp views (spark.sql
         # operators depend on them) — mirror that for the null catalog
         views[name].createOrReplaceTempView(name)
-    print(f"# NULL-riddled catalog at {out_dir} (rate {NULL_RATE})", flush=True)
+    print(f"# {mode}-riddled catalog at {out_dir} (rate {NULL_RATE})", flush=True)
 
     queries, oracles = ordered_queries()
     keys = sys.argv[1:] or [k for k in queries if k in oracles]

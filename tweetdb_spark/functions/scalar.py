@@ -195,7 +195,9 @@ def fn_array(spark, t):
     return t["embeddings"].select(
         "vec_id",
         F.size(e).alias("dim"),
-        F.element_at(e, 1).alias("first_val"),
+        # try_element_at: index 1 of an EMPTY array is NULL in DuckDB
+        # but an ANSI error in element_at (r11 empty-value survey)
+        F.try_element_at(e, F.lit(1)).alias("first_val"),
         # NULL (not a partial sum) when dim < 4, matching the oracle's
         # out-of-range element_at semantics on any input
         F.when(
@@ -214,7 +216,9 @@ def fn_array(spark, t):
 @query(
     "fn_map_json",
     oracle="""
-    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+    SELECT CASE WHEN json_valid(props)
+                THEN CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
+           END AS k_bucket,  -- json_valid: see ingest_json (r11)
            count(*) AS cnt,
            FLOOR(ROUND(SUM(value), 2) * 100 / count(*)) / 100 AS avg_value
     FROM events

@@ -114,8 +114,12 @@ def udf_pandas_scalar(spark, t):
     oracle="""
     WITH norms AS (
       SELECT label,
-             sqrt(list_sum(list_transform(embedding,
-                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+             -- empty vector -> norm 0 (Spark folds from 0.0); NULL
+             -- vector -> NULL norm (r11 empty-value survey)
+             CASE WHEN embedding IS NULL THEN NULL
+                  ELSE sqrt(COALESCE(list_sum(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0))
+             END AS norm
       FROM embeddings
     )
     SELECT label,

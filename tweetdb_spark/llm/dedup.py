@@ -404,8 +404,9 @@ def dedup_embedding_cosine(spark, t):
         )
     ).select("vec_id", "embedding", "norm")
     a, b = n.alias("a"), n.alias("b")
-    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.norm") * F.col("b.norm")
+    cos = F.try_divide(
+        dot(F.col("a.embedding"), F.col("b.embedding")),
+        F.col("a.norm") * F.col("b.norm"),
     )
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
@@ -858,8 +859,9 @@ def dedup_semantic_blocked(spark, t):
     )
     n = with_norm(ranked.select("vec_id", "embedding", "block"))
     a, b = n.alias("a"), n.alias("b")
-    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.norm") * F.col("b.norm")
+    cos = F.try_divide(
+        dot(F.col("a.embedding"), F.col("b.embedding")),
+        F.col("a.norm") * F.col("b.norm"),
     )
     return (
         a.join(

@@ -42,13 +42,27 @@ def l2_norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity with SQL-NULL zero-norm semantics: an empty or
+    all-zero vector has no direction, so its cosine is NULL — exactly
+    what DuckDB's x/0 yields; Spark's ANSI `/` would crash instead
+    (r11 empty-value survey).  Downstream thresholds/ranks then drop
+    the row identically on both engines."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
+
+
 def with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
     return df.withColumn("norm", l2_norm(F.col(vec)))
 
 
 # DuckDB-side mirror of dot(): identical association order.
+# CASE/COALESCE mirror Spark's fold-from-0.0 exactly: an EMPTY vector
+# has norm 0 (list_sum([]) is NULL in DuckDB, but Spark's aggregate
+# starts at 0.0), while a NULL vector has norm NULL on both engines
+# (r11 empty-value survey).
 _DUCK_NORM = (
-    "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    "(CASE WHEN {v} IS NULL THEN NULL ELSE sqrt(COALESCE("
+    "list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0)) END)"
 )
 _DUCK_DOT = (
     "list_sum(list_transform(list_zip({a}, {b}), "
@@ -86,8 +100,7 @@ def sim_topk_cosine(spark, t):
             "vec_id",
             "label",
             F.round(
-                dot(F.col("embedding"), F.col("qv"))
-                / (l2_norm(F.col("embedding")) * l2_norm(F.col("qv"))),
+                cosine(F.col("embedding"), F.col("qv")),
                 6,
             ).alias("cos_sim"),
         )
@@ -146,8 +159,7 @@ def sim_topk_cosine_batch(spark, t):
             "vec_id",
             "label",
             F.round(
-                dot(F.col("embedding"), F.col("qv"))
-                / (l2_norm(F.col("embedding")) * l2_norm(F.col("qv"))),
+                cosine(F.col("embedding"), F.col("qv")),
                 6,
             ).alias("cos_sim"),
         )
@@ -195,8 +207,9 @@ def sim_pairwise_label(spark, t):
         )
     ).select("vec_id", "label", "embedding", "norm")
     a, b = n.alias("a"), n.alias("b")
-    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.norm") * F.col("b.norm")
+    cos = F.try_divide(
+        dot(F.col("a.embedding"), F.col("b.embedding")),
+        F.col("a.norm") * F.col("b.norm"),
     )
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
@@ -313,8 +326,7 @@ def sim_ann_ivf(spark, t):
             "label",
             F.col("cell").cast("int").alias("cell"),
             F.round(
-                dot(F.col("embedding"), F.col("qv"))
-                / (l2_norm(F.col("embedding")) * l2_norm(F.col("qv"))),
+                cosine(F.col("embedding"), F.col("qv")),
                 6,
             ).alias("cos_sim"),
         )
@@ -419,8 +431,9 @@ def sim_pairwise_label_sampled(spark, t):
     )
     n = with_norm(sampled).select("vec_id", "label", "embedding", "norm")
     a, b = n.alias("a"), n.alias("b")
-    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.norm") * F.col("b.norm")
+    cos = F.try_divide(
+        dot(F.col("a.embedding"), F.col("b.embedding")),
+        F.col("a.norm") * F.col("b.norm"),
     )
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
@@ -478,7 +491,7 @@ def embed_project_jl(spark, t):
         "round(aggregate(sequence(0, 63), cast(0 as double), (acc, i) -> "
         f"acc + (CASE WHEN (({h} * {h}) % 2147483647) % 2 = 0 "
         "THEN 1.0D ELSE -1.0D END) "
-        "* CAST(element_at(embedding, CAST(i AS INT) + 1) AS DOUBLE)) "
+        "* CAST(try_element_at(embedding, CAST(i AS INT) + 1) AS DOUBLE)) "
         "/ 4.0, 6) + 0)"
     )
     return t["embeddings"].select(
@@ -532,11 +545,15 @@ def embed_quantize_i8(spark, t):
     ).withColumn("sc", (F.col("hi") - F.col("lo")) / 255)
     err = F.expr(
         "transform(embedding, x -> CAST(x AS DOUBLE) "
-        "- (lo + floor((CAST(x AS DOUBLE) - lo) / sc + 0.5) * sc))"
+        "- (lo + floor(try_divide(CAST(x AS DOUBLE) - lo, sc) + 0.5) * sc))"
     )
-    mse = F.aggregate(
-        err, F.lit(0.0), lambda acc, v: acc + v * v
-    ) / F.size("embedding")
+    # try_divide: an EMPTY vector has size 0 (ANSI / crashed; DuckDB
+    # yields NULL) and a constant vector has scale 0 (same class) —
+    # r11 empty-value survey
+    mse = F.try_divide(
+        F.aggregate(err, F.lit(0.0), lambda acc, v: acc + v * v),
+        F.size("embedding"),
+    )
     return base.select(
         "vec_id",
         F.round("lo", 6).alias("lo"),
@@ -680,7 +697,9 @@ def _lsh_probe(spark, t, probes):
         .crossJoin(F.broadcast(qv))
     )
     cos = F.round(
-        dot(F.col("embedding"), F.col("qv")) / (F.col("norm") * F.col("qnorm")), 6
+        F.try_divide(
+            dot(F.col("embedding"), F.col("qv")), F.col("norm") * F.col("qnorm")
+        ), 6
     )
     return (
         cand.select("vec_id", "label", cos.alias("cos_sim"))
@@ -946,7 +965,7 @@ def sim_ann_ivf_pq(spark, t):
             (s * ksub + F.element_at(F.col("codes"), s + 1) + 1).cast("int"),
         ),
     )
-    acos = adot / (F.col("norm") * F.lit(qnorm))
+    acos = F.try_divide(adot, F.col("norm") * F.lit(qnorm))
     cand = (
         codes.where(F.col("cell").isin(probe) & (F.col("vec_id") != 0))
         .join(F.broadcast(lut), "cell")
@@ -966,8 +985,7 @@ def sim_ann_ivf_pq(spark, t):
             "vec_id",
             "label",
             F.round(
-                dot(F.col("embedding"), F.col("qv"))
-                / (l2_norm(F.col("embedding")) * l2_norm(F.col("qv"))),
+                cosine(F.col("embedding"), F.col("qv")),
                 6,
             ).alias("cos_sim"),
         )
@@ -1084,7 +1102,7 @@ def sim_ann_ivf_pq_batch(spark, t):
         .select(
             "q_id",
             "vec_id",
-            (adot / (F.col("norm") * F.col("qnorm"))).alias("acos"),
+            F.try_divide(adot, F.col("norm") * F.col("qnorm")).alias("acos"),
         )
         .withColumn("arn", F.row_number().over(w_adc))
         .where(F.col("arn") <= 50)
@@ -1104,8 +1122,7 @@ def sim_ann_ivf_pq_batch(spark, t):
             "vec_id",
             "label",
             F.round(
-                dot(F.col("embedding"), F.col("qv"))
-                / (l2_norm(F.col("embedding")) * l2_norm(F.col("qv"))),
+                cosine(F.col("embedding"), F.col("qv")),
                 6,
             ).alias("cos_sim"),
         )
@@ -1397,8 +1414,7 @@ def sim_hybrid_rrf(spark, t):
     e = t["embeddings"]
     q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     cos = F.round(
-        dot(F.col("embedding"), F.col("qv"))
-        / (l2_norm(F.col("embedding")) * l2_norm(F.col("qv"))),
+        cosine(F.col("embedding"), F.col("qv")),
         6,
     )
     wv = Window.orderBy(F.col("cos").desc(), "doc_id")

@@ -1638,7 +1638,10 @@ def text_bpe_encode(spark, t):
     oracle="""
     WITH d AS (
       SELECT doc_id, source,
-             1 + CAST(substr(source, 4) AS INTEGER) % 4 AS w,
+             -- TRY_CAST: a source with no numeric suffix ('' or
+             -- foreign) has no parseable weight -> NULL, not an ANSI
+             -- cast crash (r11 empty-value survey)
+             1 + TRY_CAST(substr(source, 4) AS INTEGER) % 4 AS w,
              ((doc_id % 2147483647) * 69621) % 2147483647 AS h
       FROM documents
     ), ranked AS (
@@ -1683,7 +1686,7 @@ def corpus_interleave(spark, t):
     d = t["documents"].select(
         "doc_id",
         "source",
-        (1 + F.expr("CAST(substr(source, 4) AS INT)") % 4).alias("w"),
+        (1 + F.expr("TRY_CAST(substr(source, 4) AS INT)") % 4).alias("w"),
         F.expr("((doc_id % 2147483647) * 69621) % 2147483647").alias("h"),
     )
     ranked = d.select(

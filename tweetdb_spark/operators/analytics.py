@@ -1381,11 +1381,17 @@ def impute_mode_fill(spark, t):
     oracle="""
     WITH m AS (
       SELECT c_custkey, c_name,
-             'Customer#' || array_to_string(list_transform(
+             -- mask only well-formed names: 9 digits after the
+             -- prefix.  Anything else (NULL, '', foreign formats) has
+             -- no digits to permute -> NULL mask on both engines; the
+             -- unguarded CAST of a non-digit crashed Spark's ANSI mode
+             -- (r11 empty-value survey)
+             CASE WHEN c_name LIKE 'Customer#_________'
+             THEN 'Customer#' || array_to_string(list_transform(
                range(1, 10),
                i -> CAST((CAST(substr(c_name, 9 + CAST(i AS INT), 1) AS INT) * 7
                           + i * 3) % 10 AS VARCHAR)), '')
-               AS name_masked
+             END AS name_masked
       FROM customer
     )
     SELECT c_custkey, name_masked,
@@ -1420,12 +1426,9 @@ def mask_format_preserving(spark, t):
         "i -> cast((cast(substring(c_name, 9 + i, 1) as int) * 7 + i * 3) "
         "% 10 as string)), ''))"
     )
-    # NULL name → NULL mask: there is nothing to transform, and the
-    # unguarded concat/array_join form produced the literal prefix
-    # 'Customer#' (array_join SKIPS NULL digits) where the oracle's ||
-    # propagates NULL (r11 NULL survey).  The proof columns then go
-    # NULL identically on both sides.
-    masked = F.when(F.col("c_name").isNotNull(), masked)
+    # well-formed names only (see oracle comment): the LIKE guard is
+    # evaluated lazily, so malformed names never reach the ANSI cast
+    masked = F.when(F.col("c_name").like("Customer#_________"), masked)
     return t["customer"].select(
         "c_custkey",
         masked.alias("name_masked"),

@@ -63,7 +63,12 @@ def scan_pruned(spark, t):
     "ingest_json",
     oracle="""
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           -- json_valid guard: DuckDB's json_extract ERRORS on a
+           -- malformed/empty payload where Spark's from_json yields
+           -- NULL (r11 empty-value survey)
+           CASE WHEN json_valid(props)
+                THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+           END AS k,
            event_type
     FROM events
     """,
