@@ -1,11 +1,13 @@
-"""Regression lock for the r11 registry-wide NULL survey.
+"""Regression lock for the r11 registry-wide NULL / empty-value surveys.
 
-tools/null_survey.py swept every oracle-backed key over a NULL-riddled
-fixture catalog and found 7 crashes + 18 semantic divergences, all
-fixed in r11 (final sweep: 232/232 PASS).  This test re-runs exactly
-the keys that were broken — the full sweep stays a tools-level check
-(~5 min); this subset keeps the fixed bug class from regressing at
-pytest speed.
+tools/null_survey.py swept every oracle-backed key over edge-riddled
+fixture catalogs in two modes — NULL injection (two widening rounds)
+and empty-value injection ('' strings, array() vectors) — finding 9
+crashes + 28 semantic divergences in total, all fixed in r11 (final
+sweeps: 232/232 PASS in BOTH modes).  This module re-runs exactly the
+keys that were broken, per mode — the full sweeps stay tools-level
+checks (~5 min each); this subset keeps the fixed bug classes from
+regressing at pytest speed.
 """
 
 from __future__ import annotations
@@ -18,9 +20,8 @@ import pytest
 from tools.check import rows_multiset
 from tools.null_survey import INJECT, KEYCOL, nullify
 
-# every key the r11 survey caught (crash or divergence)
-FIXED_KEYS = [
-    # crashes
+# keys the NULL-mode surveys caught (crash or divergence)
+NULL_FIXED_KEYS = [
     "dedup_minhash_banded",
     "dedup_incremental_minhash",
     "udf_cogrouped_map",
@@ -28,7 +29,6 @@ FIXED_KEYS = [
     "multimodal_features",
     "multimodal_decode_stub",
     "cte_recursive_chain",
-    # divergences
     "win_frame_rows",
     "fn_string",
     "ingest_json_corrupt",
@@ -47,8 +47,6 @@ FIXED_KEYS = [
     "fn_aes_roundtrip",
     "corpus_interleave",
     "stream_topk_windowed",
-    # round-2 sweep (injection widened to dates, quantities, join keys,
-    # n_chars, and embedding vectors)
     "udaf_pandas_agg",
     "win_first_last",
     "win_frame_range",
@@ -57,22 +55,49 @@ FIXED_KEYS = [
     "join_incremental",
 ]
 
+# keys the empty-value survey caught
+EMPTY_FIXED_KEYS = [
+    "fn_array",
+    "embed_project_jl",
+    "embed_quantize_i8",
+    "sim_pairwise_label",
+    "sim_pairwise_label_sampled",
+    "dedup_embedding_cosine",
+    "udaf_pandas_agg",
+    "multimodal_norm",
+    "ingest_json",
+    "fn_map_json",
+    "mask_format_preserving",
+    "corpus_interleave",
+    "sink_parquet_part",
+    "ingest_csv",
+    "ingest_json_corrupt",
+    "ingest_binary_files",
+    "snapshot_time_travel",
+    "snapshot_expire",
+    "fn_variant_json",
+    "doc_fingerprint",
+    "dedup_ngram_jaccard",
+    "events_interpolate",
+    "fn_url_parse",
+    "corpus_url_filter",
+]
 
-@pytest.fixture(scope="module")
-def null_catalog(spark):
-    """NULL-riddled copy of the sf0.001 catalog + a DuckDB connection
-    over the same parquet, with catalog.load_tables patched to serve
-    it (same mechanics as tools/null_survey.py)."""
+
+def _build_catalog(spark, mode):
+    """Edge-riddled copy of the sf0.001 catalog + a DuckDB connection
+    over the same parquet, with catalog.load_tables patched to serve it
+    (same mechanics as tools/null_survey.py).  Returns (con, restore)."""
     import tweetdb_spark.catalog as cat
     import tweetdb_spark.registry as reg
 
     src = cat.load_tables(spark, "/root/testdata/sf0.001")
-    out_dir = tempfile.mkdtemp(prefix="null_regress_")
+    out_dir = tempfile.mkdtemp(prefix=f"{mode}_regress_")
     con = duckdb.connect()
     paths = {}
     for name, df in src.items():
         if name in INJECT:
-            df = nullify(df, INJECT[name], KEYCOL[name])
+            df = nullify(df, INJECT[name], KEYCOL[name], mode=mode)
         p = f"{out_dir}/{name}.parquet"
         paths[name] = p
         df.coalesce(1).write.mode("overwrite").parquet(p)
@@ -90,25 +115,44 @@ def null_catalog(spark):
     orig_cat, orig_reg = cat.load_tables, reg.load_tables
     cat.load_tables = patched
     reg.load_tables = patched
-    yield con
-    cat.load_tables = orig_cat
-    reg.load_tables = orig_reg
-    # restore the real temp views for later test modules
-    for name, df in src.items():
-        df.createOrReplaceTempView(name)
+
+    def restore():
+        cat.load_tables = orig_cat
+        reg.load_tables = orig_reg
+        for name, df in src.items():
+            df.createOrReplaceTempView(name)
+
+    return con, restore
 
 
-@pytest.mark.parametrize("key", FIXED_KEYS)
-def test_fixed_key_matches_oracle_on_null_catalog(key, null_catalog, spark, registry):
+@pytest.fixture(scope="module", params=["null", "empty"])
+def edge_catalog(spark, request):
+    con, restore = _build_catalog(spark, request.param)
+    yield request.param, con
+    restore()
+
+
+_ALL = sorted(set(NULL_FIXED_KEYS) | set(EMPTY_FIXED_KEYS))
+
+
+@pytest.mark.parametrize("key", _ALL)
+def test_fixed_key_matches_oracle_on_edge_catalog(key, edge_catalog, spark, registry):
+    mode, con = edge_catalog
+    relevant = NULL_FIXED_KEYS if mode == "null" else EMPTY_FIXED_KEYS
+    if key not in relevant:
+        pytest.skip(f"{key} was a {('empty' if mode == 'null' else 'null')}-mode catch")
     from tweetdb_spark.registry import ordered_queries
 
     queries, oracles = ordered_queries()
     sdf = queries[key](spark, "/root/testdata/sf0.001")
     s_rows = [tuple(r) for r in sdf.collect()]
-    res = null_catalog.execute(oracles[key])
+    res = con.execute(oracles[key])
     d_cols = [d[0] for d in res.description]
     d_rows = res.fetchall()
     assert len(s_rows) == len(d_rows), (
-        f"{key}: {len(s_rows)} vs {len(d_rows)} rows on the NULL catalog"
+        f"{key}: {len(s_rows)} vs {len(d_rows)} rows on the {mode} catalog"
     )
-    assert rows_multiset(sdf.columns, s_rows) == rows_multiset(d_cols, d_rows), key
+    assert rows_multiset(sdf.columns, s_rows) == rows_multiset(d_cols, d_rows), (
+        key,
+        mode,
+    )

@@ -278,14 +278,18 @@ def fn_cast_decimal(spark, t):
 @query(
     "fn_variant_json",
     oracle="""
-    SELECT CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS INTEGER) / 25)
-                AS INTEGER) AS k_quartile,
+    WITH e AS (
+      SELECT CASE WHEN json_valid(props)
+                  THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+             END AS k  -- json_valid: see ingest_json (r11)
+      FROM events
+    )
+    SELECT CAST(FLOOR(k / 25) AS INTEGER) AS k_quartile,
            count(*) AS cnt,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
-                AS BIGINT) AS sum_k,
-           MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
-           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
-    FROM events
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           MIN(k) AS min_k,
+           MAX(k) AS max_k
+    FROM e
     GROUP BY 1
     """,
 )
@@ -302,7 +306,11 @@ def fn_variant_json(spark, t):
     again.  Output is plain scalars, so the key stays hash-checkable
     against DuckDB's text-path extraction.
     """
-    v = F.parse_json("props")
+    # try_parse_json: an empty/malformed payload becomes a NULL
+    # variant (every variant_get then NULL) instead of a FAILFAST
+    # crash — the oracle's json_valid guard mirrors it (r11
+    # empty-value survey)
+    v = F.try_parse_json("props")
     k = F.variant_get(v, "$.k", "int")
     return (
         t["events"]
@@ -522,8 +530,11 @@ def fn_sql_udf(spark, t):
     oracle="""
     WITH u AS (
       SELECT doc_id,
-             'https://' || source || '.example.com/docs/' || lang || '/'
-               || doc_id || '?q=' || lang || '%20' || source || '&page='
+             -- COALESCE/NULLIF: see the Spark body's sanitized src
+             'https://' || COALESCE(NULLIF(source, ''), 'nosrc')
+               || '.example.com/docs/' || lang || '/'
+               || doc_id || '?q=' || lang || '%20'
+               || COALESCE(NULLIF(source, ''), 'nosrc') || '&page='
                || (doc_id % 7) AS url
       FROM documents
     )
@@ -553,10 +564,16 @@ def fn_url_parse(spark, t):
     no shuffle, scan stays the only exchange-free stage a 100 TB URL
     normalization pass needs.
     """
+    # sanitized source for the SYNTHESIS: an '' source would build the
+    # host '.example.com', which java's URI parser (parse_url) rejects
+    # as an invalid host label (NULL) while the oracle's regexp happily
+    # extracts it — keep the synthesized URLs well-formed instead
+    # (r11 empty-value survey; oracle uses the same COALESCE/NULLIF)
+    src = F.expr("coalesce(nullif(source, ''), 'nosrc')")
     url = F.concat(
-        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.lit("https://"), src, F.lit(".example.com/docs/"),
         F.col("lang"), F.lit("/"), F.col("doc_id"),
-        F.lit("?q="), F.col("lang"), F.lit("%20"), F.col("source"),
+        F.lit("?q="), F.col("lang"), F.lit("%20"), src,
         F.lit("&page="), F.col("doc_id") % 7,
     )
     return t["documents"].select(

@@ -340,10 +340,16 @@ def dedup_ngram_jaccard(spark, t):
         .where(F.col("lang") == "en")
         .select(
             "doc_id",
+            # CASE guard like _SPARK_SHINGLES: sequence(1, n) DESCENDS
+            # for n < 1, fabricating ''-grams for sub-3-char texts —
+            # two EMPTY docs then scored jaccard 1.0 while DuckDB's
+            # range() is empty and emits no pair (r11 empty survey)
             F.array_distinct(
                 F.expr(
+                    "CASE WHEN length(text) >= 3 THEN "
                     "transform(sequence(1, length(text) - 2), "
-                    "i -> substring(text, i, 3))"
+                    "i -> substring(text, i, 3)) "
+                    "ELSE array() END"
                 )
             ).alias("g"),
         )

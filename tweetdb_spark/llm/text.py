@@ -151,10 +151,15 @@ _SPARK_WHASH = (
 # materializes as float64 — the driver's dtype-sensitive hash would see
 # 561993910.0 != Spark's bigint 561993910 (same skew class as the r01
 # events_session_batch fail)
+# CASE/COALESCE mirror the Spark fold exactly on degenerate inputs:
+# '' hashes to 0 (empty fold from 0; Python reference agrees), NULL
+# text hashes to NULL (r11 empty-value survey — DuckDB's list_sum over
+# an empty list is NULL, which diverged from Spark's 0).
 _DUCK_WHASH = (
-    "CAST(list_sum(list_transform(range(1, length({s}) + 1), "
-    "i -> ascii(substr({s}, CAST(i AS INT), 1)) * ((i * 2654435761) % 2147483647))) "
-    "% 2147483647 AS BIGINT)"
+    "(CASE WHEN {s} IS NULL THEN NULL ELSE "
+    "CAST(COALESCE(list_sum(list_transform(range(1, length({s}) + 1), "
+    "i -> ascii(substr({s}, CAST(i AS INT), 1)) * ((i * 2654435761) % 2147483647))), 0) "
+    "% 2147483647 AS BIGINT) END)"
 )
 
 
@@ -2200,7 +2205,8 @@ _BLOCK_VALUES = ", ".join(f"('{h}')" for h in URL_BLOCKLIST)
     oracle=f"""
     WITH u AS (
       SELECT doc_id, lang, source,
-             'https://www.' || source || '.example.com/' || lang ||
+             'https://www.' || COALESCE(NULLIF(source, ''), 'nosrc')
+               || '.example.com/' || lang ||
                '/doc-' || doc_id || '?ref=rss' AS url
       FROM documents
     ), parsed AS (
@@ -2235,9 +2241,14 @@ def corpus_url_filter(spark, t):
     The oracle re-derives host/path with regexes, so the parse_url
     semantics are value-hash-checked.
     """
+    # sanitized source: '' would synthesize the host 'www..example.com'
+    # whose empty label java's URI parser rejects (parse_url -> NULL)
+    # while the oracle regexp extracts it — same rule as fn_url_parse
+    # (r11 empty-value survey)
+    src = F.expr("coalesce(nullif(source, ''), 'nosrc')")
     url = F.concat(
         F.lit("https://www."),
-        F.col("source"),
+        src,
         F.lit(".example.com/"),
         F.col("lang"),
         F.lit("/doc-"),

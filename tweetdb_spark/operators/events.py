@@ -517,11 +517,16 @@ def events_interpolate(spark, t):
         .withColumn("next_val", F.first("revenue", ignorenulls=True).over(wnext))
         .withColumn("next_t", F.first(known_t, ignorenulls=True).over(wnext))
     )
-    frac = (
-        F.unix_timestamp("hour_start") - F.unix_timestamp("prev_t")
-    ) / (F.unix_timestamp("next_t") - F.unix_timestamp("prev_t"))
+    # SAME float op order as the oracle's `a + (b-a) * d1 / d2`, which
+    # binds as ((b-a)*d1)/d2 — precomputing the fraction d1/d2 first
+    # gives a 1-ulp-different product that flips ROUND(...,4) on
+    # boundary values (r11 empty-value survey caught one such row)
+    d1 = F.unix_timestamp("hour_start") - F.unix_timestamp("prev_t")
+    d2 = F.unix_timestamp("next_t") - F.unix_timestamp("prev_t")
     interp = F.round(
-        F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * frac, 4
+        F.col("prev_val")
+        + ((F.col("next_val") - F.col("prev_val")) * d1) / d2,
+        4,
     )
     return marked.select(
         "hour_start",

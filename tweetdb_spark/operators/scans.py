@@ -148,7 +148,11 @@ def ingest_json_corrupt(spark, t):
     # json_valid(NULL) routes it to the corrupt side (r11 NULL survey).
     # DQ-wise that's also the right call: absent payloads belong in the
     # quarantine tally.
-    is_valid = F.col("raw").isNotNull() & F.col("p._corrupt").isNull()
+    is_valid = (
+        F.col("raw").isNotNull()
+        & (F.col("raw") != "")  # '' parses to a NULL struct, not _corrupt
+        & F.col("p._corrupt").isNull()
+    )
     return parsed.groupBy("event_type").agg(
         F.sum(F.when(is_valid, 1).otherwise(0)).alias("n_valid"),
         F.sum(F.when(is_valid, 0).otherwise(1)).alias("n_corrupt"),
@@ -203,9 +207,14 @@ def source_custom_python(spark, t):
 @query(
     "sink_parquet_part",
     oracle="""
-    SELECT event_type, count(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+    -- NULLIF models the Hive partition-value convention the Spark
+    -- side inherits: a partition column written as '' (or NULL) lands
+    -- in __HIVE_DEFAULT_PARTITION__ and reads back as NULL (r11
+    -- empty-value survey)
+    SELECT NULLIF(event_type, '') AS event_type,
+           count(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
     FROM events
-    GROUP BY event_type
+    GROUP BY 1
     """,
 )
 def sink_parquet_part(spark, t):
@@ -282,7 +291,8 @@ def sink_jsonl_sharded(spark, t):
                row_number() OVER (PARTITION BY source ORDER BY doc_id)
                  AS rn
         FROM documents
-        WHERE text IS NOT NULL AND source IS NOT NULL
+        WHERE text IS NOT NULL AND text <> ''
+          AND source IS NOT NULL AND source <> ''
       ) WHERE rn = 1
     )
     SELECT source || '.bin' AS fname,
@@ -321,10 +331,17 @@ def ingest_binary_files(spark, t):
     w = Window.partitionBy("source").orderBy("doc_id")
     firsts = (
         t["documents"]
-        # a file cannot hold a NULL payload (or be keyed by a NULL
-        # source): elect blobs from rows where both exist, mirrored in
-        # the oracle's WHERE (r11 NULL-survey catch — .encode crashed)
-        .where(F.col("text").isNotNull() & F.col("source").isNotNull())
+        # a file needs a NAME and BYTES: a NULL/'' source can't name a
+        # file (''.bin is a dot-file Spark's lister hides) and a
+        # NULL/'' text can't fill one (0-byte blobs read back
+        # inconsistently) — elect blobs only from rows with both,
+        # mirrored in the oracle's WHERE (r11 NULL + empty surveys)
+        .where(
+            F.col("text").isNotNull()
+            & (F.col("text") != "")
+            & F.col("source").isNotNull()
+            & (F.col("source") != "")
+        )
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("source", "text")
@@ -448,7 +465,12 @@ def compact_files(spark, t):
 @query(
     "ingest_csv",
     oracle="""
-    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    -- NULLIF models Spark's CSV text convention: '' and NULL are the
+    -- same wire token (empty field), so both read back as NULL — a
+    -- lossy-for-'' but lossless-for-values round-trip every CSV
+    -- pipeline inherits (r11 empty-value survey)
+    SELECT c_custkey, NULLIF(c_name, '') AS c_name, c_nationkey,
+           c_acctbal, NULLIF(c_mktsegment, '') AS c_mktsegment
     FROM customer
     """,
 )
@@ -533,12 +555,17 @@ def _snapshot_root(spark, t) -> str:
         s: write_group(base.where(F.col("o_orderstatus") == s), f"v0_{s}")
         for s in ("O", "F", "P")
     }
-    # rows whose group key is NULL need a file group too — `== s`
-    # matches none of them, and without this group the snapshot store
-    # silently LOSES every NULL-status order (r11 NULL survey).  The
-    # same reason Hive/Iceberg keep a __HIVE_DEFAULT_PARTITION__.
-    groups["NULL"] = write_group(
-        base.where(F.col("o_orderstatus").isNull()), "v0_NULL"
+    # RESIDUAL group: rows whose status is NULL, '', or any value
+    # outside the known set need a file group too — `== s` matches
+    # none of them, and without it the snapshot store silently LOSES
+    # those orders (r11 NULL + empty-value surveys).  The same reason
+    # Hive/Iceberg keep a __HIVE_DEFAULT_PARTITION__.
+    groups["OTHER"] = write_group(
+        base.where(
+            F.col("o_orderstatus").isNull()
+            | ~F.col("o_orderstatus").isin("O", "F", "P")
+        ),
+        "v0_OTHER",
     )
     v1_f = write_group(
         base.where(F.col("o_orderstatus") == "F").withColumn(
@@ -553,8 +580,8 @@ def _snapshot_root(spark, t) -> str:
         json.dump(
             {
                 "version": 1,
-                # COW touches only the 'F' group; O/P/NULL carry over
-                "files": groups["O"] + groups["P"] + groups["NULL"] + v1_f,
+                # COW touches only the 'F' group; the rest carry over
+                "files": groups["O"] + groups["P"] + groups["OTHER"] + v1_f,
             },
             fh,
         )
