@@ -103,11 +103,14 @@ def query(name: str, oracle: Optional[str] = None):
 #        oracle-less keys — NOT ``rows_match=true`` — so the streaming
 #        keys now hold driver-executed row counts (spark_rows evidence),
 #        with hash-level correctness still living in their batch twins.
-#   r12 (PLANNED, 2-round cadence): join_cross/sort_multicol/setop_union/
-#        setop_intersect/setop_except back IN (will be 2 rounds
-#        driver-stale after r11); scan_parquet/project_arith/filter_like/
-#        agg_global/topk_global OUT (green r01+r02+r06+r07+r10, and
-#        r11 pending).
+#   r12 (EXECUTED, 2-round cadence per round-11 verdict ask #1):
+#        join_cross/sort_multicol/setop_union/setop_intersect/setop_except
+#        back IN (2 rounds driver-stale after r11; green r01+r03+r05+r08+
+#        r09 + every committed strict sweep since); scan_parquet/
+#        project_arith/filter_like/agg_global/topk_global OUT (driver-
+#        hash-green r01+r02+r06+r07+r10+r11 — six rounds of evidence,
+#        the most redundantly covered batch keys after the fn_* family).
+#   r13 (PLANNED, 2-round cadence): hold in r13, reverse swap in r14.
 # If the driver's window size or selection policy ever differs,
 # ``tools/check.py --strict`` still verifies ALL registered hashable keys
 # locally regardless of position — that local sweep, not this ordering,
@@ -140,11 +143,11 @@ CONTRACT_ORDER: list[str] = [
     "win_lag_lead",          # W3
     "win_frame_rows",        # W4
     "win_frame_range",       # W5
-    "scan_parquet",          # S1  (rotated IN r10; r01+r02+r06+r07 pass)
-    "project_arith",         # P1  (rotated IN r10; r01+r02+r06+r07 pass)
-    "filter_like",           # P3  (rotated IN r10; r01+r02+r06+r07 pass)
-    "agg_global",            # A1  (rotated IN r10; r01+r02+r06+r07 pass)
-    "topk_global",           # O2  (rotated IN r10; r01+r02+r06+r07 pass)
+    "join_cross",            # J7  (rotated IN r12; r01+r03+r05+r08+r09 pass)
+    "sort_multicol",         # O1  (rotated IN r12; r01+r03+r05+r08+r09 pass)
+    "setop_union",           # O3  (rotated IN r12; r01+r03+r05+r08+r09 pass)
+    "setop_intersect",       # O4  (rotated IN r12; r01+r03+r05+r08+r09 pass)
+    "setop_except",          # O5  (rotated IN r12; r01+r03+r05+r08+r09 pass)
     "fn_split_explode",      # F2
     "fn_map_json",           # F7
     "fn_cast_decimal",       # F8
@@ -167,14 +170,14 @@ CONTRACT_ORDER: list[str] = [
     "fn_math",               # F4  (r01-r09 pass, 9/9 rounds)
     "fn_conditional",        # F5  (r01-r09 pass, 9/9 rounds)
     "fn_array",              # F6  (r01-r09 pass, 9/9 rounds)
-    # --- positions 51-60: hashable contract rows parked in r11 ---
-    # (rotated out in r10 swap (a), green r01+r03+r08+r09; every one
-    # still in check.py --strict each round)
-    "join_cross",            # J7  (r01+r03+r05+r08+r09 pass)
-    "sort_multicol",         # O1  (r01+r03+r05+r08+r09 pass)
-    "setop_union",           # O3  (r01+r03+r05+r08+r09 pass)
-    "setop_intersect",       # O4  (r01+r03+r05+r08+r09 pass)
-    "setop_except",          # O5  (r01+r03+r05+r08+r09 pass)
+    # --- positions 51-60: hashable contract rows parked in r12 ---
+    # (rotated out in r12 swap, driver-hash-green r01+r02+r06+r07+r10+r11;
+    # every one still in check.py --strict each round)
+    "scan_parquet",          # S1  (r01+r02+r06+r07+r10+r11 pass)
+    "project_arith",         # P1  (r01+r02+r06+r07+r10+r11 pass)
+    "filter_like",           # P3  (r01+r02+r06+r07+r10+r11 pass)
+    "agg_global",            # A1  (r01+r02+r06+r07+r10+r11 pass)
+    "topk_global",           # O2  (r01+r02+r06+r07+r10+r11 pass)
     # --- remaining SURVEY §2 rows-only rows (no faithful ANSI oracle) ---
     # (the five streaming keys now carry driver spark_rows evidence from
     # their r10 tour through the graded window)
@@ -197,7 +200,7 @@ CONTRACT_ORDER: list[str] = [
 # spark_rows counts, recorded in CORRECTNESS_r10.json).  Any future
 # rotation must both name its keys here AND bump ROTATION_ROUND so the
 # expiry test can tell a planned carve-out from a forgotten one.
-ROTATION_ROUND: int = 11
+ROTATION_ROUND: int = 12
 WINDOW_ROWS_ONLY_KEYS: frozenset[str] = frozenset()
 
 
