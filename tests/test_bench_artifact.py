@@ -93,12 +93,8 @@ def test_vs_prior_suppresses_raw_ratio_on_query_set_change():
         }
         with open(os.path.join(d, "BENCH_r98.json"), "w") as fh:
             json.dump(prior, fh)
-        orig = bench.os.path.dirname
-        try:
-            bench.os.path.dirname = lambda p: d  # point _vs_prior at tmp
-            cmp = bench._vs_prior(times, calibration=1.0)
-        finally:
-            bench.os.path.dirname = orig
+        # explicit root param (r11 ADVICE: no global os.path monkeypatch)
+        cmp = bench._vs_prior(times, calibration=1.0, root=d)
     assert cmp["raw_ratio"] is None
     assert cmp["comparable_ratio"] == 1.0
     assert set(cmp["query_ratios"]) == {"a", "b"}

@@ -1149,3 +1149,48 @@ def test_banded_candidates_exactly_once_vs_multiband_distinct(spark):
     assert set(got) == ref
     # the identical trio must be fully connected candidates
     assert {(1, 2), (1, 6), (2, 6)} <= ref
+
+
+def test_ann_family_degenerate_vectors(spark, registry, tmp_path_factory):
+    """r12 rows-only edge survey (verdict ask #5 + ADVICE _qprep): NULL
+    and empty embeddings must neither crash the index builds (corpus
+    side: KMeans/PQ/LSH ingest) nor the driver-side query preps, in any
+    ANN tier.  vec_id 0 goes NULL (the single-query forms' query) and
+    vec_id 2 empty (a batch query); vec_id 7/8 are corpus-side
+    degenerates that must silently drop out of every index."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path_factory.mktemp("ann_edge"))
+    for name in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents",
+    ):
+        os.symlink(f"{src}/{name}.parquet", f"{d}/{name}.parquet")
+    e = spark.read.parquet(f"{src}/embeddings.parquet")
+    dt = e.schema["embedding"].dataType
+    e.withColumn(
+        "embedding",
+        F.when(F.col("vec_id").isin(0, 7), F.lit(None).cast(dt))
+        .when(F.col("vec_id").isin(2, 8), F.array().cast(dt))
+        .otherwise(F.col("embedding")),
+    ).coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+
+    # single-query tiers: the query vector itself is degenerate ->
+    # empty result with the production schema, never a crash
+    for key in ("sim_ann_ivf", "sim_ann_ivf_pq", "sim_ann_lsh", "sim_ann_multiprobe"):
+        out = registry.QUERIES[key](spark, d)
+        assert out.count() == 0, key
+        assert "cos_sim" in out.columns, key
+
+    # batch tier: degenerate queries drop, valid ones still get top-3,
+    # and no degenerate corpus vector ever surfaces as a neighbor
+    rows = registry.QUERIES["sim_ann_ivf_pq_batch"](spark, d).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, []).append(r.vec_id)
+    assert set(per_q) == {1, 3, 4}, per_q
+    assert all(len(v) == 3 for v in per_q.values()), per_q
+    assert not any(v in (7, 8) for vs in per_q.values() for v in vs), per_q

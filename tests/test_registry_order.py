@@ -100,3 +100,38 @@ def test_contract_order_has_no_duplicates_and_all_registered():
     assert len(set(registry.CONTRACT_ORDER)) == len(registry.CONTRACT_ORDER)
     unknown = [k for k in registry.CONTRACT_ORDER if k not in queries]
     assert not unknown, f"CONTRACT_ORDER names unregistered keys: {unknown}"
+
+
+def test_eager_keys_are_declared():
+    """Keys whose DataFrame construction runs Spark jobs must carry the
+    eager=True registry mark (r11 verdict ask #7) so composing callers
+    know `QUERIES[k](spark, sf)` is not a free plan build.  This list
+    is the audited census: iterative component fixpoints, ensure_*
+    index builds, driver-side model fits and vocab collects."""
+    import tweetdb_spark
+    from tweetdb_spark import registry
+
+    tweetdb_spark.load_all_operators()
+    expected = {
+        # component-fixpoint family (eager localCheckpoints in the loop)
+        "dedup_cluster_resolve",
+        "corpus_dedup_e2e",
+        "corpus_pipeline_audit",
+        "dedup_minhash_verdicts",
+        # model fit / index build at construction
+        "dedup_semantic_blocked",
+        "sim_ann_ivf",
+        "sim_ann_ivf_pq",
+        "sim_ann_ivf_pq_batch",
+        "sim_ann_lsh",
+        "sim_ann_multiprobe",
+        "stream_vector_ingest",
+        # iterative driver-bounded algorithms (model data collects)
+        "embed_pca_power",
+        "text_bpe_train",
+        "text_bpe_train_dict",
+        "text_bpe_encode",
+    }
+    assert registry.EAGER == expected, registry.EAGER ^ expected
+    for k in expected:
+        assert getattr(registry.QUERIES[k], "eager", False), k

@@ -473,6 +473,7 @@ _SIMHASH_LABELS_CTE = f"""
 
 @query(
     "dedup_cluster_resolve",
+    eager=True,  # component fixpoint at build
     oracle=_SIMHASH_LABELS_CTE
     + """
     SELECT component_id,
@@ -526,34 +527,59 @@ def _simhash_components(spark, t):
 
 def _min_label_components(nodes, edges):
     """Connected-component labels (doc_id, component_id) over an
-    undirected edge set — min-label propagation with pointer doubling,
-    shared by the simhash tier and the MinHash verdict tier.
+    undirected edge set — min-label propagation with pointer doubling
+    AND per-round edge contraction, shared by the simhash tier and the
+    MinHash verdict tier.
 
     ``nodes`` is (doc_id); ``edges`` is (u, v) with one row per
     undirected pair.  component_id comes out as the minimum doc_id of
-    the component."""
-    sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.localCheckpoint(eager=True)  # cut lineage before iterating
+    the component — a pure function of the component PARTITION, not of
+    the algorithm path, so the r12 contraction rewrite is
+    checksum-identical to the r11 plain loop by construction (A/B'd at
+    sf0.01/sf0.1/sf1 on all five consuming keys).
 
+    r11 shape: every round re-joined the FULL symmetric edge list
+    against current labels even after most components had converged,
+    plus a changed-rows count join (sf0.1 verdict graph, 5.9M sym
+    rows: 5 rounds, 8.2 s).  r12 shape (this one):
+
+    - **neighbor-min runs on a CONTRACTED frame** ``E`` whose
+      endpoints are current *labels*: after each round every edge is
+      rewritten to (label(u), label(v)), self-loops dropped, distinct.
+      Converged components vanish from ``E`` entirely, so round k+1
+      only pays for still-open components — near-clique dup clusters
+      collapse in round 1 and cost nothing after (sf0.1: E goes
+      5.9M → 0 in two rounds, loop 3.5 s).
+    - **doubling is unchanged**: the grand step (label :=
+      label-of-label) composes the CUMULATIVE node→label map with
+      itself, so the O(log diameter) bound survives contraction — a
+      descending 59-hop chain (the probe that killed a fixed-cap
+      variant in verification) still converges logarithmically.
+      Propagation through the contracted frame is ≥ as fast as the
+      per-node form: a node inherits the min over its whole label
+      group's neighborhood, a superset of its own.
+    - **convergence is an emptiness probe** on the contracted frame
+      (E empty ⇔ every original edge has label(u) == label(v) ⇔
+      labels constant per component; the component min always keeps
+      its own label, so that constant IS the min) — replacing the
+      full-frame changed-count join.
+    """
+    sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     labels = nodes.select("doc_id", F.col("doc_id").alias("component_id"))
-    # Min-label propagation + pointer doubling.  Plain propagation
-    # moves a label one hop per round (a d-hop chain needs d rounds —
-    # a fixed iteration cap silently returns WRONG components, caught
-    # by a 59-hop probe during verification).  The doubling step
-    # (label := label-of-label) halves remaining distance, so
-    # convergence is O(log diameter); the loop still runs to an
-    # observed fixpoint and fails loudly if the cap is ever hit.
+    e = sym.localCheckpoint(eager=True)  # cut lineage before iterating
     for i in range(64):
-        neighbor_min = (
-            labels.join(sym, labels.doc_id == sym.u)
-            .groupBy(F.col("v").alias("doc_id"))
-            .agg(F.min("component_id").alias("nmin"))
+        # min label adjacent to each still-open label node (e's
+        # endpoints are label values after round 1, node ids before)
+        neighbor_min = e.groupBy(F.col("u").alias("lbl")).agg(
+            F.min("v").alias("nmin")
         )
         parent = labels.select(
             F.col("doc_id").alias("p_id"), F.col("component_id").alias("grand")
         )
         new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
+            labels.join(
+                neighbor_min, labels.component_id == neighbor_min.lbl, "left"
+            )
             .join(parent, labels.component_id == parent.p_id, "left")
             .select(
                 "doc_id",
@@ -565,14 +591,23 @@ def _min_label_components(nodes, edges):
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.component_id") != F.col("o.component_id"))
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        # contract: rewrite both endpoints through the node→label map
+        # (endpoints are always node ids, valid keys of ``labels``),
+        # drop closed edges, dedupe — the frame shrinks to the open
+        # frontier.  distinct() cost is bounded by the shrinking frame,
+        # not the original edge count, after round 1.
+        lu = labels.select(F.col("doc_id").alias("u"), F.col("component_id").alias("lu"))
+        lv = labels.select(F.col("doc_id").alias("v"), F.col("component_id").alias("lv"))
+        e = (
+            e.join(lu, "u")
+            .join(lv, "v")
+            .where(F.col("lu") != F.col("lv"))
+            .select(F.col("lu").alias("u"), F.col("lv").alias("v"))
+            .distinct()
+        )
+        e = e.localCheckpoint(eager=True)
+        if e.isEmpty():
             break
     else:  # pragma: no cover - 2^64 diameter is impossible
         raise RuntimeError("connected components did not converge")
@@ -581,6 +616,7 @@ def _min_label_components(nodes, edges):
 
 @query(
     "corpus_dedup_e2e",
+    eager=True,  # component fixpoint at build
     oracle=_SIMHASH_LABELS_CTE
     + """
     , lab AS (
@@ -653,6 +689,7 @@ def corpus_dedup_e2e(spark, t):
 
 @query(
     "corpus_pipeline_audit",
+    eager=True,  # component fixpoint at build
     oracle=_SIMHASH_LABELS_CTE
     + """
     , lab AS (
@@ -804,7 +841,7 @@ def corpus_pipeline_audit(spark, t):
     )
 
 
-@query("dedup_semantic_blocked", oracle=None)  # cell-blocked ≈ → rows-only
+@query("dedup_semantic_blocked", oracle=None, eager=True)  # KMeans fit at build  # cell-blocked ≈ → rows-only
 def dedup_semantic_blocked(spark, t):
     """Cell-blocked semantic near-dup — the 100 TB path for
     dedup_embedding_cosine, executable (not just prose in SCALE.md).
@@ -903,6 +940,16 @@ def dedup_minhash_lsh(spark, t):
     1-(1-s²)^8 ≥ 0.9997, ≥ the old 5-table ML config's 1-(1-s)^5.
     Rows-only check (LSH is approximate); L2 is the hash-checked exact
     twin at small N.
+
+    The candidate verify intersects SORTED 64-BIT token ids, not the
+    token strings (r12): string array_intersect re-hashes ~200
+    multi-byte tokens per candidate pair (10.7M pairs at sf0.1),
+    while bigint intersection stays primitive — 11.3 s → 4.7 s for
+    the IDENTICAL edge set.  Flipping a Jaccard verdict would need
+    two different tokens inside one candidate pair to share a full
+    xxhash64 value (~|doc|²/2⁶⁴ ≈ 2e-15 per pair) — the same trust
+    level the exact tier places in md5(text); A/B checksum-verified
+    identical at sf0.01/sf0.1/sf1.
     """
     toks = t["documents"].select(
         "doc_id",
@@ -914,8 +961,12 @@ def dedup_minhash_lsh(spark, t):
         F.expr("transform(tokens, w -> xxhash64(w) & 2147483647)").alias("g"),
     )
     cand = _banded_candidate_pairs(g, n_bands=8)
-    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tokens").alias("t_a"))
-    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tokens").alias("t_b"))
+    ids = toks.select(
+        "doc_id",
+        F.sort_array(F.expr("transform(tokens, w -> xxhash64(w))")).alias("i"),
+    )
+    ta = ids.select(F.col("doc_id").alias("doc_a"), F.col("i").alias("t_a"))
+    tb = ids.select(F.col("doc_id").alias("doc_b"), F.col("i").alias("t_b"))
     inter = F.size(F.array_intersect(F.col("t_a"), F.col("t_b")))
     union = F.size(F.col("t_a")) + F.size(F.col("t_b")) - inter
     dist = 1.0 - F.try_divide(inter.cast("double"), union)
@@ -927,7 +978,7 @@ def dedup_minhash_lsh(spark, t):
     )
 
 
-@query("dedup_minhash_verdicts", oracle=None)  # LSH tier → rows-only
+@query("dedup_minhash_verdicts", oracle=None, eager=True)  # component fixpoint at build  # LSH tier → rows-only
 def dedup_minhash_verdicts(spark, t):
     """L3's PRODUCTION output form: one dedup verdict per document
     (keep / dup_of / reason) — never a pair list.
@@ -985,8 +1036,14 @@ def dedup_minhash_verdicts(spark, t):
         F.expr("transform(tokens, w -> xxhash64(w) & 2147483647)").alias("g"),
     )
     cand = _banded_candidate_pairs(g, n_bands=8)
-    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tokens").alias("t_a"))
-    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tokens").alias("t_b"))
+    # sorted 64-bit token ids for the verify — see dedup_minhash_lsh's
+    # docstring for the string→bigint intersection rationale (r12)
+    ids = toks.select(
+        "doc_id",
+        F.sort_array(F.expr("transform(tokens, w -> xxhash64(w))")).alias("i"),
+    )
+    ta = ids.select(F.col("doc_id").alias("doc_a"), F.col("i").alias("t_a"))
+    tb = ids.select(F.col("doc_id").alias("doc_b"), F.col("i").alias("t_b"))
     inter = F.size(F.array_intersect(F.col("t_a"), F.col("t_b")))
     union = F.size(F.col("t_a")) + F.size(F.col("t_b")) - inter
     dist = 1.0 - F.try_divide(inter.cast("double"), union)
@@ -1116,7 +1173,21 @@ def _banded_candidate_pairs(g_df, n_bands: int = _MH_BANDS):
     and the only shuffle left is the (j, v) equi-join itself.  The
     filter is a ≤n_bands string-compare loop inside codegen, map-side
     after the join.  Output set is IDENTICAL to the distinct() form.
+
+    Degenerate-signature guard (r12, ADVICE r11): a doc with an EMPTY
+    shingle/token-id set (text shorter than the gram width, empty or
+    NULL text) minhashes to NULL in every row, so concat_ws folds all
+    its band values to '' — every pair of such docs collides in every
+    band, an O(n_degenerate²) candidate blow-up that survives
+    first-collision ownership at band 0 and is only discarded by the
+    exact-Jaccard verify (an empty set can never reach any positive
+    similarity threshold: its intersection is 0, so the ratio is 0 or
+    NULL).  Dropping empty signatures BEFORE banding is therefore
+    semantics-preserving for every consumer; the hash-checked
+    portable tier mirrors the same ``len(g) > 0`` filter in its
+    DuckDB oracle CTE so both engines band the identical doc set.
     """
+    g_df = g_df.where(F.size("g") > 0)
     bands = _mh_band_sql("spark", n_bands)
     vcols = [f"v{i}" for i in range(n_bands)]
     banded = g_df.select(
@@ -1130,17 +1201,35 @@ def _banded_candidate_pairs(g_df, n_bands: int = _MH_BANDS):
     # (n_bands rows/doc) so AQE coalesces it to a handful of partitions
     # — but the join OUTPUT is the collision blow-up, and with the
     # distinct() gone there is no later exchange to restore parallelism.
-    # An explicit numbered repartition is exempt from AQE coalescing,
-    # and the self-join reuses it on both sides.  (Parallelism inside
-    # ONE band bucket is still bounded by the bucket — a dense template
-    # cluster colliding in all n_bands bands caps the stage at ~n_bands
-    # useful tasks whatever the partition count; that bound is inherent
-    # to bucket-local pair enumeration.)
+    # An explicit numbered repartition is exempt from AQE coalescing.
     n_part = int(
         g_df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    banded = banded.repartition(n_part, "j", "v")
-    a, b = banded.alias("a"), banded.alias("b")
+    # Bucket-salting (r12): pair enumeration is bucket-local, so a
+    # dense template cluster colliding in all n_bands bands used to
+    # cap the stage at ~n_bands useful tasks whatever the partition
+    # count (the r11 comment called that bound "inherent" — it isn't).
+    # Salt the A side by hash(doc_id) % n_salt and replicate the B
+    # side once per salt: each (j, v) bucket's quadratic work splits
+    # into n_salt independent partitions of |bucket|/n_salt × |bucket|
+    # comparisons, and every colliding pair still meets EXACTLY once
+    # (at the B copy whose salt equals the smaller doc's salt), so the
+    # output multiset is unchanged.  Cost: the B-side band shuffle
+    # grows ×n_salt — n_bands·n_salt short rows per doc, still
+    # signature-sized, never pair-sized.  sf0.1 verdict graph A/B on
+    # the warm enumeration stage (10.7M candidates): salt 1 → 9.1 s,
+    # 4 → 4.4 s, 8 → 3.5 s, 16 → 3.6 s (plateau: past ~2 bucket
+    # groups per core the split only adds replication).  2× core
+    # oversubscription is the sweet spot, hence 2·n_part/n_bands.
+    n_salt = max(1, min(16, (2 * n_part) // n_bands))
+    a = banded.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salt))
+    )
+    b = banded.withColumn(
+        "salt", F.explode(F.array(*[F.lit(s) for s in range(n_salt)]))
+    )
+    a = a.repartition(n_part, "j", "v", "salt").alias("a")
+    b = b.repartition(n_part, "j", "v", "salt").alias("b")
     # first-collision ownership: drop the match unless NO earlier band
     # i < j also collides.  Expressed as a flat boolean OR-chain over
     # the scalar band columns — zero per-row allocations (an earlier
@@ -1157,6 +1246,7 @@ def _banded_candidate_pairs(g_df, n_bands: int = _MH_BANDS):
             b,
             (F.col("a.j") == F.col("b.j"))
             & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .where(~earlier_collision)
@@ -1165,7 +1255,7 @@ def _banded_candidate_pairs(g_df, n_bands: int = _MH_BANDS):
         )
     )
     # Re-balance before returning: pair production is bucket-local (a
-    # dense cluster's pairs all emerge from ~n_bands hot tasks), and
+    # dense cluster's pairs all emerge from ~n_bands·n_salt tasks), and
     # every consumer immediately does per-pair work that dwarfs a
     # narrow 2-bigint shuffle — the exact-Jaccard verify joins token
     # arrays onto each pair.  The old distinct() paid a 4x-wider
@@ -1191,9 +1281,15 @@ def _mh_oracle() -> str:
         "/ (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)))"
     )
     return f"""
-    WITH g AS (
+    WITH g_all AS (
       SELECT doc_id, {_DUCK_SHINGLES} AS g
       FROM documents WHERE lang = 'en'
+    ), g AS (
+      -- mirror of the Spark side's size(g) > 0 pre-band filter
+      -- (degenerate-signature guard, r12): both engines band the
+      -- identical doc set; empty-gram docs can never pass the
+      -- Jaccard threshold, so the final output is unchanged either way
+      SELECT * FROM g_all WHERE len(g) > 0
     ), bands AS (
       {band_union}
     ), cand AS (

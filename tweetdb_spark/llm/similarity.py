@@ -238,6 +238,13 @@ _IVF_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
 _IVF_K = 16
 
 
+def _valid_embeddings(df):
+    """Rows whose embedding can actually be indexed/scored: NULL and
+    zero-length vectors crash KMeans / ragged-stack numpy paths and are
+    unrankable (cosine NULL) — every index ingest shares this filter."""
+    return df.where(F.col("embedding").isNotNull() & (F.size("embedding") > 0))
+
+
 def ensure_ivf_index(spark, t) -> tuple[str, str]:
     """Build (once per session+sf_dir) the IVF index: vectors written
     partitioned by ``cell`` + a 16-row centroid table.
@@ -262,7 +269,15 @@ def ensure_ivf_index(spark, t) -> tuple[str, str]:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    e = t["embeddings"].withColumn("vec", array_to_vector("embedding"))
+    # degenerate-vector ingest filter (r12, rows-only edge survey): a
+    # NULL or empty embedding would crash KMeans.fit and can never be
+    # a meaningful neighbor anyway (its cosine is NULL in the exact
+    # twin, sorted last) — drop it from the index, mirroring the
+    # exact tier's effective semantics.  Also keeps the PQ tier clean:
+    # ensure_pq_index trains/encodes over THIS table's residuals.
+    e = _valid_embeddings(t["embeddings"]).withColumn(
+        "vec", array_to_vector("embedding")
+    )
     model = KMeans(
         k=_IVF_K, seed=42, featuresCol="vec", predictionCol="cell"
     ).fit(e)
@@ -288,7 +303,7 @@ def ensure_ivf_index(spark, t) -> tuple[str, str]:
     return out, cents
 
 
-@query("sim_ann_ivf", oracle=None)  # approx (probes 8/16 cells) → rows-only
+@query("sim_ann_ivf", oracle=None, eager=True)  # approx (probes 8/16 cells) → rows-only
 def sim_ann_ivf(spark, t):
     """ANN top-10 via an IVF coarse quantizer — the 100 TB path for L4.
 
@@ -308,11 +323,19 @@ def sim_ann_ivf(spark, t):
     idx_path, cents_path = ensure_ivf_index(spark, t)
 
     q_row = t["embeddings"].where(F.col("vec_id") == 0).select("embedding").first()
-    qv = np.asarray(q_row.embedding, dtype="float64")
-    cents = spark.read.parquet(cents_path).orderBy("cell").collect()  # 16 rows
-    centers = np.stack([np.asarray(r.center) for r in cents])
-    # probe the 8 centroids nearest the query (driver-side: 16×64 floats)
-    probe = np.argsort(((centers - qv) ** 2).sum(axis=1))[:8].tolist()
+    emb = None if q_row is None else q_row.embedding
+    if emb is None or len(emb) == 0:
+        # degenerate query (missing row, NULL or empty vector): probe
+        # nothing — the pipeline below then returns an empty frame with
+        # the production schema, mirroring the exact twin where such a
+        # query scores every row NULL (r12 rows-only edge survey)
+        probe = []
+    else:
+        qv = np.asarray(emb, dtype="float64")
+        cents = spark.read.parquet(cents_path).orderBy("cell").collect()  # 16 rows
+        centers = np.stack([np.asarray(r.center) for r in cents])
+        # probe the 8 centroids nearest the query (driver-side: 16×64 floats)
+        probe = np.argsort(((centers - qv) ** 2).sum(axis=1))[:8].tolist()
 
     q = t["embeddings"].where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv")
@@ -643,7 +666,10 @@ def ensure_lsh_index(spark, t) -> str:
     if cached is not None and os.path.exists(cached):
         return cached
     sig = F.expr(_rh_signature_expr())
-    base = with_norm(t["embeddings"]).withColumn("sig", sig)
+    # same degenerate-vector ingest filter as the IVF tier: a NULL/
+    # empty embedding signs to a NULL signature, which would land in a
+    # NULL band partition nothing ever probes — drop it at ingest
+    base = with_norm(_valid_embeddings(t["embeddings"])).withColumn("sig", sig)
     bands = base.select(
         "vec_id", "label", "embedding", "norm",
         F.explode(
@@ -682,14 +708,23 @@ def _lsh_probe(spark, t, probes):
     given [(j, band), ...] probe list."""
     idx = ensure_lsh_index(spark, t)
     qrow = _lsh_query_row(t)
-    pred = None
-    for j, b in probes(int(qrow.sig)):
-        c = (F.col("j") == j) & (F.col("band") == b)
-        pred = c if pred is None else (pred | c)
-    qv = spark.createDataFrame(
-        [([float(x) for x in qrow.embedding], float(qrow.norm))],
-        "qv array<double>, qnorm double",
-    )
+    if qrow is None or qrow.sig is None or qrow.embedding is None or len(
+        qrow.embedding
+    ) == 0:
+        # degenerate query (missing row, NULL/empty vector -> NULL
+        # signature): probe nothing — empty result, production schema
+        # (r12 rows-only edge survey, same contract as the IVF guards)
+        pred = F.lit(False)
+        qv = spark.createDataFrame([], "qv array<double>, qnorm double")
+    else:
+        pred = None
+        for j, b in probes(int(qrow.sig)):
+            c = (F.col("j") == j) & (F.col("band") == b)
+            pred = c if pred is None else (pred | c)
+        qv = spark.createDataFrame(
+            [([float(x) for x in qrow.embedding], float(qrow.norm))],
+            "qv array<double>, qnorm double",
+        )
     cand = (
         spark.read.parquet(idx)
         .where(pred & (F.col("vec_id") != 0))
@@ -708,7 +743,7 @@ def _lsh_probe(spark, t, probes):
     )
 
 
-@query("sim_ann_lsh", oracle=None)  # approx (band-probed) → rows-only
+@query("sim_ann_lsh", oracle=None, eager=True)  # approx (band-probed) → rows-only
 def sim_ann_lsh(spark, t):
     """ANN top-10 via random-hyperplane (SimHash-for-vectors) LSH —
     the other scale path for L4 alongside sim_ann_ivf.
@@ -728,7 +763,7 @@ def sim_ann_lsh(spark, t):
     return _lsh_probe(spark, t, probes)
 
 
-@query("sim_ann_multiprobe", oracle=None)  # approx (probe-expanded) → rows-only
+@query("sim_ann_multiprobe", oracle=None, eager=True)  # approx (probe-expanded) → rows-only
 def sim_ann_multiprobe(spark, t):
     """Multi-probe LSH ANN: sim_ann_lsh plus the Hamming-1
     neighborhood of every query band (Lv et al., VLDB'07).
@@ -905,7 +940,7 @@ def ensure_pq_index(spark, t) -> tuple[str, str]:
     return codes_path, books_path
 
 
-@query("sim_ann_ivf_pq", oracle=None)  # approx (PQ-scored candidates) → rows-only
+@query("sim_ann_ivf_pq", oracle=None, eager=True)  # approx (PQ-scored candidates) → rows-only
 def sim_ann_ivf_pq(spark, t):
     """ANN top-10 via IVF cells + product-quantized ADC scoring + exact
     re-rank — the bytes-scale path for L4.
@@ -927,30 +962,37 @@ def sim_ann_ivf_pq(spark, t):
     _, cents_path = ensure_ivf_index(spark, t)
 
     q_row = t["embeddings"].where(F.col("vec_id") == 0).select("embedding").first()
-    qv = np.asarray(q_row.embedding, dtype="float64")
-    cents = spark.read.parquet(cents_path).orderBy("cell").collect()
-    centers = np.stack([np.asarray(r.center) for r in cents])
-    probe = np.argsort(((centers - qv) ** 2).sum(axis=1))[:8].tolist()
-
-    brows = spark.read.parquet(books_path).collect()  # m×ksub tiny rows
     m, ksub = _PQ_M, _PQ_KSUB
-    dsub = len(qv) // m
-    books = np.zeros((m, ksub, dsub))
-    for r in brows:
-        books[r.s][r.k] = np.asarray(r.center)
+    emb = None if q_row is None else q_row.embedding
+    if emb is None or len(emb) == 0:
+        # degenerate query: empty probe/LUT set -> empty result with
+        # the production schema (r12 rows-only edge survey; same
+        # contract as sim_ann_ivf's guard)
+        probe, lut_rows, qnorm = [], [], 0.0
+    else:
+        qv = np.asarray(emb, dtype="float64")
+        cents = spark.read.parquet(cents_path).orderBy("cell").collect()
+        centers = np.stack([np.asarray(r.center) for r in cents])
+        probe = np.argsort(((centers - qv) ** 2).sum(axis=1))[:8].tolist()
 
-    # inner-product ADC: the (m·ksub) dot(qₛ, bookₛ[k]) table is
-    # cell-independent; the per-cell dot(q, centroid) offset is one
-    # double per probed cell.  One broadcast row per cell carries both.
-    qnorm = float(np.sqrt((qv * qv).sum()))
-    flat = [
-        float(qv[s * dsub : (s + 1) * dsub] @ books[s][k])
-        for s in range(m)
-        for k in range(ksub)
-    ]
-    lut_rows = [
-        (int(c), float(qv @ centers[c]), flat) for c in probe
-    ]
+        brows = spark.read.parquet(books_path).collect()  # m×ksub tiny rows
+        dsub = len(qv) // m
+        books = np.zeros((m, ksub, dsub))
+        for r in brows:
+            books[r.s][r.k] = np.asarray(r.center)
+
+        # inner-product ADC: the (m·ksub) dot(qₛ, bookₛ[k]) table is
+        # cell-independent; the per-cell dot(q, centroid) offset is one
+        # double per probed cell.  One broadcast row per cell carries both.
+        qnorm = float(np.sqrt((qv * qv).sum()))
+        flat = [
+            float(qv[s * dsub : (s + 1) * dsub] @ books[s][k])
+            for s in range(m)
+            for k in range(ksub)
+        ]
+        lut_rows = [
+            (int(c), float(qv @ centers[c]), flat) for c in probe
+        ]
     lut = spark.createDataFrame(
         lut_rows, "cell int, offset double, lut array<double>"
     )
@@ -994,7 +1036,7 @@ def sim_ann_ivf_pq(spark, t):
     )
 
 
-@query("sim_ann_ivf_pq_batch", oracle=None)  # approx → rows-only
+@query("sim_ann_ivf_pq_batch", oracle=None, eager=True)  # approx → rows-only
 def sim_ann_ivf_pq_batch(spark, t):
     """Batch IVF-PQ ANN: top-3 neighbors for EACH query (vec_id < 5)
     through the quantized index, in one plan — the PQ tier of
@@ -1041,6 +1083,15 @@ def sim_ann_ivf_pq_batch(spark, t):
     def _qprep(emb: pd.Series) -> pd.DataFrame:
         rows = []
         for e in emb:
+            # degenerate query guard (r11 ADVICE): a NULL embedding
+            # arrives as None (np.asarray -> 0-d array, the subvector
+            # slice would raise IndexError) and an empty/wrong-width
+            # one breaks the (centers - qv) broadcast.  Emit an empty
+            # probe list; the explode below then drops the query —
+            # mirroring cosine()/try_divide's degenerate-vector path.
+            if e is None or len(e) != d:
+                rows.append((None, None, []))
+                continue
             qv = np.asarray(e, dtype="float64")
             qnorm = float(np.sqrt((qv * qv).sum()))
             flat = [
@@ -1223,7 +1274,7 @@ def sim_maxsim_multivector(spark, t):
     )
 
 
-@query("embed_pca_power", oracle=None)  # iterative → rows-only by design
+@query("embed_pca_power", oracle=None, eager=True)  # iterative → rows-only by design
 def embed_pca_power(spark, t):
     """Distributed power iteration for the corpus's top principal
     direction (uncentered PCA / dominant right singular vector) — the

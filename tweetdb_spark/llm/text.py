@@ -1422,7 +1422,7 @@ def corpus_negative_pairs(spark, t):
     )
 
 
-@query("text_bpe_train", oracle=None)  # iterative; exact-equality pytest twin
+@query("text_bpe_train", oracle=None, eager=True)  # iterative; exact-equality pytest twin
 def text_bpe_train(spark, t):
     """Distributed BPE vocabulary training: learn the first 12 merge
     rules from the corpus (the tokenizer-training pass every LLM data
@@ -1500,7 +1500,7 @@ def text_bpe_train(spark, t):
     )
 
 
-@query("text_bpe_train_dict", oracle=None)  # two-level variant; equality pytest
+@query("text_bpe_train_dict", oracle=None, eager=True)  # two-level variant; equality pytest
 def text_bpe_train_dict(spark, t):
     """Two-level BPE training — the PRODUCTION shape for real vocab
     sizes: one distributed word-frequency aggregation, then the whole
@@ -1571,7 +1571,7 @@ def text_bpe_train_dict(spark, t):
     )
 
 
-@query("text_bpe_encode", oracle=None)  # applies the iterative vocab; pytest twin
+@query("text_bpe_encode", oracle=None, eager=True)  # applies the iterative vocab; pytest twin
 def text_bpe_encode(spark, t):
     """Apply the trained BPE vocabulary: tokenize every doc with the
     merge rules text_bpe_train learned, reporting per-doc token

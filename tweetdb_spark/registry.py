@@ -26,6 +26,13 @@ from tweetdb_spark.catalog import load_tables
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+# Keys whose DataFrame CONSTRUCTION runs Spark jobs (iterative
+# fixpoints with eager checkpoints, one-time ensure_*_index builds,
+# driver-side model fits / vocab collects): composing callers must not
+# assume `QUERIES[k](spark, sf)` is a free plan build for these (r11
+# verdict ask #7).  Membership is declared at the @query site via
+# eager=True and asserted in tests/test_registry_order.py.
+EAGER: set[str] = set()
 
 
 class Tables(dict):
@@ -35,8 +42,10 @@ class Tables(dict):
     sf_dir: str = ""
 
 
-def query(name: str, oracle: Optional[str] = None):
-    """Register an operator under ``name`` with an optional DuckDB oracle."""
+def query(name: str, oracle: Optional[str] = None, eager: bool = False):
+    """Register an operator under ``name`` with an optional DuckDB
+    oracle.  ``eager=True`` declares that CONSTRUCTING the DataFrame
+    runs Spark jobs (see :data:`EAGER`)."""
 
     def deco(fn: Callable[[SparkSession, dict], DataFrame]):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -46,11 +55,14 @@ def query(name: str, oracle: Optional[str] = None):
 
         wrapped.__name__ = f"query_{name}"
         wrapped.__doc__ = fn.__doc__
+        wrapped.eager = eager
         if name in QUERIES:
             raise ValueError(f"duplicate query key: {name}")
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = textwrap.dedent(oracle).strip()
+        if eager:
+            EAGER.add(name)
         return fn
 
     return deco

@@ -914,7 +914,7 @@ def stream_corpus_ingest(spark, t):
     return spark.read.parquet(state["cur"])
 
 
-@query("stream_vector_ingest", oracle=None)  # streamed index maintenance
+@query("stream_vector_ingest", oracle=None, eager=True)  # streamed index maintenance
 def stream_vector_ingest(spark, t):
     """Streaming ANN index maintenance — vectors arrive as a stream
     and are assigned to the EXISTING IVF cells without any refit: the
