@@ -21,7 +21,12 @@ def q(registry, spark):
 
 
 def _rows(df, *cols):
-    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+    # multiset compare via Counter, not sorted(): NULL-injected edge
+    # catalogs (TEST_EDGE_MODE) put None into sort positions, and
+    # Python's None < int comparison raises TypeError mid-sort
+    from collections import Counter
+
+    return Counter(tuple(r[c] for c in cols) for r in df.collect())
 
 
 def test_stream_tumbling_equals_batch_twin(q):
@@ -703,3 +708,19 @@ def test_cdc_deletes_remove_and_dont_resurrect(q):
     assert changed and all(rows[k].version == 2 for k in changed)
     untouched = [k for k in rows if k % 3 != 0]
     assert untouched and all(rows[k].version == 1 for k in untouched)
+
+
+def test_source_stream_file_equals_batch_filter(q, tables):
+    """S4's drained output must be the exact multiset of the batch
+    filter it streams (rows-only twin gap closed in r12, verdict ask
+    #5) — including under edge catalogs, where a NULL event_type must
+    drop the row in BOTH forms (same `!=` predicate)."""
+    from pyspark.sql import functions as F
+
+    cols = ("event_id", "ts", "user_id", "event_type", "value")
+    stream = _rows(q("source_stream_file"), *cols)
+    batch = _rows(
+        tables["events"].where(F.col("event_type") != "error").select(*cols),
+        *cols,
+    )
+    assert stream == batch
