@@ -85,12 +85,12 @@ N_RUNS = 3
 # steady-state probe is the production path being measured.
 REBUILD_KEYS = {"dedup_minhash_verdicts"}
 
-# Adaptive run count: a key whose first timed run exceeds this many
-# seconds reports that single sample instead of a median of 3 — at that
-# duration run-to-run spread is <1% (measured: 36.1/36.5/36.1 s) and
-# two more runs would only burn the round's bench budget.  The timed
-# warm-up still ships as a second `runs` entry (see _timed_runs).
-HEAVY_CUTOFF_SEC = 5.0
+# r13 (verdict ask #7): heavy keys used to truncate to a single timed
+# sample past a 5 s cutoff — which shipped a min-of-2 as the headline
+# for dedup_minhash_verdicts in r12.  Every key now gets the full
+# N_RUNS timed executions and the reported value is a true median; the
+# timed warm-up is appended as a final extra `runs` entry for spread
+# evidence but never participates in the median.
 
 # stdout tail budget: the driver keeps ~2000 chars; leave headroom
 MAX_COMPACT_LINE = 1500
@@ -109,16 +109,14 @@ COMPACT_KEYS = (
 
 
 def _timed_runs(action) -> tuple[float, list[float]]:
-    """(median, samples) after one warm-up: N_RUNS executions, or a
-    single one if the first already exceeds HEAVY_CUTOFF_SEC.
+    """(median, samples) after one warm-up: N_RUNS timed executions,
+    median over exactly those (r13, verdict ask #7 — no heavy-key
+    truncation; the r12 artifact presented a min-of-2 as a median).
 
-    The warm-up is itself timed (it is already paid): when the heavy
-    path truncates to a single steady-state sample, the warm-up time
-    is appended as a second entry so every key ships >=2 samples of
-    spread evidence in the artifact (r11 verdict blemish #1).  The
-    reported median stays the steady-state run — the warm-up entry is
-    always LAST in the list and, for non-rebuild keys, may include
-    one-time plan/index work, so it is evidence, not the measurement."""
+    The warm-up is itself timed (it is already paid) and appended as
+    the LAST entry of `samples` for spread evidence — it may include
+    one-time plan/index work for non-rebuild keys, so it never
+    participates in the median."""
     t0 = time.time()
     action()
     warm = round(time.time() - t0, 3)
@@ -127,12 +125,8 @@ def _timed_runs(action) -> tuple[float, list[float]]:
         t0 = time.time()
         action()
         samples.append(round(time.time() - t0, 3))
-        if samples[0] >= HEAVY_CUTOFF_SEC:
-            break
     med = round(statistics.median(samples), 3)
-    if len(samples) == 1:
-        samples = samples + [warm]
-    return med, samples
+    return med, samples + [warm]
 
 
 def _calibration(spark) -> float:
@@ -234,7 +228,9 @@ def main() -> None:
             n: round(t / calibration, 3) for n, t in times.items()
         } if calibration else None,
         "runs": runs,
-        "methodology": "median of 3 warm runs per query; "
+        "methodology": "median of 3 warm runs per query (every key, no "
+        "heavy-key truncation since r13; the final runs[] entry is the "
+        "timed warm-up, evidence only, never in the median); "
         "calibration = fixed 64M-row groupBy probe, calibration2 = "
         "fixed 1M-row join+window+agg probe (host-speed normalizers, "
         "code-independent; a calibrated ratio indicts code only when "

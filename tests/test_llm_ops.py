@@ -217,56 +217,28 @@ def test_simhash_pairs_are_discriminative(q, spark, tables):
 
 
 def test_cluster_resolution_converges_on_long_chains(spark):
-    """Regression: a 59-hop path graph must collapse to ONE component.
+    """Regression: path graphs must collapse to ONE component with
+    every node labelled by the chain minimum — asserted against the
+    SHARED helper (_min_label_components), not an inlined copy of it.
 
-    Plain min-label propagation moves one hop per round, so a fixed
-    iteration cap silently mislabels long chains (found by a verify
-    probe); the pointer-doubling step makes convergence logarithmic.
-    """
+    Two probes: the 59-hop chain that killed a fixed-iteration-cap
+    variant (plain min-label propagation moves one hop per round), and
+    the 4-node path 1-2-3-4 that exposed the r12 edge-contraction exit
+    bug (the contracted frame emptied while node 4 still held the
+    stale pointer 2 -> component 2 instead of 1)."""
     from pyspark.sql import functions as F
 
-    edges = spark.createDataFrame([(i, i + 1) for i in range(59)], "u long, v long")
-    sym = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
-    labels = spark.range(60).select(
-        F.col("id").alias("doc_id"), F.col("id").alias("component_id")
-    )
-    iterations = 0
-    for _ in range(64):
-        iterations += 1
-        nm = (
-            labels.join(sym, labels.doc_id == sym.u)
-            .groupBy(F.col("v").alias("doc_id"))
-            .agg(F.min("component_id").alias("nmin"))
+    from tweetdb_spark.llm.dedup import _min_label_components
+
+    for n in (4, 60):
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "u long, v long"
         )
-        parent = labels.select(
-            F.col("doc_id").alias("p_id"), F.col("component_id").alias("grand")
-        )
-        nl = (
-            labels.join(nm, "doc_id", "left")
-            .join(parent, labels.component_id == parent.p_id, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component_id"),
-                    F.coalesce("nmin", F.col("component_id")),
-                    F.coalesce("grand", F.col("component_id")),
-                ).alias("component_id"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            nl.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.component_id") != F.col("o.component_id"))
-            .count()
-        )
-        labels = nl
-        if changed == 0:
-            break
-    assert labels.select("component_id").distinct().count() == 1
-    assert iterations <= 10, f"doubling should be logarithmic, took {iterations}"
+        nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+        out = _min_label_components(nodes, edges).collect()
+        assert len(out) == n
+        bad = {r.doc_id: r.component_id for r in out if r.component_id != 0}
+        assert not bad, f"n={n}: stale labels {bad}"
 
 
 def test_semantic_blocked_recall_vs_exact(q):

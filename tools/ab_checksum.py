@@ -4,8 +4,10 @@ banding rewrite and the r12 component-loop rewrite).
 
 For each key: checksum = SUM(xxhash64(all columns, sorted by name))
 as decimal(38,0) — computed entirely in the JVM, one scalar to the
-driver.  Double columns participate via their exact string form, so
-any value drift flips the sum.  Compare the printed lines across two
+driver.  Columns are hashed in their native binary encoding (raw
+xxhash64 input, not a string cast — so e.g. -0.0 and 0.0 hash as the
+distinct doubles they are), and any value drift flips the sum.
+Compare the printed lines across two
 commits; identical lines = identical result multisets.
 
 Usage: SF_DIR=/root/testdata/sf0.1 python tools/ab_checksum.py key [key ...]

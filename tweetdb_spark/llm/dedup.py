@@ -558,15 +558,25 @@ def _min_label_components(nodes, edges):
       Propagation through the contracted frame is ≥ as fast as the
       per-node form: a node inherits the min over its whole label
       group's neighborhood, a superset of its own.
-    - **convergence is an emptiness probe** on the contracted frame
-      (E empty ⇔ every original edge has label(u) == label(v) ⇔
-      labels constant per component; the component min always keeps
-      its own label, so that constant IS the min) — replacing the
-      full-frame changed-count join.
+    - **convergence**: when the contracted frame empties, labels are
+      constant per component only in LABEL space — per-node labels can
+      still be stale pointers.  (r12 regression, caught in r13 review:
+      on the path 1-2-3-4 the frame empties with label[4]=2 while
+      label[2]=1, because node 4's edge was contracted into label
+      space and closed there before node 4's own pointer caught up.
+      Near-clique graphs converge in lockstep, which is why the sf0.01
+      /0.1/1 A/B checksums missed it; chain-shaped clusters do not.)
+      So the emptiness probe is only a TRIGGER: we then pointer-jump
+      labels to the per-node fixpoint and re-verify against the
+      ORIGINAL edge list before trusting the exit.  That final verify
+      is one full-frame join paid once — the r11 shape paid it every
+      round.
     """
-    sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)  # cut lineage; kept for the final verify
     labels = nodes.select("doc_id", F.col("doc_id").alias("component_id"))
-    e = sym.localCheckpoint(eager=True)  # cut lineage before iterating
+    e = sym
     for i in range(64):
         # min label adjacent to each still-open label node (e's
         # endpoints are label values after round 1, node ids before)
@@ -607,11 +617,61 @@ def _min_label_components(nodes, edges):
             .distinct()
         )
         e = e.localCheckpoint(eager=True)
+        if not e.isEmpty():
+            continue
+        # Contracted frame is empty — resolve stale per-node pointers,
+        # then prove the exit on the original edges (see docstring).
+        labels = _pointer_jump_fixpoint(labels)
+        lu = labels.select(F.col("doc_id").alias("u"), F.col("component_id").alias("lu"))
+        lv = labels.select(F.col("doc_id").alias("v"), F.col("component_id").alias("lv"))
+        e = (
+            sym.join(lu, "u")
+            .join(lv, "v")
+            .where(F.col("lu") != F.col("lv"))
+            .select(F.col("lu").alias("u"), F.col("lv").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
         if e.isEmpty():
             break
     else:  # pragma: no cover - 2^64 diameter is impossible
         raise RuntimeError("connected components did not converge")
     return labels
+
+
+def _pointer_jump_fixpoint(labels):
+    """Iterate component_id := min(component_id, labels[component_id])
+    until no row changes.  Labels form a decreasing pointer forest
+    (label[n] <= n and every label value is a node id), so this is
+    plain pointer doubling: O(log depth) rounds on a node-count-sized
+    frame, no edge frame involved."""
+    for _ in range(64):
+        parent = labels.select(
+            F.col("doc_id").alias("p_id"), F.col("component_id").alias("grand")
+        )
+        new_labels = (
+            labels.join(parent, labels.component_id == parent.p_id, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce("grand", F.col("component_id")),
+                ).alias("component_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.component_id") != F.col("o.component_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(  # pragma: no cover - 2^64 chain depth impossible
+        "pointer jumping did not converge"
+    )
 
 
 @query(
@@ -1151,7 +1211,7 @@ def _mh_band_sql(engine: str, n_bands: int = _MH_BANDS) -> list[str]:
     ]
 
 
-def _banded_candidate_pairs(g_df, n_bands: int = _MH_BANDS):
+def _banded_candidate_pairs(g_df, n_bands: int = _MH_BANDS, n_salt: int | None = None):
     """(doc_a, doc_b) pairs colliding in ≥1 minhash band — each pair
     emitted EXACTLY ONCE, with no distinct().
 
@@ -1221,15 +1281,29 @@ def _banded_candidate_pairs(g_df, n_bands: int = _MH_BANDS):
     # 4 → 4.4 s, 8 → 3.5 s, 16 → 3.6 s (plateau: past ~2 bucket
     # groups per core the split only adds replication).  2× core
     # oversubscription is the sweet spot, hence 2·n_part/n_bands.
-    n_salt = max(1, min(16, (2 * n_part) // n_bands))
-    a = banded.withColumn(
-        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salt))
-    )
-    b = banded.withColumn(
-        "salt", F.explode(F.array(*[F.lit(s) for s in range(n_salt)]))
-    )
-    a = a.repartition(n_part, "j", "v", "salt").alias("a")
-    b = b.repartition(n_part, "j", "v", "salt").alias("b")
+    #
+    # Salting is OPT-IN per consumer (r13, ADVICE r12): the replication
+    # tax is paid by every caller, but only callers with downstream
+    # per-pair work (exact-Jaccard verify joins on token arrays — the
+    # verdict/lsh tiers, which skew onto ~n_bands tasks without it)
+    # earn it back.  dedup_minhash_banded's cost IS the banding, so
+    # the default formula regressed it 60.3 s → 87.9 s at sf1
+    # (sweeps/ab_r12_dedup_rewrite.log); it passes n_salt=1 and keeps
+    # the unreplicated shuffle.  n_salt=None → density formula.
+    if n_salt is None:
+        n_salt = max(1, min(16, (2 * n_part) // n_bands))
+    if n_salt > 1:
+        a = banded.withColumn(
+            "salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salt))
+        )
+        b = banded.withColumn(
+            "salt", F.explode(F.array(*[F.lit(s) for s in range(n_salt)]))
+        )
+        a = a.repartition(n_part, "j", "v", "salt").alias("a")
+        b = b.repartition(n_part, "j", "v", "salt").alias("b")
+    else:
+        a = banded.repartition(n_part, "j", "v").alias("a")
+        b = banded.repartition(n_part, "j", "v").alias("b")
     # first-collision ownership: drop the match unless NO earlier band
     # i < j also collides.  Expressed as a flat boolean OR-chain over
     # the scalar band columns — zero per-row allocations (an earlier
@@ -1241,14 +1315,15 @@ def _banded_candidate_pairs(g_df, n_bands: int = _MH_BANDS):
             (F.lit(i) < F.col("a.j"))
             & (F.col(f"a.v{i}") == F.col(f"b.v{i}"))
         )
+    join_cond = (
+        (F.col("a.j") == F.col("b.j"))
+        & (F.col("a.v") == F.col("b.v"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    if n_salt > 1:
+        join_cond = join_cond & (F.col("a.salt") == F.col("b.salt"))
     pairs = (
-        a.join(
-            b,
-            (F.col("a.j") == F.col("b.j"))
-            & (F.col("a.v") == F.col("b.v"))
-            & (F.col("a.salt") == F.col("b.salt"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        a.join(b, join_cond)
         .where(~earlier_collision)
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -1324,7 +1399,11 @@ def dedup_minhash_banded(spark, t):
         .where(F.col("lang") == "en")
         .select("doc_id", F.expr(_SPARK_SHINGLES).alias("g"))
     )
-    cand = _banded_candidate_pairs(g, n_bands=_MH_BANDS)
+    # n_salt=1: this key's cost is the band join itself (the gram
+    # verify is one array_intersect per candidate, not a heavy per-pair
+    # stage), so B-side salt replication only adds shuffle volume —
+    # sf1 A/B: 60.3 s unsalted vs 87.9 s salted (ADVICE r12).
+    cand = _banded_candidate_pairs(g, n_bands=_MH_BANDS, n_salt=1)
     ga = g.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("g_a"))
     gb = g.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g_b"))
     inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
