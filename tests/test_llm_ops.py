@@ -135,6 +135,40 @@ def test_minhash_lsh_recall_not_below_ml_tier(q, spark, tables):
     assert r_banded >= r_ml, f"banded recall {r_banded} < ML tier {r_ml}"
 
 
+def test_minhash_lsh_scale_cap_is_topk_of_exact(q, registry, spark, monkeypatch):
+    """Above _LSH_EXACT_PAIRS_MAX_DOCS the pair key emits a per-doc
+    nearest-neighbor sample (verdict ask #8, r13): same schema, output
+    linear in corpus size.  Forcing the threshold to 0 on the fixture,
+    the capped output must be exactly the per-doc_a top-K of the exact
+    pair list (jaccard_dist ASC, doc_b tiebreak) — and with K large it
+    must equal the exact list, proving the cap is the ONLY difference."""
+    from tweetdb_spark.llm import dedup as D
+
+    exact = q("dedup_minhash_lsh").collect()
+    by_a = {}
+    for r in exact:
+        by_a.setdefault(r.doc_a, []).append(r)
+    k = 2
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard_dist)
+        for rows in by_a.values()
+        for r in sorted(rows, key=lambda r: (r.jaccard_dist, r.doc_b))[:k]
+    }
+    monkeypatch.setattr(D, "_LSH_EXACT_PAIRS_MAX_DOCS", 0)
+    monkeypatch.setattr(D, "_LSH_PAIRS_PER_DOC", k)
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard_dist)
+        for r in q("dedup_minhash_lsh").collect()
+    }
+    assert got == want
+    monkeypatch.setattr(D, "_LSH_PAIRS_PER_DOC", 10**9)
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard_dist)
+        for r in q("dedup_minhash_lsh").collect()
+    }
+    assert full == {(r.doc_a, r.doc_b, r.jaccard_dist) for r in exact}
+
+
 def test_minhash_verdicts_consistent_with_pair_form(q, tables):
     """The verdict form (per-doc keep/dup_of) must agree with the
     pair-emitting L3 on the same fixture: every pair's endpoints land
