@@ -111,7 +111,10 @@ def test_minhash_lsh_recall_not_below_ml_tier(q, spark, tables):
     assert exact, "ground-truth pair set is empty"
     banded = {(r.doc_a, r.doc_b) for r in q("dedup_minhash_lsh").collect()}
 
-    docs = tables["documents"].select("doc_id", "text")
+    # the ML reference tier's Tokenizer NPEs on NULL text; the engine
+    # drops NULL-text docs from candidates (no tokens → no bands), so
+    # the reference must see the same doc population
+    docs = tables["documents"].select("doc_id", "text").where("text IS NOT NULL")
     tf = HashingTF(
         inputCol="words", outputCol="features", numFeatures=1 << 12, binary=True
     ).transform(
@@ -581,7 +584,8 @@ def test_bpe_train_matches_pure_python_reference(q, tables):
 
     freqs = Counter()
     for r in tables["documents"].where("lang = 'en'").select("text").collect():
-        for w in r.text.split(" "):
+        # engine: explode(split(NULL)) emits nothing — mirror it
+        for w in (r.text or "").split(" "):
             if w:
                 freqs[w] += 1
     words = {w: list(w) for w in freqs}
@@ -872,7 +876,8 @@ def test_bpe_encode_matches_pure_python_reference(q, tables):
 
     got = {r.doc_id: (r.n_words, r.n_tokens) for r in q("text_bpe_encode").collect()}
     docs = {
-        r.doc_id: [w for w in r.text.split(" ") if w]
+        # engine: NULL text explodes to no words, like '' — mirror it
+        r.doc_id: [w for w in (r.text or "").split(" ") if w]
         for r in tables["documents"].select("doc_id", "text").collect()
     }
     checked = 0
@@ -1015,7 +1020,16 @@ def test_pca_power_matches_numpy_iteration_and_reaches_top_band(q, tables):
     converge; progress toward λ_max is the meaningful invariant)."""
     import numpy as np
 
-    X = np.array([r.embedding for r in tables["embeddings"].select("embedding").collect()])
+    # engine: NULL/empty embeddings contribute nothing to the matvec
+    # (posexplode of NULL/array() emits no rows) — the numpy reference
+    # stacks exactly the contributing rows
+    X = np.array(
+        [
+            r.embedding
+            for r in tables["embeddings"].select("embedding").collect()
+            if r.embedding
+        ]
+    )
     v = np.full(64, 1.0 / 8.0)
     for _ in range(5):
         y = X.T @ (X @ v)
@@ -1157,6 +1171,12 @@ def test_banded_candidates_exactly_once_vs_multiband_distinct(spark):
     assert {(1, 2), (1, 6), (2, 6)} <= ref
 
 
+@pytest.mark.skipif(
+    bool(__import__("tests.conftest", fromlist=["EDGE_MODE"]).EDGE_MODE),
+    reason="builds its OWN degenerate fixture; the EDGE_MODE-patched "
+    "catalog loader shadows the custom dir, so the probe targets "
+    "(vec_id 0/2/7/8) no longer carry the degenerates being tested",
+)
 def test_ann_family_degenerate_vectors(spark, registry, tmp_path_factory):
     """r12 rows-only edge survey (verdict ask #5 + ADVICE _qprep): NULL
     and empty embeddings must neither crash the index builds (corpus

@@ -109,6 +109,10 @@ def test_sink_jdbc_batch_idempotent_totals(q, tables):
     batch = _rows(
         tables["events"]
         .where(F.col("event_type") == "purchase")
+        # sink contract: a keyed upsert cannot route NULL keys (PK
+        # rejects them) — the operator excludes them upstream, so the
+        # batch reference must too (r13 rows-only edge survey)
+        .where(F.col("user_id").isNotNull())
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_purchases"),
@@ -442,8 +446,11 @@ def test_stream_sink_parquet_equals_batch_and_partitions(q, tables):
     from tweetdb_spark import scratch
 
     sinks = scratch.own_dirs("tweetdb_ssink")
-    parts = glob.glob(f"{sinks[-1]}/event_type=*")
-    assert len(parts) == len(batch)  # one dir per event_type
+    # the sink partitions on the sanitized derivative pt ('' / NULL
+    # cannot round-trip as hive directory names), one dir per distinct
+    # event_type value
+    parts = glob.glob(f"{sinks[-1]}/pt=*")
+    assert len(parts) == len(batch)
 
 
 def test_staged_fixture_invalidated_on_vintage_change(spark, tmp_path):

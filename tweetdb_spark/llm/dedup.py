@@ -925,9 +925,15 @@ def dedup_semantic_blocked(spark, t):
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql.window import Window
 
-    from tweetdb_spark.llm.similarity import dot, with_norm
+    from tweetdb_spark.llm.similarity import _valid_embeddings, dot, with_norm
 
-    e = t["embeddings"].withColumn("vec", array_to_vector("embedding"))
+    # NULL/empty vectors crash KMeans.fit (array_to_vector NPE / dim-0
+    # sample) and can never clear a positive cosine threshold — same
+    # index-ingest guard every ANN tier applies (r13 rows-only edge
+    # survey catch, sweeps/rows_only_survey_r13.log)
+    e = _valid_embeddings(t["embeddings"]).withColumn(
+        "vec", array_to_vector("embedding")
+    )
     k = max(8, e.count() // 300)  # constant ~300-vector cells
     model = KMeans(k=k, seed=42, featuresCol="vec", predictionCol="cell").fit(e)
     centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
@@ -1112,9 +1118,18 @@ def dedup_minhash_verdicts(spark, t):
     """
     from pyspark.sql import Window
 
-    docs = t["documents"].select(
-        "doc_id", F.md5("text").alias("h"), "n_chars", "text"
+    # NULL-text docs still get a verdict row ("one row per input doc"
+    # is the production contract): md5(NULL) is NULL, and a NULL h both
+    # vanishes from the equi-join back (r13 rows-only edge survey: 466
+    # verdicts for 500 docs) and would merge all NULL-text docs into
+    # one "exact" group if naively sentineled with a single value.
+    # NULL text asserts nothing about equality, so each NULL-text doc
+    # becomes its OWN exact group via a per-doc sentinel (md5 output is
+    # hex — a ":"-prefixed sentinel can never collide with a real hash).
+    h = F.coalesce(
+        F.md5("text"), F.concat(F.lit(":null:"), F.col("doc_id").cast("string"))
     )
+    docs = t["documents"].select("doc_id", h.alias("h"), "n_chars", "text")
     groups = docs.groupBy("h").agg(F.min("doc_id").alias("rep_id"))
     member = docs.join(groups, "h").select("doc_id", "h", "n_chars", "rep_id")
 

@@ -23,6 +23,11 @@ from tweetdb_spark.registry import query
            count(*) AS cnt,
            ROUND(SUM(value), 2) AS sum_value
     FROM events
+    WHERE ts IS NOT NULL  -- window() semantics: an event with no
+                          -- event-time belongs to NO window; raw
+                          -- date_trunc would keep a NULL-hour group
+                          -- the stream twin can never emit (r13
+                          -- rows-only edge survey)
     GROUP BY 1, 2
     """,
 )
@@ -31,9 +36,14 @@ def events_tumbling(spark, t):
 
     Batch uses date_trunc; the streaming version uses
     window(ts, '1 hour') — same bucket boundaries (UTC-aligned).
+    NULL-ts rows are dropped to match window()'s assignment semantics
+    (no event-time → no window), keeping the stream twin equality
+    exact on NULL-riddled feeds — same contract events_sliding pinned
+    in the r11 NULL survey.
     """
     return (
         t["events"]
+        .where(F.col("ts").isNotNull())
         .groupBy(
             F.date_trunc("hour", "ts").alias("hour_start"),
             "event_type",

@@ -381,16 +381,29 @@ def stream_sink_parquet(spark, t):
     out = scratch.fresh_dir("tweetdb_ssink")
     ckpt = scratch.fresh_dir("tweetdb_sschk")
     s = read_events_stream(spark, _sf_dir(t), files_per_trigger=10)
+    # Partition on a SANITIZED derivative, never the raw column: hive
+    # directory encoding cannot round-trip '' (read back as NULL), so
+    # partitioning by event_type itself corrupts empty-string keys
+    # (r13 rows-only edge survey catch).  The raw column stays inside
+    # the data files and round-trips exactly; the sentinels only name
+    # directories — the standard lakehouse treatment of free-text
+    # partition keys.
+    pt = (
+        F.when(F.col("event_type").isNull(), F.lit("__null__"))
+        .when(F.col("event_type") == "", F.lit("__empty__"))
+        .otherwise(F.col("event_type"))
+    )
     q = (
-        s.writeStream.format("parquet")
+        s.withColumn("pt", pt)
+        .writeStream.format("parquet")
         .option("path", out)
         .option("checkpointLocation", ckpt)
-        .partitionBy("event_type")
+        .partitionBy("pt")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    back = spark.read.parquet(out)
+    back = spark.read.parquet(out).drop("pt")
     return back.groupBy("event_type").agg(
         F.count("*").alias("cnt"),
         F.round(F.sum("value"), 2).alias("sum_value"),
@@ -519,6 +532,12 @@ def _purchase_totals_stream(spark, t):
     s = read_events_stream(spark, _sf_dir(t), files_per_trigger=10)
     return (
         s.where(F.col("event_type") == "purchase")
+        # a keyed upsert sink cannot route a NULL key: the target PK
+        # column rejects it (Derby) or silently treats every NULL as
+        # distinct (SQLite) — NULL-key events are excluded upstream so
+        # both branches agree; production would dead-letter them (r13
+        # rows-only edge survey catch)
+        .where(F.col("user_id").isNotNull())
         .groupBy("user_id")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
     )
@@ -950,6 +969,11 @@ def stream_vector_ingest(spark, t):
         spark.readStream.schema(TABLE_SCHEMAS["embeddings"])
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
+        # same index-ingest guard as the batch build's
+        # _valid_embeddings: a NULL/empty vector is unassignable
+        # (NULL d²) and must drop out of BOTH halves identically, or
+        # online diverges from a refit (r13 rows-only edge survey)
+        .where(F.col("embedding").isNotNull() & (F.size("embedding") > 0))
     )
 
     out_dir = scratch.fresh_dir("tweetdb_vec_ingest")
