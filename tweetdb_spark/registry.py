@@ -122,7 +122,19 @@ def query(name: str, oracle: Optional[str] = None, eager: bool = False):
 #        project_arith/filter_like/agg_global/topk_global OUT (driver-
 #        hash-green r01+r02+r06+r07+r10+r11 — six rounds of evidence,
 #        the most redundantly covered batch keys after the fn_* family).
-#   r13 (PLANNED, 2-round cadence): hold in r13, reverse swap in r14.
+#   r13 (EXECUTED): HOLD — no swap, window unchanged, per round-12
+#        verdict ask #2 (hold-then-carve sequencing).
+#   r14 (PLANNED, r12 verdict ask #5): one-round carve-out à la r10 for
+#        the six never/stale driver-graded rows-only keys —
+#        source_stream_file, sink_jdbc_batch, agg_approx_distinct,
+#        stream_sliding, stream_watermark_late, dedup_minhash_lsh IN;
+#        the six maximally-evidenced hash keys fn_string/fn_datetime/
+#        fn_math/fn_conditional/fn_array (9 green rounds each) plus
+#        fn_split_explode OUT; set WINDOW_ROWS_ONLY_KEYS to the six and
+#        bump ROTATION_ROUND to 14.
+#   r15 (PLANNED): reverse swap — restore the all-hashable window
+#        (fn_* family back in, the six rows-only keys back to their
+#        natural positions), clear WINDOW_ROWS_ONLY_KEYS.
 # If the driver's window size or selection policy ever differs,
 # ``tools/check.py --strict`` still verifies ALL registered hashable keys
 # locally regardless of position — that local sweep, not this ordering,
