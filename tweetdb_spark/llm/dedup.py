@@ -1039,18 +1039,38 @@ def dedup_minhash_lsh(spark, t):
     rides the doc_a exchange _banded_candidate_pairs already emits).
     At fixture scales (≤ the threshold) the pair list stays EXACT so
     the banded hash-twin and the ML-recall pytest are untouched.
+
+    **Exact-collapse-first (r13, sf10 rung catch)**: like the banded
+    tier and the verdicts form, tokens are hashed / banded / verified
+    only for the min-doc_id representative of each md5(text) group,
+    and rep pairs expand back to member pairs via
+    :func:`_expand_rep_pairs` — the 297M-pair sf1 enumeration stops
+    carrying two ~200-element token-id arrays per pair (the collapse
+    removes clone multiplicity, the quadratic term, from the verify)
+    and becomes rep-level verify + pure (id, id, double) generation.
     """
-    toks = t["documents"].select(
-        "doc_id",
-        F.array_distinct(F.split("text", " ")).alias("tokens"),
+    toks = (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.md5("text").alias("h"),
+            F.array_distinct(F.split("text", " ")).alias("tokens"),
+        )
+        # the population the naive form bands (empty signatures are
+        # dropped inside _banded_candidate_pairs); filtering before the
+        # collapse keeps NULL-text docs out of the md5 group-by
+        .where(F.size("tokens") > 0)
     )
+    reps = toks.groupBy("h").agg(F.min("doc_id").alias("rep_id"))
+    mem = toks.select("doc_id", "h").join(reps, "h").select("doc_id", "rep_id")
+    rt = toks.join(reps, toks.doc_id == reps.rep_id).select("doc_id", "tokens")
     # 31-bit ids keep a*x+b inside bigint (ANSI-safe), collisions ~0
-    g = toks.select(
+    g = rt.select(
         "doc_id",
         F.expr("transform(tokens, w -> xxhash64(w) & 2147483647)").alias("g"),
     )
     cand = _banded_candidate_pairs(g, n_bands=8)
-    ids = toks.select(
+    ids = rt.select(
         "doc_id",
         F.sort_array(F.expr("transform(tokens, w -> xxhash64(w))")).alias("i"),
     )
@@ -1059,12 +1079,17 @@ def dedup_minhash_lsh(spark, t):
     inter = F.size(F.array_intersect(F.col("t_a"), F.col("t_b")))
     union = F.size(F.col("t_a")) + F.size(F.col("t_b")) - inter
     dist = 1.0 - F.try_divide(inter.cast("double"), union)
-    pairs = (
+    rep_pairs = (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
         .where(dist <= 0.2)
-        .select("doc_a", "doc_b", F.round(dist, 6).alias("jaccard_dist"))
+        .select(
+            F.col("doc_a").alias("rep_a"),
+            F.col("doc_b").alias("rep_b"),
+            F.round(dist, 6).alias("jaccard_dist"),
+        )
     )
+    pairs = _expand_rep_pairs(rep_pairs, mem, "jaccard_dist", 0.0)
     if t["documents"].count() <= _LSH_EXACT_PAIRS_MAX_DOCS:
         return pairs
     from pyspark.sql import Window
@@ -1428,6 +1453,62 @@ def _mh_oracle() -> str:
     """
 
 
+def _expand_rep_pairs(rep_pairs, mem, value_col: str, within_value: float):
+    """Expand REP-level verified near-dup pairs to member-level pairs.
+
+    ``rep_pairs`` is (rep_a, rep_b, <value_col>) with rep_a < rep_b,
+    one row per unordered pair of exact-duplicate groups; ``mem`` is
+    the (doc_id, rep_id) member→representative map from an md5(text)
+    collapse.  Emits
+
+    - every CROSS-group member pair exactly once, as
+      (least, greatest, rep pair's value) — exact clones have
+      byte-identical text, hence identical shingle/token sets, hence
+      the member pair's exact-Jaccard verify value IS the rep pair's
+      (same arrays, same double, same round);
+    - every WITHIN-group pair (doc_a < doc_b) at ``within_value``,
+      the identity similarity (identical sets ⇒ jaccard exactly 1 ⇒
+      1.0 / 0.0 depending on the key's sim/dist convention); such a
+      pair always banded together in the naive form (identical
+      signatures collide in every band) and always passed its verify.
+
+    Both legs are pure small-row generation — no signature or token
+    array ever rides an expansion join, which is what makes the
+    collapsed form scale-safe: the sf10 rung (500k docs, ~100-clone
+    groups, ~10M output pairs) ground to GC death when the naive form
+    pulled two ~300-element gram arrays through every candidate pair
+    (~50 GB of array traffic through one join), while the collapsed
+    form verifies ~5k reps and then only generates (id, id, double)
+    rows.  Output multiset is IDENTICAL to the naive all-member form
+    (A/B checksum-verified at sf0.001/0.01/0.1/1).
+    """
+    ma = mem.select(F.col("rep_id").alias("rep_a"), F.col("doc_id").alias("da"))
+    mb = mem.select(F.col("rep_id").alias("rep_b"), F.col("doc_id").alias("db"))
+    cross = (
+        rep_pairs.join(ma, "rep_a")
+        .join(mb, "rep_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            value_col,
+        )
+    )
+    within = (
+        mem.alias("x")
+        .join(
+            mem.alias("y"),
+            (F.col("x.rep_id") == F.col("y.rep_id"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(float(within_value)).alias(value_col),
+        )
+    )
+    return cross.unionAll(within)
+
+
 @query("dedup_minhash_banded", oracle=_mh_oracle())
 def dedup_minhash_banded(spark, t):
     """Banded MinHash near-dup — the LSH tier, hash-proven.
@@ -1441,16 +1522,40 @@ def dedup_minhash_banded(spark, t):
     rows-only.  Per-band collision probability for similarity s is
     s^4; across 4 bands, recall = 1-(1-s^4)^4 (0.987 at s = 0.9 — see
     the recall pytest vs the exact quadratic twin).
+
+    **Exact-collapse-first (r13, sf10 rung catch)**: band and verify
+    only the min-doc_id representative of each md5(text) group, then
+    expand rep pairs back to member pairs (:func:`_expand_rep_pairs`).
+    The naive all-member form pulls two gram arrays through every
+    candidate pair; on clone-heavy corpora that traffic is quadratic
+    in clone multiplicity and killed the sf10 rung (~10M pairs ×
+    ~2.4 KB of arrays each, GC death at 8-48 g heap), while reps stay
+    ~constant.  The DuckDB oracle keeps the naive form — the driver
+    hash-check is exactly the proof the two forms agree.
     """
-    g = (
+    d = (
         t["documents"]
         .where(F.col("lang") == "en")
-        .select("doc_id", F.expr(_SPARK_SHINGLES).alias("g"))
+        .select(
+            "doc_id",
+            F.md5("text").alias("h"),
+            F.expr(_SPARK_SHINGLES).alias("g"),
+        )
+        # same population the naive form bands: _banded_candidate_pairs
+        # drops empty signatures, and an empty gram set can never pass
+        # the jac >= 0.7 verify (try_divide → NULL).  Filtering BEFORE
+        # the collapse also keeps NULL-text docs (md5 NULL) out of the
+        # group-by, so no NULL-keyed mega-group can form.
+        .where(F.size("g") > 0)
     )
-    # n_salt=1: this key's cost is the band join itself (the gram
-    # verify is one array_intersect per candidate, not a heavy per-pair
-    # stage), so B-side salt replication only adds shuffle volume —
-    # sf1 A/B: 60.3 s unsalted vs 87.9 s salted (ADVICE r12).
+    reps = d.groupBy("h").agg(F.min("doc_id").alias("rep_id"))
+    mem = d.select("doc_id", "h").join(reps, "h").select("doc_id", "rep_id")
+    g = d.join(reps, d.doc_id == reps.rep_id).select("doc_id", "g")
+    # n_salt=1: at rep level every bucket holds one row per DISTINCT
+    # text, so the dense-bucket skew salting addresses cannot form —
+    # clone multiplicity, the only unbounded density source, was
+    # removed by the collapse (sf1 A/B r13: salt within noise either
+    # way; the r12 60.3→87.9 s claim did not reproduce interleaved).
     cand = _banded_candidate_pairs(g, n_bands=_MH_BANDS, n_salt=1)
     ga = g.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("g_a"))
     gb = g.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g_b"))
@@ -1460,12 +1565,17 @@ def dedup_minhash_banded(spark, t):
     # gives union 0 — DuckDB yields NULL and the threshold filter
     # drops it; ANSI `/` would crash (r11 NULL-survey catch)
     jac = F.try_divide(inter.cast("double"), union)
-    return (
+    rep_pairs = (
         cand.join(ga, "doc_a")
         .join(gb, "doc_b")
         .where(jac >= 0.7)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("ngram_jaccard"))
+        .select(
+            F.col("doc_a").alias("rep_a"),
+            F.col("doc_b").alias("rep_b"),
+            F.round(jac, 6).alias("ngram_jaccard"),
+        )
     )
+    return _expand_rep_pairs(rep_pairs, mem, "ngram_jaccard", 1.0)
 
 
 def _pagerank_iter_ctes(n_iters: int) -> str:
