@@ -1061,9 +1061,14 @@ def dedup_minhash_lsh(spark, t):
         # collapse keeps NULL-text docs out of the md5 group-by
         .where(F.size("tokens") > 0)
     )
-    reps = toks.groupBy("h").agg(F.min("doc_id").alias("rep_id"))
-    mem = toks.select("doc_id", "h").join(reps, "h").select("doc_id", "rep_id")
-    rt = toks.join(reps, toks.doc_id == reps.rep_id).select("doc_id", "tokens")
+    # rep election as one window over the h exchange (see the banded
+    # key): mem and the rep token frame are projections of the same
+    # shuffled frame instead of groupBy + two joins back
+    from pyspark.sql import Window as _W
+
+    toks = toks.withColumn("rep_id", F.min("doc_id").over(_W.partitionBy("h")))
+    mem = toks.select("doc_id", "rep_id")
+    rt = toks.where(F.col("doc_id") == F.col("rep_id")).select("doc_id", "tokens")
     # 31-bit ids keep a*x+b inside bigint (ANSI-safe), collisions ~0
     g = rt.select(
         "doc_id",
@@ -1548,9 +1553,16 @@ def dedup_minhash_banded(spark, t):
         # group-by, so no NULL-keyed mega-group can form.
         .where(F.size("g") > 0)
     )
-    reps = d.groupBy("h").agg(F.min("doc_id").alias("rep_id"))
-    mem = d.select("doc_id", "h").join(reps, "h").select("doc_id", "rep_id")
-    g = d.join(reps, d.doc_id == reps.rep_id).select("doc_id", "g")
+    # rep election as ONE window over the h exchange (not groupBy +
+    # two joins back): the gram frame crosses a single hash exchange
+    # on h, and mem / g_rep are projections of the same shuffled frame
+    # — at sf0.1 this is ~2 s of the collapse tax back, and at scale
+    # it is one linear exchange instead of three
+    from pyspark.sql import Window as _W
+
+    d = d.withColumn("rep_id", F.min("doc_id").over(_W.partitionBy("h")))
+    mem = d.select("doc_id", "rep_id")
+    g = d.where(F.col("doc_id") == F.col("rep_id")).select("doc_id", "g")
     # n_salt=1: at rep level every bucket holds one row per DISTINCT
     # text, so the dense-bucket skew salting addresses cannot form —
     # clone multiplicity, the only unbounded density source, was
