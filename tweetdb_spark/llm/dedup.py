@@ -187,8 +187,26 @@ def _simhash_fingerprints(spark, t):
     bit-vote fingerprint.  Single implementation shared by
     dedup_simhash and dedup_cluster_resolve so the Spark pipeline can
     never drift from the (identical) oracle SQL both embed."""
-    tok = t["documents"].select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    from pyspark.sql import Window as _W
+
+    # Fingerprint only the min-doc_id md5(text) representative and map
+    # the value back to every member (r13, sf10 rung catch): a SimHash
+    # is a pure function of the tf multiset, so exact clones share it
+    # by construction, and the token explode × 32-bit vote below runs
+    # on reps (~#distinct texts) instead of every member — at sf10
+    # (500k docs, ~100-clone groups) the naive form pushed ~800M vote
+    # rows through the (doc_id, b) aggregation and died by GC at the
+    # 8g ladder config.  NULL-text docs group under h = NULL and their
+    # rep explodes to zero tokens, so they drop out of the join back —
+    # exactly the rows the naive per-doc groupBy never produced.
+    docs = t["documents"].select(
+        "doc_id", F.md5("text").alias("h"), "text"
+    ).withColumn("rep_id", F.min("doc_id").over(_W.partitionBy("h")))
+    reps = docs.where(F.col("doc_id") == F.col("rep_id")).select(
+        F.col("doc_id").alias("rid"), "text"
+    )
+    tok = reps.select(
+        F.col("rid").alias("doc_id"), F.explode(F.split("text", " ")).alias("token")
     )
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
     th = tf.select("token").distinct().withColumn("h", F.expr(_SPARK_TOKHASH))
@@ -206,7 +224,7 @@ def _simhash_fingerprints(spark, t):
             ).alias("s")
         )
     )
-    return bits.groupBy("doc_id").agg(
+    rep_fp = bits.groupBy("doc_id").agg(
         F.sum(
             F.when(
                 F.col("s") > 0,
@@ -216,14 +234,40 @@ def _simhash_fingerprints(spark, t):
         .cast("bigint")
         .alias("simhash")
     )
+    return (
+        docs.select("doc_id", "rep_id")
+        .join(rep_fp.withColumnRenamed("doc_id", "rep_id"), "rep_id")
+        .select("doc_id", "simhash")
+    )
 
 
-def _simhash_band_candidates(spark, fp):
-    """Banded candidate pairs (u, v, sh_a, sh_b) from fingerprints:
-    4 bands x 8 bits, equi-join on (band index, band value).  Shared
-    by dedup_simhash and graph_pagerank so the banding scheme that the
-    hamming <= 3 pigeonhole proof depends on lives in ONE place."""
-    bands = fp.crossJoin(
+def _simhash_rep_pairs(spark, fp, max_hamming):
+    """(m, rep_pairs): fingerprint-VALUE collapse of ``fp`` plus the
+    verified rep-level pair graph (r13, sf10 rung catch).
+
+    ``m`` is fp + rep_id where rep_id = min doc_id sharing the SAME
+    32-bit fingerprint — a superset of the md5(text) clone groups
+    (coincidental cross-text fingerprint collisions collapse too,
+    which is sound because every consumer treats equal fingerprints
+    identically: hamming 0 passes every threshold, and identical
+    values collide in every band).  ``rep_pairs`` is
+    (rep_a, rep_b, sh_a, sh_b) for distinct-value rep pairs that
+    band-collide AND pass hamming <= max_hamming.
+
+    Why the filter lives HERE, at rep granularity: 4×8-bit bands have
+    only 256 values per band, so once the corpus holds ≫256 distinct
+    fingerprints the buckets densify from RANDOM collisions — at sf10
+    (500k docs) the per-doc band join enumerated ~1.9B collision rows
+    and died of shuffle spill ("no space left on device", 33 GB free).
+    Collapsing to values first and hamming-filtering before any
+    member expansion makes enumeration O(distinct values² / 256) and
+    expansion proportional to TRUE near-dup output only.
+    """
+    from pyspark.sql import Window as _W
+
+    m = fp.withColumn("rep_id", F.min("doc_id").over(_W.partitionBy("simhash")))
+    reps = m.where(F.col("doc_id") == F.col("rep_id")).select("doc_id", "simhash")
+    bands = reps.crossJoin(
         F.broadcast(spark.range(4).select(F.col("id").alias("j")))
     ).select(
         "doc_id",
@@ -232,21 +276,78 @@ def _simhash_band_candidates(spark, fp):
         F.expr("shiftright(simhash, cast(8 * j as int)) & 255").alias("band"),
     )
     a, b = bands.alias("a"), bands.alias("b")
-    return (
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.j") == F.col("b.j"))
             & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .where(
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            <= max_hamming
+        )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.doc_id").alias("rep_a"),
+            F.col("b.doc_id").alias("rep_b"),
             F.col("a.simhash").alias("sh_a"),
             F.col("b.simhash").alias("sh_b"),
         )
         .distinct()
     )
+    return m, rep_pairs
+
+
+def _simhash_band_candidates(spark, fp, max_hamming=_HAMMING_MAX):
+    """Banded near-dup pairs (doc_a, doc_b, sh_a, sh_b) from
+    fingerprints: 4 bands × 8 bits, equi-join on (band index, band
+    value) — shared by dedup_simhash, graph_pagerank and the triangle
+    count so the banding scheme the hamming ≤ 3 pigeonhole proof
+    depends on lives in ONE place.
+
+    Since r13 the enumeration goes through the fingerprint-value
+    collapse (:func:`_simhash_rep_pairs`) and the hamming ≤
+    ``max_hamming`` verify happens BEFORE member expansion, so the
+    returned pairs are already verified — consumers' own hamming
+    re-filters become no-op re-assertions.  The output pair multiset
+    is IDENTICAL to the historical per-doc band join + filter: equal
+    fingerprints collide in every band and have hamming 0 (the WITHIN
+    leg), and a cross-group member pair band-collides/passes iff its
+    rep pair does (same two fingerprint values — the CROSS leg, with
+    sh columns swapped when least/greatest reorders the doc ids)."""
+    m, rep_pairs = _simhash_rep_pairs(spark, fp, max_hamming)
+    ma = m.select(F.col("simhash").alias("sh_a"), F.col("doc_id").alias("da"))
+    mb = m.select(F.col("simhash").alias("sh_b"), F.col("doc_id").alias("db"))
+    cross = (
+        rep_pairs.select("sh_a", "sh_b")
+        .join(ma, "sh_a")
+        .join(mb, "sh_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            F.when(F.col("da") < F.col("db"), F.col("sh_a"))
+            .otherwise(F.col("sh_b"))
+            .alias("sh_a"),
+            F.when(F.col("da") < F.col("db"), F.col("sh_b"))
+            .otherwise(F.col("sh_a"))
+            .alias("sh_b"),
+        )
+    )
+    within = (
+        m.alias("x")
+        .join(
+            m.alias("y"),
+            (F.col("x.rep_id") == F.col("y.rep_id"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
+        )
+    )
+    return cross.unionAll(within)
 
 
 @query(
@@ -514,13 +615,24 @@ def _simhash_components(spark, t):
     pair shares a band and the banding is EXACT here (same recall-1.0
     argument dedup_simhash makes for ≤ 3).  The oracle's all-pairs
     edge SQL therefore proves the banded generation complete as a side
-    effect of checking the components."""
+    effect of checking the components.
+
+    r13: equal-fingerprint groups enter the graph as STARS
+    (member → rep), not expanded cliques — component partitions are
+    identical (a clique and a star connect the same node set, and a
+    cross-group member pair qualifies iff its rep pair does, reachable
+    through the two stars), but the edge count stays linear in corpus
+    size where the clique form is quadratic in clone multiplicity
+    (the sf10 fixture's ~100-clone groups).  The green hash against
+    the all-pairs oracle is the standing equivalence proof."""
     fp = _simhash_fingerprints(spark, t)
-    edges = (
-        _simhash_band_candidates(spark, fp)
-        .where(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= 1)
-        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    m, rep_pairs = _simhash_rep_pairs(spark, fp, max_hamming=1)
+    star = m.where(F.col("doc_id") != F.col("rep_id")).select(
+        F.col("doc_id").alias("u"), F.col("rep_id").alias("v")
     )
+    edges = rep_pairs.select(
+        F.col("rep_a").alias("u"), F.col("rep_b").alias("v")
+    ).unionAll(star)
     nodes = t["documents"].select("doc_id")
     return _min_label_components(nodes, edges)
 
