@@ -155,9 +155,14 @@ def dedup_near_jaccard(spark, t):
     # gives union 0 — DuckDB yields NULL and the threshold filter
     # drops it; ANSI `/` would crash (r11 NULL-survey catch)
     jac = F.try_divide(inter.cast("double"), union)
+    # lossless size-ratio prefilter (see _size_ratio_ok): skips the
+    # intersect for pairs provably under threshold, output unchanged
     return (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .where(jac >= 0.8)
+        .where(
+            _size_ratio_ok(F.col("a.tokens"), F.col("b.tokens"), 4, 5)
+            & (jac >= 0.8)
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -462,9 +467,13 @@ def dedup_ngram_jaccard(spark, t):
     # gives union 0 — DuckDB yields NULL and the threshold filter
     # drops it; ANSI `/` would crash (r11 NULL-survey catch)
     jac = F.try_divide(inter.cast("double"), union)
+    # lossless size-ratio prefilter (see _size_ratio_ok): skips the
+    # intersect for pairs provably under threshold, output unchanged
     return (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .where(jac >= 0.7)
+        .where(
+            _size_ratio_ok(F.col("a.g"), F.col("b.g"), 7, 10) & (jac >= 0.7)
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -1939,7 +1948,7 @@ def dedup_incremental_minhash(spark, t):
     p = (
         cand.join(ga, "doc_a")
         .join(gb, "doc_b")
-        .where(jac >= 0.7)
+        .where(_size_ratio_ok(F.col("g_a"), F.col("g_b"), 7, 10) & (jac >= 0.7))
         .select("doc_b", "a_new")
     )
     flags = p.groupBy("doc_b").agg(
