@@ -2005,6 +2005,18 @@ def dedup_containment(spark, t):
     prefix_count(g)) — linear-ish equi-joins on gram keys, no N².
     At 100 TB: df table is one groupBy, prefixes shrink as τ grows,
     and hot grams never enter probes (rarest-first order).
+
+    **Exact-collapse-first (r13, same posture as the minhash/simhash
+    tiers)**: prefix-filter and verify only the min-doc_id md5(text)
+    representative of each exact-dup group, then expand rep pairs to
+    member pairs (:func:`_expand_rep_pairs`, within-group containment
+    ≡ 1.0).  Without it, clones share every prefix gram, so the
+    inverted-index join is quadratic in clone multiplicity — the same
+    failure mode the sf10 rung caught in the simhash band join.
+    Completeness survives the collapse: the prefix theorem holds for
+    ANY consistent global gram order, so computing df over reps
+    instead of members only re-ranks the prefixes; the exact verify
+    makes the output invariant (hash-checked vs the all-pairs oracle).
     """
     from pyspark.sql.window import Window
 
@@ -2014,6 +2026,7 @@ def dedup_containment(spark, t):
         .where(F.col("lang") == "en")
         .select(
             "doc_id",
+            F.md5("text").alias("h"),
             F.array_distinct(
                 # sequence(1, 0) counts DOWN in Spark ([1, 0]), so texts
                 # shorter than 3 chars would emit spurious grams the
@@ -2027,8 +2040,19 @@ def dedup_containment(spark, t):
                 )
             ).alias("g"),
         )
+        # empty-gram docs can never appear in the naive form's output
+        # (no inverted-index rows → never a candidate) — filtering
+        # them BEFORE the collapse keeps _expand_rep_pairs from
+        # fabricating within-group pairs the oracle never emits, and
+        # keeps NULL text (md5 NULL) out of the group-by
+        .where(F.size("g") > 0)
     )
-    grams = docs.select(
+    docs = docs.withColumn(
+        "rep_id", F.min("doc_id").over(Window.partitionBy("h"))
+    )
+    mem = docs.select("doc_id", "rep_id")
+    rd = docs.where(F.col("doc_id") == F.col("rep_id")).select("doc_id", "g")
+    grams = rd.select(
         "doc_id", F.size("g").alias("n"), F.explode("g").alias("gram")
     )
     df_tbl = grams.groupBy("gram").agg(F.count("*").alias("df"))
@@ -2049,19 +2073,22 @@ def dedup_containment(spark, t):
         )
         .distinct()
     )
-    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
-    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
+    a = rd.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
+    b = rd.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
     inter = F.size(F.array_intersect("ga", "gb"))
     mn = F.least(F.size("ga"), F.size("gb"))
     contain = inter.cast("double") / mn
-    return (
+    rep_pairs = (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .where(contain >= tau)
         .select(
-            "doc_a", "doc_b", F.round(contain, 6).alias("containment")
+            F.col("doc_a").alias("rep_a"),
+            F.col("doc_b").alias("rep_b"),
+            F.round(contain, 6).alias("containment"),
         )
     )
+    return _expand_rep_pairs(rep_pairs, mem, "containment", 1.0)
 
 
 @query(
