@@ -1801,38 +1801,74 @@ def graph_pagerank(spark, t):
     redistribution term is needed.
     """
     fp = _simhash_fingerprints(spark, t)
-    edges = (
-        _simhash_band_candidates(spark, fp)
-        .where(
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= _HAMMING_MAX
-        )
-        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    m, rep_pairs = _simhash_rep_pairs(spark, fp, _HAMMING_MAX)
+    # Collapsed iteration (r13): the member graph is clique-per-group
+    # + complete-bipartite across adjacent groups, so every member of
+    # a group carries the SAME rank and degree at every step; the 5
+    # synchronous rounds run on the rep graph with size weights —
+    # contribution to G is (c_G−1)·p_G/d_G (fellow members) plus
+    # Σ_{G'~G} c_{G'}·p_{G'}/d_{G'} — and members inherit their
+    # group's rank at the end.  The member pair list (quadratic in
+    # clone multiplicity) never materializes; round(…, 6) absorbs the
+    # multiply-vs-repeated-add ulp drift exactly as it already does
+    # between Spark's and DuckDB's member-level sum orders.
+    sizes = m.groupBy("rep_id").agg(F.count("*").alias("c"))
+    rsym = rep_pairs.select(
+        F.col("rep_a").alias("r"), F.col("rep_b").alias("nb")
+    ).unionAll(
+        rep_pairs.select(F.col("rep_b").alias("r"), F.col("rep_a").alias("nb"))
     )
-    sym = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
-    deg = sym.groupBy("u").agg(F.count("*").cast("double").alias("d"))
-    nodes = sym.select(F.col("u").alias("id")).distinct()
-    nn = F.broadcast(nodes.agg(F.count("*").cast("double").alias("n")))
-    p = nodes.crossJoin(nn).select("id", (F.lit(1.0) / F.col("n")).alias("p"))
+    nsum = (
+        rsym.join(
+            sizes.select(F.col("rep_id").alias("nb"), F.col("c").alias("nc")),
+            "nb",
+        )
+        .groupBy("r")
+        .agg(F.sum("nc").alias("nsum"))
+    )
+    grp = (
+        sizes.join(nsum, sizes.rep_id == nsum.r, "left")
+        .select(
+            "rep_id",
+            "c",
+            (F.col("c") - 1 + F.coalesce("nsum", F.lit(0).cast("long")))
+            .cast("double")
+            .alias("d"),
+        )
+        .where(F.col("d") > 0)
+        .localCheckpoint(eager=True)
+    )
+    nn = F.broadcast(grp.agg(F.sum("c").cast("double").alias("n")))
+    p = grp.crossJoin(nn).select(
+        "rep_id", (F.lit(1.0) / F.col("n")).alias("p")
+    )
     for _ in range(5):
-        contrib = (
-            sym.join(p, sym.u == F.col("id"))
-            .join(deg, "u")
-            .select(F.col("v").alias("id"), (F.col("p") / F.col("d")).alias("c"))
+        pc = p.join(grp, "rep_id").select(
+            "rep_id", "c", (F.col("p") / F.col("d")).alias("pd")
+        )
+        own = pc.select(
+            "rep_id", ((F.col("c") - 1) * F.col("pd")).alias("s")
+        )
+        cross = (
+            rsym.join(pc.withColumnRenamed("rep_id", "nb"), "nb")
+            .select(
+                F.col("r").alias("rep_id"),
+                (F.col("c") * F.col("pd")).alias("s"),
+            )
         )
         p = (
-            contrib.groupBy("id")
-            .agg(F.sum("c").alias("s"))
+            own.unionAll(cross)
+            .groupBy("rep_id")
+            .agg(F.sum("s").alias("s"))
             .crossJoin(nn)
             .select(
-                "id",
+                "rep_id",
                 (F.lit(0.15) / F.col("n") + F.lit(0.85) * F.col("s")).alias("p"),
             )
             .localCheckpoint(eager=True)
         )
-    return p.select(
-        F.col("id").alias("doc_id"), (F.round("p", 6) + 0).alias("pagerank")
+    return m.select("doc_id", "rep_id").join(p, "rep_id").select(
+        "doc_id", (F.round("p", 6) + 0).alias("pagerank")
     )
 
 
@@ -2132,30 +2168,68 @@ def graph_triangle_count(spark, t):
 
     Edges come from the engine's own banded-simhash pipeline; the
     oracle rebuilds them ALL-PAIRS, so this hash check proves band
-    completeness AND the count in one shot.  The count itself is the
-    compact-forward join: with edges oriented u < v, each triangle
-    {{a<b<c}} is counted exactly once as e1=(a,b), e2=(b,c), e3=(a,c).
-    Both joins are equi-joins on node ids — at 100 TB this shuffles
-    the edge list twice (partitioned by join node), never materializes
-    wedges beyond the e1⋈e2 frontier, and the oriented form bounds
-    wedge fan-out by out-degree (the classic skew fix: high-degree
-    nodes get mostly IN-edges, so their wedge count collapses).
+    completeness AND the count in one shot.
+
+    **Collapsed counting (r13)**: the expanded member graph is a
+    pure function of the fingerprint-value groups — equal-value
+    members form cliques, adjacent groups complete bipartite blocks —
+    so the triangle count decomposes exactly into (1) ΣC(c,3) within
+    groups, (2) C(c,2)·c' + C(c',2)·c per adjacent group pair, and
+    (3) a compact-forward join over the REP graph (rep_a < rep_b
+    orientation counts each rep triangle once) weighted by the size
+    product.  All integer arithmetic — byte-identical to the member-
+    level compact-forward count, but the joins touch only rep rows:
+    the member pair list is quadratic in clone multiplicity (~2.3B
+    pairs at sf10) and never materializes.  At 100 TB the compact-
+    forward join on reps keeps the classic skew bound (high-degree
+    reps get mostly in-edges), and group sizes ride a broadcast-sized
+    frame.
     """
     fp = _simhash_fingerprints(spark, t)
-    cand = _simhash_band_candidates(spark, fp)
-    hamming = F.expr("bit_count(sh_a ^ sh_b)")
-    e = (
-        cand.where(hamming <= _HAMMING_MAX)
-        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    m, rep_pairs = _simhash_rep_pairs(spark, fp, _HAMMING_MAX)
+    sizes = m.groupBy("rep_id").agg(F.count("*").alias("c"))
+    # (1) all three inside one group: C(c,3); product of 3 consecutive
+    # ints is divisible by 6, so integral `div` is exact
+    t1 = sizes.select(F.expr("c * (c - 1) * (c - 2) div 6").alias("tri"))
+    # (2) two in one group + one in an adjacent group, both directions
+    # of each unordered rep pair
+    sa = sizes.select(F.col("rep_id").alias("rep_a"), F.col("c").alias("ca"))
+    sb = sizes.select(F.col("rep_id").alias("rep_b"), F.col("c").alias("cb"))
+    psz = rep_pairs.select("rep_a", "rep_b").join(sa, "rep_a").join(sb, "rep_b")
+    t2 = psz.select(
+        (
+            F.expr("ca * (ca - 1) div 2") * F.col("cb")
+            + F.expr("cb * (cb - 1) div 2") * F.col("ca")
+        ).alias("tri")
     )
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-    return (
-        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+    # (3) one member in each of three pairwise-adjacent groups:
+    # compact-forward on the (rep_a < rep_b)-oriented rep graph, one
+    # row per rep triangle, weighted by the size product
+    r = rep_pairs.select("rep_a", "rep_b")
+    r1, r2, r3 = r.alias("r1"), r.alias("r2"), r.alias("r3")
+    rep_tri = (
+        r1.join(r2, F.col("r1.rep_b") == F.col("r2.rep_a"))
         .join(
-            e3,
-            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+            r3,
+            (F.col("r3.rep_a") == F.col("r1.rep_a"))
+            & (F.col("r3.rep_b") == F.col("r2.rep_b")),
         )
-        .agg(F.count("*").alias("n_triangles"))
+        .select(
+            F.col("r1.rep_a").alias("ga"),
+            F.col("r1.rep_b").alias("gb"),
+            F.col("r2.rep_b").alias("gc"),
+        )
+    )
+    t3 = (
+        rep_tri.join(sizes.select(F.col("rep_id").alias("ga"), F.col("c").alias("ca")), "ga")
+        .join(sizes.select(F.col("rep_id").alias("gb"), F.col("c").alias("cb")), "gb")
+        .join(sizes.select(F.col("rep_id").alias("gc"), F.col("c").alias("cc")), "gc")
+        .select((F.col("ca") * F.col("cb") * F.col("cc")).alias("tri"))
+    )
+    return (
+        t1.unionAll(t2)
+        .unionAll(t3)
+        .agg(F.coalesce(F.sum("tri"), F.lit(0).cast("long")).alias("n_triangles"))
     )
 
 
@@ -2204,20 +2278,46 @@ def graph_degree_distribution(spark, t):
     Edges come from the engine's banded-simhash candidates (as in
     graph_pagerank / graph_triangle_count), the oracle rebuilds them
     ALL-PAIRS — so band completeness is re-proven through yet another
-    lens, and the whole histogram is value-hash-checked.  Two 2-phase
-    aggregations after the edge join: per-node degree (map-side
-    combined on the node key), then the O(max_degree)-row histogram.
-    At 100 TB this is the cheap pre-flight before pointer-doubling
-    components: degrees are one agg over the edge list, and the
-    histogram tells you the iteration count and the skew story
-    before you commit to the expensive pass.
+    lens, and the whole histogram is value-hash-checked.  Computed on
+    the COLLAPSED rep graph (r13): all members of a fingerprint-value
+    group share one degree, so the histogram is a size-weighted agg
+    over rep rows, never the member pair list.  At 100 TB this is the
+    cheap pre-flight before pointer-doubling components: degrees are
+    one agg over the rep edge list, and the histogram tells you the
+    iteration count and the skew story before you commit to the
+    expensive pass.
     """
     fp = _simhash_fingerprints(spark, t)
-    cand = _simhash_band_candidates(spark, fp)
-    hamming = F.expr("bit_count(sh_a ^ sh_b)")
-    e = cand.where(hamming <= _HAMMING_MAX).select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    m, rep_pairs = _simhash_rep_pairs(spark, fp, _HAMMING_MAX)
+    # Collapsed degrees (r13): every member of a fingerprint-value
+    # group G has the same degree (|G|-1 clique edges) + Σ|G'| over
+    # adjacent groups — so the histogram is computable on the REP
+    # graph with size weights, without expanding the member pair list
+    # (quadratic in clone multiplicity).  Isolated docs (singleton
+    # group, no neighbors → degree 0) never appear in the edge list,
+    # matching the member-level form.
+    sizes = m.groupBy("rep_id").agg(F.count("*").alias("c"))
+    rsym = rep_pairs.select(
+        F.col("rep_a").alias("r"), F.col("rep_b").alias("nb")
+    ).unionAll(
+        rep_pairs.select(F.col("rep_b").alias("r"), F.col("rep_a").alias("nb"))
     )
-    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = sym.groupBy("u").agg(F.count("*").alias("degree"))
-    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+    nsum = (
+        rsym.join(
+            sizes.select(F.col("rep_id").alias("nb"), F.col("c").alias("nc")),
+            "nb",
+        )
+        .groupBy("r")
+        .agg(F.sum("nc").alias("nsum"))
+    )
+    deg = (
+        sizes.join(nsum, sizes.rep_id == nsum.r, "left")
+        .select(
+            "c",
+            (
+                F.col("c") - 1 + F.coalesce("nsum", F.lit(0).cast("long"))
+            ).alias("degree"),
+        )
+        .where(F.col("degree") > 0)
+    )
+    return deg.groupBy("degree").agg(F.sum("c").alias("n_nodes"))
