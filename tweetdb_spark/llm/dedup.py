@@ -1236,6 +1236,17 @@ def dedup_minhash_lsh(spark, t):
         return pairs
     from pyspark.sql import Window
 
+    # NOTE (r13 adjudication): a prune-before-expand variant (per
+    # doc_a, keep only the K smallest same-group successors and the K
+    # smallest greater members per adjacent group, then window) was
+    # built, proven output-identical at sf0.1, and REJECTED on
+    # measurement: with the fixture's dense rep adjacency (~1200
+    # neighbors/rep) and K ≥ group size, it generates MORE
+    # intermediate rows than the plain expansion (sf1: 78.9 s vs
+    # 31.3 s, identical 3,423,964 rows).  Dense-adjacency member
+    # top-K is Ω(members × adjacency) however enumerated; corpora
+    # beyond this window's reach should read dedup_minhash_verdicts
+    # (one row per doc, flat in pair count) instead.
     w = Window.partitionBy("doc_a").orderBy("jaccard_dist", "doc_b")
     return (
         pairs.withColumn("rn", F.row_number().over(w))
