@@ -1040,13 +1040,24 @@ def dedup_semantic_blocked(spark, t):
     go 21× instead of ~linear (SCALE.md ladder).  Approximate (a pair
     split across non-adjacent cells is missed) → rows-only; recall vs
     the exact all-pairs twin is measured in tests.
+
+    **Index-build scale posture (r13, sf10 rung catch)**: the r12
+    form fit KMeans on the FULL corpus and ranked cells via an N×k
+    crossJoin + per-vector rank window — 133M rows through a window
+    at sf10 (200k vecs × 666 cells), ~30 min for one key.  Standard
+    IVF practice applies on both counts: the coarse quantizer trains
+    on a bounded sample (~100 vectors per centroid, ≥50k), and the
+    3-nearest-cell assignment is one Arrow-batched BLAS product per
+    vector batch against the broadcast centroid matrix — N·k
+    multiply-adds inside numpy, 3 rows per vector out, no N×k row
+    explosion.  argsort(kind="stable") breaks d2 ties by cell id,
+    matching the old window's (d2, cell_id) order.
     """
     import numpy as np
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
-    from pyspark.sql.window import Window
 
-    from tweetdb_spark.llm.similarity import _valid_embeddings, dot, with_norm
+    from tweetdb_spark.llm.similarity import _valid_embeddings
 
     # NULL/empty vectors crash KMeans.fit (array_to_vector NPE / dim-0
     # sample) and can never clear a positive cosine threshold — same
@@ -1055,55 +1066,100 @@ def dedup_semantic_blocked(spark, t):
     e = _valid_embeddings(t["embeddings"]).withColumn(
         "vec", array_to_vector("embedding")
     )
-    k = max(8, e.count() // 300)  # constant ~300-vector cells
-    model = KMeans(k=k, seed=42, featuresCol="vec", predictionCol="cell").fit(e)
+    n_vec = e.count()
+    k = max(8, n_vec // 300)  # constant ~300-vector cells
+    fit_target = max(50_000, 100 * k)  # ~100 training vectors/centroid
+    fit_df = (
+        e if n_vec <= fit_target else e.sample(fit_target / n_vec, seed=42)
+    )
+    model = KMeans(k=k, seed=42, featuresCol="vec", predictionCol="cell").fit(
+        fit_df
+    )
     centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
 
-    # each vector blocks into its own cell AND its 2nd-nearest cell
-    # (computed JVM-side against the broadcast centroid table)
-    cent = spark.createDataFrame(
-        [(int(i), [float(x) for x in c]) for i, c in enumerate(centers)],
-        "cell_id int, centroid array<double>",
+    bc = spark.sparkContext.broadcast(centers)
+
+    def _top3_cells(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(bc.value, dtype=np.float64)
+        c2 = (C * C).sum(axis=1)
+        nb = min(3, C.shape[0])
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            # ||v||² is constant per row — rank-invariant, omitted
+            d2 = c2[None, :] - 2.0 * (V @ C.T)
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :nb]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy().repeat(nb),
+                    "embedding": pdf["embedding"].to_numpy().repeat(nb),
+                    "block": idx.ravel().astype("int32"),
+                }
+            )
+
+    ranked = e.select("vec_id", "embedding").mapInPandas(
+        _top3_cells, "vec_id bigint, embedding array<float>, block int"
     )
-    assigned = model.transform(e).select("vec_id", "embedding", "cell")
-    dist2 = F.aggregate(
-        F.zip_with(
-            F.col("embedding").cast("array<double>"),
-            F.col("centroid"),
-            lambda x, y: (x - y) * (x - y),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    ranked = (
-        assigned.crossJoin(F.broadcast(cent))
-        .withColumn("d2", dist2)
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy("d2", "cell_id")
-            ),
+    # Within-cell verify as one BLAS gram matrix per cell (r13): the
+    # r12 self-join evaluated the zip_with/aggregate cosine — a
+    # CodegenFallback interpreted path — once per candidate pair
+    # (~270M pairs × 64 dims at sf10).  applyInPandas computes each
+    # cell's pairwise cosines as chunked float64 matrix products;
+    # zero-norm rows yield NaN and fail the threshold exactly like
+    # try_divide's NULL.  Chunking bounds memory even if KMeans hands
+    # back a degenerate mega-cell.
+    def _block_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "cos_sim": pd.Series(dtype="float64"),
+            }
         )
-        .where(F.col("rk") <= 3)
-        .select("vec_id", "embedding", F.col("cell_id").alias("block"))
-    )
-    n = with_norm(ranked.select("vec_id", "embedding", "block"))
-    a, b = n.alias("a"), n.alias("b")
-    cos = F.try_divide(
-        dot(F.col("a.embedding"), F.col("b.embedding")),
-        F.col("a.norm") * F.col("b.norm"),
-    )
+        if len(pdf) < 2:
+            return empty
+        V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        norms = np.sqrt((V * V).sum(axis=1))
+        out = []
+        chunk = 2048
+        for s in range(0, len(ids) - 1, chunk):
+            t_ = min(s + chunk, len(ids))
+            G = V[s:t_] @ V.T  # (t_-s, n)
+            denom = np.outer(norms[s:t_], norms)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                C = np.where(denom > 0, G / denom, np.nan)
+            # strict upper triangle in GLOBAL index space: j > i
+            gi = np.arange(s, t_)[:, None]
+            gj = np.arange(len(ids))[None, :]
+            with np.errstate(invalid="ignore"):
+                m = (gj > gi) & (C >= 0.35)
+            ii, jj = np.nonzero(m)
+            if len(ii) == 0:
+                continue
+            a_ids, b_ids = ids[ii + s], ids[jj]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "vec_a": np.minimum(a_ids, b_ids),
+                        "vec_b": np.maximum(a_ids, b_ids),
+                        "cos_sim": np.round(C[ii, jj], 6),
+                    }
+                )
+            )
+        return pd.concat(out) if out else empty
+
     return (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .where(cos >= 0.35)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 6).alias("cos_sim"),
+        ranked.groupBy("block")
+        .applyInPandas(
+            _block_pairs, "vec_a bigint, vec_b bigint, cos_sim double"
         )
         .distinct()  # a pair can collide in both of its shared blocks
     )
