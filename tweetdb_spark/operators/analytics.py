@@ -388,13 +388,33 @@ def fn_levenshtein_blocked(spark, t):
     returns byte-identical results.  Same candidate-generation shape
     as the dedup ladder (simhash bands / LSH buckets / IVF cells).
     """
+    from pyspark.sql import Window as _W
+
     s = t["supplier"].select("s_suppkey", "s_name")
-    a = s.select(
+    # Exact-collapse-first (r13, sf10 rung catch): identical names
+    # share every index AND probe key, so the blocked join was
+    # quadratic in name multiplicity on clone-heavy data (the sf10
+    # fixture's ~100-clone name groups stalled the candidate join).
+    # Block and verify one representative per distinct name, then
+    # expand rep pairs to member pairs: identical names always
+    # collide in the naive form (the identity probe lp=len, d=0 IS
+    # the index key) at edit distance 0, and a cross-group member
+    # pair is a candidate with the same distance iff its rep pair is
+    # (same two names).  NULL names produce NULL join keys in the
+    # naive form and never pair — the member map drops them so the
+    # within leg cannot fabricate NULL-name pairs.  The all-pairs
+    # oracle is unchanged; the hash check proves the collapse exact.
+    s = s.withColumn("rep", F.min("s_suppkey").over(_W.partitionBy("s_name")))
+    mem = s.where(F.col("s_name").isNotNull()).select("s_suppkey", "rep")
+    reps = s.where(F.col("s_suppkey") == F.col("rep")).select(
+        "s_suppkey", "s_name"
+    )
+    a = reps.select(
         F.col("s_suppkey").alias("supp_a"),
         F.col("s_name").alias("name_a"),
         F.explode(F.expr(_LEV_IDX_KEYS)).alias("k"),
     ).select("supp_a", "name_a", "k.slot", "k.l", "k.sub")
-    b = s.select(
+    b = reps.select(
         F.col("s_suppkey").alias("supp_b"),
         F.col("s_name").alias("name_b"),
         F.explode(F.expr(_LEV_PRB_KEYS)).alias("k"),
@@ -406,10 +426,36 @@ def fn_levenshtein_blocked(spark, t):
         .distinct()
     )
     dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
-    return (
-        cand.where(dist <= 2)
-        .select("supp_a", "supp_b", dist.alias("edit_dist"))
+    rep_pairs = cand.where(dist <= 2).select(
+        F.col("supp_a").alias("rep_a"),
+        F.col("supp_b").alias("rep_b"),
+        dist.alias("edit_dist"),
     )
+    ma = mem.select(F.col("rep").alias("rep_a"), F.col("s_suppkey").alias("ka"))
+    mb = mem.select(F.col("rep").alias("rep_b"), F.col("s_suppkey").alias("kb"))
+    cross = (
+        rep_pairs.join(ma, "rep_a")
+        .join(mb, "rep_b")
+        .select(
+            F.least("ka", "kb").alias("supp_a"),
+            F.greatest("ka", "kb").alias("supp_b"),
+            "edit_dist",
+        )
+    )
+    within = (
+        mem.alias("x")
+        .join(
+            mem.alias("y"),
+            (F.col("x.rep") == F.col("y.rep"))
+            & (F.col("x.s_suppkey") < F.col("y.s_suppkey")),
+        )
+        .select(
+            F.col("x.s_suppkey").alias("supp_a"),
+            F.col("y.s_suppkey").alias("supp_b"),
+            F.lit(0).cast("int").alias("edit_dist"),
+        )
+    )
+    return cross.unionAll(within)
 
 
 @query(
