@@ -1365,6 +1365,11 @@ def text_lm_interpolated(spark, t):
 
 @query(
     "corpus_negative_pairs",
+    # B is the SAME corpus-scaled expression on both sides (max(16,
+    # n // 320)): at every fixture scale (≤ 5000 docs) it stays 16, so
+    # the committed hash evidence is unchanged, while big corpora get
+    # constant ~320-doc buckets (the r13 sf10 rung caught the fixed
+    # B = 16: 31k-doc buckets → ~15.6B candidate rows → job death).
     oracle="""
     SELECT anchor_id, neg_id, neg_lang FROM (
       SELECT a.doc_id AS anchor_id, b.doc_id AS neg_id, b.lang AS neg_lang,
@@ -1376,9 +1381,12 @@ def text_lm_interpolated(spark, t):
              ) AS rn
       FROM documents a
       JOIN documents b
-        ON (a.doc_id % 16) = (b.doc_id % 16) AND a.lang <> b.lang
+        ON (a.doc_id % (SELECT GREATEST(16, COUNT(*) // 320) FROM documents))
+         = (b.doc_id % (SELECT GREATEST(16, COUNT(*) // 320) FROM documents))
+       AND a.lang <> b.lang
     ) WHERE rn <= 2
     """,
+    eager=True,  # bucket count read from the corpus at plan build
 )
 def corpus_negative_pairs(spark, t):
     """Contrastive-training negative sampling: 2 cross-language
@@ -1397,8 +1405,13 @@ def corpus_negative_pairs(spark, t):
     """
     from pyspark.sql.window import Window
 
+    # B = max(16, n/320): constant ~320-doc buckets however large the
+    # corpus (the sf10 rung caught the fixed B=16 — 31k-doc buckets
+    # blew the candidate join to ~15.6B rows); ≤ 5000 docs keeps
+    # B = 16, so fixture-scale output and hash evidence are unchanged
+    n_buckets = max(16, t["documents"].count() // 320)
     d = t["documents"].select(
-        "doc_id", "lang", (F.col("doc_id") % 16).alias("bucket")
+        "doc_id", "lang", (F.col("doc_id") % n_buckets).alias("bucket")
     )
     a, b = d.alias("a"), d.alias("b")
     pair_hash = (
