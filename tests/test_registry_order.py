@@ -131,6 +131,8 @@ def test_eager_keys_are_declared():
         "text_bpe_train",
         "text_bpe_train_dict",
         "text_bpe_encode",
+        # corpus-scaled parameter read at plan build (bucket count)
+        "corpus_negative_pairs",
     }
     assert registry.EAGER == expected, registry.EAGER ^ expected
     for k in expected:
