@@ -350,7 +350,18 @@ def join_stream_static(spark, t):
 
     The static side is planned per micro-batch (broadcast at this
     size); stream-static joins need no watermark — no state is kept.
+
+    Sink: parquet, not memory (r13 sf10 rung catch): the join OUTPUT
+    is fact-sized — one wide row per matched event, ~10M at sf10 —
+    and a memory sink materializes all of it in driver heap, which
+    OOM-killed the JVM at sf10 under the 8g ladder config.  A file
+    sink keeps the result distributed (the lake shape a stream-static
+    enrichment feeds in production); the read-back frame carries the
+    identical rows, so the batch-equality pytest and the r10
+    driver-graded rows evidence are unchanged.
     """
+    from tweetdb_spark import scratch
+
     s = read_events_stream(spark, _sf_dir(t))
     cust = t["customer"].select(
         F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
@@ -358,7 +369,19 @@ def join_stream_static(spark, t):
     joined = s.join(cust, "user_id").select(
         "event_id", "user_id", "event_type", "c_name", "c_mktsegment"
     )
-    return run_to_memory(joined, "append")
+    out = scratch.fresh_dir("tweetdb_jss_sink")
+    ckpt = scratch.fresh_dir("tweetdb_jss_ckpt")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # explicit schema: a zero-match join leaves only _spark_metadata
+    # in the sink dir, where schema inference would fail
+    return spark.read.schema(joined.schema).parquet(out)
 
 
 @query("stream_sink_parquet", oracle=None)
