@@ -75,8 +75,20 @@ def main() -> None:
         try:
             n = tweetdb_spark.QUERIES[key](spark, sf_dir).count()
             dt = time.time() - t0
-            print(f"OK    {key}: {n} rows ({dt:.1f}s)", flush=True)
-            n_ok += 1
+            if timed_out.is_set():
+                # a stopped availableNow stream makes run_to_memory
+                # return a PARTIAL memory table that counts "fine" —
+                # the first batch-E run printed stream_rate_limit as
+                # OK with half its rows this way
+                print(
+                    f"TIME  {key}: watchdog fired; partial result "
+                    f"{n} rows ({dt:.1f}s)",
+                    flush=True,
+                )
+                n_fail += 1
+            else:
+                print(f"OK    {key}: {n} rows ({dt:.1f}s)", flush=True)
+                n_ok += 1
         except Exception as e:  # noqa: BLE001 — rung must survive any key
             dt = time.time() - t0
             if timed_out.is_set():
