@@ -99,6 +99,21 @@ def main() -> None:
                 print(f"FAIL  {key}: {first} ({dt:.1f}s)", flush=True)
                 traceback.print_exc(file=sys.stderr)
             n_fail += 1
+            # A GC-death leaves the JVM half-alive: every later key
+            # then FAILs in <1s with opaque RPC errors (the sf100
+            # first pass logged 19 such cascade FAILs after one real
+            # one).  Probe the session; if it's dead, abort loudly so
+            # the caller reruns the remainder fresh instead of
+            # recording noise.
+            try:
+                spark.sql("select 1").collect()
+            except Exception:
+                print(
+                    f"DEAD  session unusable after {key}; "
+                    f"aborting — rerun remaining keys fresh",
+                    flush=True,
+                )
+                sys.exit(2)
         finally:
             watchdog.cancel()
             spark.sparkContext.setJobGroup("", "")

@@ -1062,15 +1062,55 @@ def dedup_semantic_blocked(spark, t):
     # NULL/empty vectors crash KMeans.fit (array_to_vector NPE / dim-0
     # sample) and can never clear a positive cosine threshold — same
     # index-ingest guard every ANN tier applies (r13 rows-only edge
-    # survey catch, sweeps/rows_only_survey_r13.log)
-    e = _valid_embeddings(t["embeddings"]).withColumn(
-        "vec", array_to_vector("embedding")
+    # survey catch, sweeps/rows_only_survey_r13.log).  Zero-NORM
+    # vectors are equally unrankable (cosine NaN fails every mask) and
+    # are dropped with them — in the pre-collapse form they rode along
+    # producing no pairs; dropping them up front keeps that contract.
+    raw = _valid_embeddings(t["embeddings"])
+    sq = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
     )
-    n_vec = e.count()
-    k = max(8, n_vec // 300)  # constant ~300-vector cells
+    raw = raw.where(sq > 0)
+    # Exact-vector collapse (r13 sf100 rung catch — the same
+    # collapse-first posture as the text tiers' md5(text) collapse):
+    # clone replicas carry byte-identical embeddings, so the ×1000
+    # clone mass of the sf100 fixture made the within-cell gram
+    # verify quadratic in multiplicity (GC death at 2M vectors).
+    # Quantize / assign / verify only the min-vec_id representative
+    # of each distinct vector (xxhash64 over the float array — the
+    # same ~2⁻⁶⁴ collision trust the token-id verify places in
+    # xxhash64), then expand rep pairs back to member pairs as pure
+    # (id, id, double) generation via _expand_rep_pairs: identical
+    # vectors have cosine exactly 1 ≥ τ, so every within-group pair
+    # is a pair, and a cross-group member pair verifies to exactly
+    # its rep pair's cosine.
+    from pyspark.sql import Window as _W
+
+    collapsed = raw.withColumn("h", F.xxhash64("embedding")).withColumn(
+        "rep_id", F.min("vec_id").over(_W.partitionBy("h"))
+    )
+    mem = collapsed.select(F.col("vec_id").alias("doc_id"), "rep_id")
+    e = collapsed.where(F.col("vec_id") == F.col("rep_id")).select(
+        "vec_id", "embedding"
+    )
+    # k scales with UNIQUE vectors (~300 reps/cell — the verify-cost
+    # intent; clone mass no longer inflates the cell count), but the
+    # quantizer still FITS on a sample of the raw corpus: the raw
+    # frame's partitioning is untouched by the collapse shuffle, so
+    # fixture-scale output is bit-identical to the pre-collapse form
+    # (KMeans' seeded init samples by partition layout), and at clone
+    # scales the training distribution is the one the old form saw.
+    n_rep = e.count()
+    k = max(8, n_rep // 300)  # constant ~300-UNIQUE-vector cells
     fit_target = max(50_000, 100 * k)  # ~100 training vectors/centroid
+    fit_base = raw.withColumn("vec", array_to_vector("embedding"))
+    n_raw = fit_base.count()
     fit_df = (
-        e if n_vec <= fit_target else e.sample(fit_target / n_vec, seed=42)
+        fit_base
+        if n_raw <= fit_target
+        else fit_base.sample(fit_target / n_raw, seed=42)
     )
     model = KMeans(k=k, seed=42, featuresCol="vec", predictionCol="cell").fit(
         fit_df
@@ -1156,12 +1196,25 @@ def dedup_semantic_blocked(spark, t):
             )
         return pd.concat(out) if out else empty
 
-    return (
+    rep_pairs = (
         ranked.groupBy("block")
         .applyInPandas(
             _block_pairs, "vec_a bigint, vec_b bigint, cos_sim double"
         )
         .distinct()  # a pair can collide in both of its shared blocks
+        .select(
+            F.col("vec_a").alias("rep_a"),
+            F.col("vec_b").alias("rep_b"),
+            "cos_sim",
+        )
+    )
+    # identical vectors: cosine exactly 1 (the verify's round-6 value
+    # for a self-pair is 1.0 too — v·v/(‖v‖‖v‖) differs from 1 only
+    # in the last ulp, under the 1e-6 rounding)
+    return _expand_rep_pairs(rep_pairs, mem, "cos_sim", 1.0).select(
+        F.col("doc_a").alias("vec_a"),
+        F.col("doc_b").alias("vec_b"),
+        "cos_sim",
     )
 
 
