@@ -1366,10 +1366,14 @@ def text_lm_interpolated(spark, t):
 @query(
     "corpus_negative_pairs",
     # B is the SAME corpus-scaled expression on both sides (max(16,
-    # n // 320)): at every fixture scale (≤ 5000 docs) it stays 16, so
-    # the committed hash evidence is unchanged, while big corpora get
-    # constant ~320-doc buckets (the r13 sf10 rung caught the fixed
-    # B = 16: 31k-doc buckets → ~15.6B candidate rows → job death).
+    # n // 320)): big corpora get constant ~320-doc buckets (the r13
+    # sf10 rung caught the fixed B = 16: 31k-doc buckets → ~15.6B
+    # candidate rows → job death).  The bucket id HASHES doc_id with
+    # the same portable multiplicative mix used for the pair draw —
+    # the sf100 rung caught raw ``doc_id % B``: id-structure-
+    # correlated bucketing (B = 15625 = 5⁶ divides the power-of-ten
+    # replica offsets, so every bucket held ONE base doc's same-lang
+    # clones → 0 output rows).
     oracle="""
     SELECT anchor_id, neg_id, neg_lang FROM (
       SELECT a.doc_id AS anchor_id, b.doc_id AS neg_id, b.lang AS neg_lang,
@@ -1381,8 +1385,10 @@ def text_lm_interpolated(spark, t):
              ) AS rn
       FROM documents a
       JOIN documents b
-        ON (a.doc_id % (SELECT GREATEST(16, COUNT(*) // 320) FROM documents))
-         = (b.doc_id % (SELECT GREATEST(16, COUNT(*) // 320) FROM documents))
+        ON ((a.doc_id % 2147483647) * 2654435761 % 2147483647
+              % (SELECT GREATEST(16, COUNT(*) // 320) FROM documents))
+         = ((b.doc_id % 2147483647) * 2654435761 % 2147483647
+              % (SELECT GREATEST(16, COUNT(*) // 320) FROM documents))
        AND a.lang <> b.lang
     ) WHERE rn <= 2
     """,
@@ -1407,12 +1413,17 @@ def corpus_negative_pairs(spark, t):
 
     # B = max(16, n/320): constant ~320-doc buckets however large the
     # corpus (the sf10 rung caught the fixed B=16 — 31k-doc buckets
-    # blew the candidate join to ~15.6B rows); ≤ 5000 docs keeps
-    # B = 16, so fixture-scale output and hash evidence are unchanged
+    # blew the candidate join to ~15.6B rows).  The bucket id mixes
+    # doc_id through the portable multiplicative hash FIRST (sf100
+    # rung catch): a raw modulus correlates with id structure — any B
+    # sharing a factor with the fixture's power-of-ten replica
+    # offsets (B = 15625 = 5⁶ at 5M docs) collapsed every bucket to
+    # one base doc's same-language clones, emitting ZERO pairs.
     n_buckets = max(16, t["documents"].count() // 320)
-    d = t["documents"].select(
-        "doc_id", "lang", (F.col("doc_id") % n_buckets).alias("bucket")
-    )
+    bucket = (
+        (F.col("doc_id") % 2147483647) * 2654435761 % 2147483647
+    ) % n_buckets
+    d = t["documents"].select("doc_id", "lang", bucket.alias("bucket"))
     a, b = d.alias("a"), d.alias("b")
     pair_hash = (
         ((F.col("a.doc_id") * 131 + F.col("b.doc_id")) % 2147483647)
