@@ -2091,22 +2091,50 @@ def text_decontaminate_bloom(spark, t):
     internals never need cross-engine portability because the oracle
     pins the exact FINAL answer — so the cheap hash wins (the
     portable per-char hash cost 2.6× on the sf0.1 ladder).
+
+    **Exact-collapse-first on each side of the %7 split (r13 sf100
+    rung)**: clone replicas share text, hence grams, hence n_shared —
+    but the bench/training split cuts ACROSS clone groups (a group's
+    members differ in doc_id % 7), so each side collapses
+    independently: the bench side only ever needed its DISTINCT gram
+    set (distinct TEXTS first, then grams — same set, 1000× fewer
+    exploded rows on the clone fixture), and the training side
+    probes/joins one md5(text) representative, expanding (rep,
+    n_shared) back to members as a narrow join.  At sf100 (5M docs)
+    the uncollapsed form exploded ~1.5B grams through four semi
+    probes — 1180 s, one decade from the watchdog; dedup-before-
+    expensive-work is also just what a production pipeline does.
+    The oracle stays the EXACT uncollapsed query, so the equivalence
+    is value-hash-checked every round.
     """
-    g = t["documents"].select("doc_id", F.expr(_GRAMS_EXPR).alias("grams"))
+    from pyspark.sql import Window as _W
+
+    docs = t["documents"].select("doc_id", "text")
     bench_g = (
-        g.where(F.col("doc_id") % 7 == 0)
-        .select(F.explode("grams").alias("gram"))
+        docs.where(F.col("doc_id") % 7 == 0)
+        .select("text")
+        .distinct()
+        .select(F.explode(F.expr(_GRAMS_EXPR)).alias("gram"))
         .distinct()
     )
-    positions = _bloom_positions(F.col("gram"))
-    hits = (
-        g.where(F.col("doc_id") % 7 != 0)
-        .select("doc_id", F.explode("grams").alias("gram"))
-        .select("doc_id", "gram", *[
-            positions[j]["bucket"].alias(f"b{j}")
-            for j in range(len(_BLOOM_ROWS))
-        ])
+    train = docs.where(F.col("doc_id") % 7 != 0).withColumn(
+        "h", F.md5("text")
     )
+    train = train.withColumn(
+        "rep_id", F.min("doc_id").over(_W.partitionBy("h"))
+    )
+    mem = train.select("doc_id", "rep_id")
+    rep_g = (
+        train.where(F.col("doc_id") == F.col("rep_id"))
+        .select(F.col("doc_id").alias("rep_id"), F.expr(_GRAMS_EXPR).alias("grams"))
+    )
+    positions = _bloom_positions(F.col("gram"))
+    hits = rep_g.select(
+        "rep_id", F.explode("grams").alias("gram")
+    ).select("rep_id", "gram", *[
+        positions[j]["bucket"].alias(f"b{j}")
+        for j in range(len(_BLOOM_ROWS))
+    ])
     # membership = ALL k slices set → k chained broadcast LEFT SEMI
     # probes, one per slice: no row multiplication, no candidate-count
     # shuffle (the earlier explode×k + groupBy form paid both and lost
@@ -2116,12 +2144,14 @@ def text_decontaminate_bloom(spark, t):
             bench_g.select(positions[j]["bucket"].alias(f"b{j}")).distinct()
         )
         hits = hits.join(F.broadcast(bits_j), f"b{j}", "left_semi")
-    return (
-        hits.select("doc_id", "gram")
+    rep_shared = (
+        hits.select("rep_id", "gram")
         .join(bench_g, "gram")
-        .groupBy("doc_id")
+        .groupBy("rep_id")
         .agg(F.countDistinct("gram").alias("n_shared"))
     )
+    # clones share grams, hence n_shared — expand reps back to members
+    return mem.join(rep_shared, "rep_id").select("doc_id", "n_shared")
 
 
 # Hashed-feature linear quality model: D buckets; the "trained" weight
