@@ -183,13 +183,33 @@ def doc_fingerprint(spark, t):
     whole-stage codegen.  Grouping by fingerprint is the content-
     addressed dedup key; at 100 TB the fingerprint is what you
     shuffle, never the text.
+
+    Exact-collapse-first (r13 sf100 rung): the per-char fold runs
+    once per DISTINCT text (md5 group), not per clone — 475.8 s of
+    interpreted HOF folding at 5M docs became rep-sized.  The md5
+    groupBy combines map-side (one text per distinct hash leaves each
+    map partition), min(doc_id)-per-group = the group's keep
+    candidate, and n_docs re-weights by group size; NULL texts form
+    one md5 group whose NULL fingerprint matches the old per-doc NULL
+    prints.  Oracle unchanged (the exact per-doc query).
     """
+    grp = (
+        t["documents"]
+        .groupBy(F.md5("text").alias("h"))
+        .agg(
+            F.min("doc_id").alias("rep_id"),
+            F.count("*").alias("sz"),
+            F.first("text").alias("text"),  # members share text by h
+        )
+    )
     fp = F.expr(_SPARK_WHASH.format(s="text"))
     return (
-        t["documents"]
-        .select("doc_id", fp.alias("fingerprint"))
+        grp.select(fp.alias("fingerprint"), "rep_id", "sz")
         .groupBy("fingerprint")
-        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_docs"))
+        .agg(
+            F.min("rep_id").alias("keep_doc_id"),
+            F.sum("sz").alias("n_docs"),
+        )
     )
 
 
@@ -659,19 +679,35 @@ def text_dup_ngram_fraction(spark, t):
     both sides: DuckDB's ``range`` and the guarded Spark ``sequence``
     are both empty there).
     """
+    # Exact-collapse-first (r13 sf100 rung): grams are a pure function
+    # of text, and the doc-frequency table re-weights by md5-group
+    # size (a clone group of sz ≥ 2 makes every one of its grams
+    # df ≥ 2 — exactly what the per-doc form computed).  Gram
+    # explode + df shuffle run once per DISTINCT text; the per-doc
+    # answer expands back over the member map.  470.7 s → rep-sized
+    # at 5M docs.  Oracle unchanged (the exact per-doc query).
+    from pyspark.sql import Window as _W
+
     grams = F.expr(
         "CASE WHEN size(split(text, ' ')) >= 5 THEN "
         "array_distinct(transform(sequence(1, size(split(text, ' ')) - 4), "
         "i -> array_join(slice(split(text, ' '), i, 5), ' '))) "
         "ELSE array() END"
     )
-    dg = t["documents"].select(
-        "doc_id", F.explode(grams).alias("gram")
+    d = t["documents"].withColumn("h", F.md5("text")).withColumn(
+        "rep_id", F.min("doc_id").over(_W.partitionBy("h"))
     )
-    df_gram = dg.groupBy("gram").agg(F.count("*").alias("df"))
-    return (
+    mem = d.select("doc_id", "rep_id")
+    sized = d.groupBy("rep_id").agg(
+        F.count("*").alias("sz"), F.first("text").alias("text")
+    )
+    dg = sized.select(
+        "rep_id", "sz", F.explode(grams).alias("gram")
+    )
+    df_gram = dg.groupBy("gram").agg(F.sum("sz").alias("df"))
+    rep_frac = (
         dg.join(df_gram, "gram")
-        .groupBy("doc_id")
+        .groupBy("rep_id")
         .agg(
             F.count("*").alias("n_grams"),
             F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias(
@@ -683,6 +719,9 @@ def text_dup_ngram_fraction(spark, t):
                 6,
             ).alias("dup_frac"),
         )
+    )
+    return mem.join(rep_frac, "rep_id").select(
+        "doc_id", "n_grams", "n_dup_grams", "dup_frac"
     )
 
 
