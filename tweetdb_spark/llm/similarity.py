@@ -517,9 +517,27 @@ def embed_project_jl(spark, t):
         "* CAST(try_element_at(embedding, CAST(i AS INT) + 1) AS DOUBLE)) "
         "/ 4.0, 6) + 0)"
     )
-    return t["embeddings"].select(
-        "vec_id", F.posexplode(proj).alias("k", "proj")
-    ).select("vec_id", F.col("k").cast("bigint").alias("k"), "proj")
+    # Exact-collapse-first (r13 sf100 rung): the projection is a pure
+    # function of the embedding, and the 16×64 interpreted fold is the
+    # whole cost (254 s at 2M vectors) — evaluate it once per DISTINCT
+    # vector (xxhash64 collapse, as in dedup_semantic_blocked) and
+    # expand (rep, k, proj) back over the member map.  The fold itself
+    # is untouched, so the bit-for-bit cross-engine arithmetic the
+    # docstring promises is unchanged — fewer evaluations, same
+    # doubles.
+    from pyspark.sql import Window as _W
+
+    d = t["embeddings"].withColumn("hh", F.xxhash64("embedding")).withColumn(
+        "rep_id", F.min("vec_id").over(_W.partitionBy("hh"))
+    )
+    mem = d.select("vec_id", "rep_id")
+    rep_proj = (
+        d.where(F.col("vec_id") == F.col("rep_id"))
+        .select(F.col("vec_id").alias("rep_id"), F.posexplode(proj).alias("k", "proj"))
+    )
+    return mem.join(rep_proj, "rep_id").select(
+        "vec_id", F.col("k").cast("bigint").alias("k"), "proj"
+    )
 
 
 @query(

@@ -65,12 +65,28 @@ def text_tf_idf(spark, t):
     token (vocab-sized — always broadcastable), idf = ln(N/df) with N
     joined in as a 1-row broadcast aggregate (never a driver-side
     collect).  Final per-lang top-k via window rank.
+
+    Exact-collapse-first (r13 sf100 rung): tokenize once per DISTINCT
+    (md5(text), lang) group — the group size re-weights both df (sz
+    docs contain each of the group's tokens) and the score sum
+    (sz · tf · idf).  At fixture scales every group has sz = 1, so
+    the scored expression is LITERALLY the per-doc one and the hash
+    evidence is unchanged; at 5M docs (×1000 clones) the token
+    explode shrinks a thousandfold.  Grouping includes lang so
+    same-text-different-lang docs stay distinct rows, clone or not.
     """
-    tok = t["documents"].select(
-        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    grp = (
+        t["documents"]
+        .groupBy(F.md5("text").alias("h"), "lang")
+        .agg(F.count("*").alias("sz"), F.first("text").alias("text"))
     )
-    tf = tok.groupBy("doc_id", "lang", "token").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    tok = grp.select(
+        "h", "lang", "sz", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = tok.groupBy("h", "lang", "sz", "token").agg(
+        F.count("*").alias("tf")
+    )
+    df = tf.groupBy("token").agg(F.sum("sz").alias("df"))
     n = t["documents"].agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(F.broadcast(df), "token")
@@ -79,7 +95,8 @@ def text_tf_idf(spark, t):
         .agg(
             F.round(
                 F.sum(
-                    F.col("tf")
+                    F.col("sz")
+                    * F.col("tf")
                     * F.log(F.col("n_docs").cast("double") / F.col("df"))
                 ),
                 4,
