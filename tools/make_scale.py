@@ -48,6 +48,11 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/tweetdb_sf1")
+    # Scaling an ALREADY-SCALED fixture needs a bigger key offset: a
+    # sf10 dir built from sf0.1 at factor 100 has consumed replica
+    # offsets 0..99·10⁹, so a second ×10 pass must shift by 10¹² to
+    # keep replica key ranges disjoint (sf100 = sf10 + --offset 1e12).
+    ap.add_argument("--offset", type=int, default=OFFSET)
     args = ap.parse_args()
 
     from tweetdb_spark.catalog import load_tables
@@ -72,7 +77,7 @@ def main() -> None:
             rep = rep.withColumn(
                 k,
                 F.col(k).cast("bigint")
-                + F.col("_r").cast("bigint") * F.lit(OFFSET),
+                + F.col("_r").cast("bigint") * F.lit(args.offset),
             )
         rep = rep.drop("_r")
         if name == "events":

@@ -26,7 +26,11 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from tweetdb_spark.registry import query
-from tweetdb_spark.streaming.sources import read_events_stream, run_to_memory
+from tweetdb_spark.streaming.sources import (
+    read_events_stream,
+    run_to_memory,
+    run_to_parquet,
+)
 
 
 @query("source_stream_file", oracle=None)
@@ -40,7 +44,9 @@ def source_stream_file(spark, t):
     out = s.where(F.col("event_type") != "error").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    return run_to_memory(out, "append")
+    # fact-sized output (one row per ingested event) -> file sink
+    # (r13 100M-event rung: the memory sink OOM-killed the JVM here)
+    return run_to_parquet(out)
 
 
 @query("stream_tumbling", oracle=None)
@@ -96,7 +102,8 @@ def stream_session(spark, t):
             "n_events",
         )
     )
-    return run_to_memory(agg, "append")
+    # session rows are fact-scaled (one per user-session) -> file sink
+    return run_to_parquet(agg)
 
 
 @query("stream_watermark_late", oracle=None)
@@ -132,7 +139,8 @@ def stream_dedup(spark, t):
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "ts", "user_id", "event_type")
     )
-    return run_to_memory(deduped, "append")
+    # one row per unique event -> fact-sized -> file sink (r13 rung)
+    return run_to_parquet(deduped)
 
 
 def _latest_totals_per_user(mem):
@@ -248,7 +256,8 @@ def stream_rate_limit(spark, t):
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_to_memory(out, "append")
+    # one verdict row per event -> fact-sized -> file sink (r13 rung)
+    return run_to_parquet(out)
 
 
 @query("source_stream_custom", oracle=None)
@@ -539,7 +548,8 @@ def join_stream_stream_outer(spark, t):
         & (F.col("x_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
         "leftOuter",
     ).select("signup_id", "user_id", "s_ts", "event_id", "event_type")
-    return run_to_memory(joined, "append")
+    # one row per signup-event match -> fact-scaled -> file sink
+    return run_to_parquet(joined)
 
 
 _DERBY_CHECKED: dict[int, bool] = {}  # per-JVM memo, like the RocksDB gate

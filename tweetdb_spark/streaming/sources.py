@@ -253,6 +253,36 @@ def configure_state_store(spark: SparkSession) -> bool:
     return present
 
 
+def run_to_parquet(df: DataFrame) -> DataFrame:
+    """Drain an append-mode streaming frame through a checkpointed
+    parquet sink and return the schema'd read-back.
+
+    For FACT-SIZED streaming output (one row per event: the raw
+    ingest feed, per-event dedup/admission verdicts, stream joins):
+    a memory sink materializes every row in driver heap, which
+    OOM-killed the JVM at the 100M-event rung (r13) — the file sink
+    keeps the result distributed and is the lake shape those jobs
+    feed in production.  Memory sinks (:func:`run_to_memory`) remain
+    right for aggregate-sized output.  The explicit schema on the
+    read-back makes a zero-row sink dir readable (only
+    _spark_metadata present).
+    """
+    configure_state_store(df.sparkSession)
+    from tweetdb_spark import scratch
+
+    out = scratch.fresh_dir("tweetdb_fsink")
+    ckpt = scratch.fresh_dir("tweetdb_fschk")
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.read.schema(df.schema).parquet(out)
+
+
 def run_to_memory(
     df: DataFrame, mode: str = "append", drain: str = "available_now"
 ) -> DataFrame:
