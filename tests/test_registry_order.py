@@ -46,9 +46,10 @@ def test_first_50_keys_are_hashable_or_declared_rotation():
         f"rows-only keys: {undeclared} — a reorder has parked a weaker "
         "check inside the graded window; fix CONTRACT_ORDER"
     )
-    assert len(registry.WINDOW_ROWS_ONLY_KEYS) <= 5, (
+    assert len(registry.WINDOW_ROWS_ONLY_KEYS) <= 6, (
         "the evidence-rotation carve-out must stay small — the window "
-        "exists to maximize hash-graded keys"
+        "exists to maximize hash-graded keys (r10 toured 5 keys; the "
+        "r14 carve-out ordered by the r12 verdict ask #5 tours 6)"
     )
     # every declared rotation key must actually BE in the window this
     # round, else the declaration is stale and should be emptied

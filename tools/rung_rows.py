@@ -33,11 +33,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # accept both `--timeout=SECS` and `--timeout SECS` (ADVICE r13:
+    # the docstring advertised the space form but only `=` parsed)
+    argv = list(sys.argv[1:])
     timeout = 600.0
-    for a in sys.argv[1:]:
+    args: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--timeout"):
-            timeout = float(a.split("=", 1)[1])
+            if "=" in a:
+                timeout = float(a.split("=", 1)[1])
+            else:
+                i += 1
+                if i >= len(argv):
+                    sys.exit("usage: --timeout SECS (missing value)")
+                timeout = float(argv[i])
+        else:
+            args.append(a)
+        i += 1
     sf_dir, keys = args[0], args[1:]
 
     import tweetdb_spark

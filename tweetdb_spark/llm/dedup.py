@@ -1066,13 +1066,18 @@ def dedup_semantic_blocked(spark, t):
     # vectors are equally unrankable (cosine NaN fails every mask) and
     # are dropped with them — in the pre-collapse form they rode along
     # producing no pairs; dropping them up front keeps that contract.
+    # NaN norms must be dropped explicitly (ADVICE r13): Spark orders
+    # NaN above every number, so `sq > 0` PASSES a NaN-containing
+    # embedding — two docs sharing one would collapse into a single
+    # xxhash64 group and emit a cos_sim-1.0 pair the pre-collapse
+    # numpy verify (NaN cosine, no emit) never produced.
     raw = _valid_embeddings(t["embeddings"])
     sq = F.aggregate(
         "embedding",
         F.lit(0.0),
         lambda acc, x: acc + x.cast("double") * x.cast("double"),
     )
-    raw = raw.where(sq > 0)
+    raw = raw.where((sq > 0) & ~F.isnan(sq))
     # Exact-vector collapse (r13 sf100 rung catch — the same
     # collapse-first posture as the text tiers' md5(text) collapse):
     # clone replicas carry byte-identical embeddings, so the ×1000
@@ -1705,12 +1710,30 @@ def _mh_oracle() -> str:
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.j = b.j AND a.v = b.v AND a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT c.doc_a, c.doc_b, ROUND({jac}, 6) AS ngram_jaccard
+      FROM cand c
+      JOIN g ga ON ga.doc_id = c.doc_a
+      JOIN g gb ON gb.doc_id = c.doc_b
+      WHERE {jac} >= 0.7
+    ), capped AS (
+      -- mirror of the Spark side's above-threshold per-doc_a bounded
+      -- sample (r13 verdict ask #5); on fixture-scale corpora
+      -- (count(documents) <= 10000) the rn predicate is vacuous and
+      -- the pair list stays EXACT, so sf<=0.1 hash checks are
+      -- byte-for-byte the pre-cap oracle.  Ordering ties on the
+      -- ROUNDED jaccard (both engines round to 6 before ranking)
+      -- with doc_b as the deterministic tiebreak.
+      SELECT doc_a, doc_b, ngram_jaccard,
+             row_number() OVER (
+               PARTITION BY doc_a
+               ORDER BY ngram_jaccard DESC, doc_b
+             ) AS rn
+      FROM pairs
     )
-    SELECT c.doc_a, c.doc_b, ROUND({jac}, 6) AS ngram_jaccard
-    FROM cand c
-    JOIN g ga ON ga.doc_id = c.doc_a
-    JOIN g gb ON gb.doc_id = c.doc_b
-    WHERE {jac} >= 0.7
+    SELECT doc_a, doc_b, ngram_jaccard
+    FROM capped
+    WHERE rn <= 100 OR (SELECT count(*) FROM documents) <= 10000
     """
 
 
@@ -1793,6 +1816,20 @@ def dedup_minhash_banded(spark, t):
     ~2.4 KB of arrays each, GC death at 8-48 g heap), while reps stay
     ~constant.  The DuckDB oracle keeps the naive form — the driver
     hash-check is exactly the proof the two forms agree.
+
+    **Output-size bound (r14, r13 verdict ask #5)**: even with
+    collapse-first banding, the expanded MEMBER-pair list is quadratic
+    in clone multiplicity — the sf100 fixture made this diagnostic
+    key generate 1.13B pairs in 1122 s (sweeps/sf100_r13.log) for an
+    output no pipeline consumes (the production form is
+    dedup_minhash_verdicts, one row/doc).  Same treatment as
+    dedup_minhash_lsh (ask #8, r13): above
+    ``_LSH_EXACT_PAIRS_MAX_DOCS`` documents, emit per doc_a only the
+    ``_LSH_PAIRS_PER_DOC`` MOST-similar neighbors (ngram_jaccard DESC,
+    doc_b tiebreak) — output linear in corpus size.  At fixture scales
+    (≤ the threshold) the pair list stays EXACT, and the oracle
+    applies the IDENTICAL conditional cap in SQL, so the driver
+    hash-check covers the capped form end-to-end at every sf.
     """
     d = (
         t["documents"]
@@ -1843,7 +1880,19 @@ def dedup_minhash_banded(spark, t):
             F.round(jac, 6).alias("ngram_jaccard"),
         )
     )
-    return _expand_rep_pairs(rep_pairs, mem, "ngram_jaccard", 1.0)
+    pairs = _expand_rep_pairs(rep_pairs, mem, "ngram_jaccard", 1.0)
+    if t["documents"].count() <= _LSH_EXACT_PAIRS_MAX_DOCS:
+        return pairs
+    # above-threshold bounded sample (see docstring): rank on the
+    # ROUNDED similarity both engines emit, doc_b as the deterministic
+    # tiebreak — the window rides the doc_a exchange the expansion
+    # already produces
+    w = _W.partitionBy("doc_a").orderBy(F.col("ngram_jaccard").desc(), "doc_b")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _LSH_PAIRS_PER_DOC)
+        .drop("rn")
+    )
 
 
 def _pagerank_iter_ctes(n_iters: int) -> str:

@@ -93,6 +93,13 @@ def text_tf_idf(spark, t):
         .crossJoin(F.broadcast(n))
         .groupBy("lang", "token")
         .agg(
+            # Known FP-order risk (ADVICE r13): at clone scale
+            # (sz > 1) the single `sz * tf * idf` multiply is not
+            # bit-identical to the oracle's per-doc repeated
+            # addition; ROUND(..,4) absorbs the ulp drift except
+            # exactly at half-way boundaries.  The same risk class
+            # already exists via partition-order nondeterminism of
+            # any FP SUM — accepted, not fixable without decimal.
             F.round(
                 F.sum(
                     F.col("sz")

@@ -124,17 +124,19 @@ def query(name: str, oracle: Optional[str] = None, eager: bool = False):
 #        the most redundantly covered batch keys after the fn_* family).
 #   r13 (EXECUTED): HOLD — no swap, window unchanged, per round-12
 #        verdict ask #2 (hold-then-carve sequencing).
-#   r14 (PLANNED, r12 verdict ask #5): one-round carve-out à la r10 for
-#        the six never/stale driver-graded rows-only keys —
-#        source_stream_file, sink_jdbc_batch, agg_approx_distinct,
-#        stream_sliding, stream_watermark_late, dedup_minhash_lsh IN;
-#        the six maximally-evidenced hash keys fn_string/fn_datetime/
-#        fn_math/fn_conditional/fn_array (9 green rounds each) plus
-#        fn_split_explode OUT; set WINDOW_ROWS_ONLY_KEYS to the six and
-#        bump ROTATION_ROUND to 14.
+#   r14 (EXECUTED, r12 verdict ask #5 / r13 verdict ask #1): one-round
+#        carve-out à la r10 for the six never/stale driver-graded
+#        rows-only keys — source_stream_file, sink_jdbc_batch,
+#        agg_approx_distinct, stream_sliding, stream_watermark_late,
+#        dedup_minhash_lsh IN; the six maximally-evidenced hash keys
+#        fn_string/fn_datetime/fn_math/fn_conditional/fn_array (10 green
+#        rounds each: r01-r09 + r11-r13) plus fn_split_explode
+#        (hash-green every round r01-r13) OUT; WINDOW_ROWS_ONLY_KEYS set
+#        to the six, ROTATION_ROUND bumped to 14.
 #   r15 (PLANNED): reverse swap — restore the all-hashable window
-#        (fn_* family back in, the six rows-only keys back to their
-#        natural positions), clear WINDOW_ROWS_ONLY_KEYS.
+#        (fn_string/fn_datetime/fn_math/fn_conditional/fn_array/
+#        fn_split_explode back IN, the six rows-only keys back to their
+#        natural tail positions), clear WINDOW_ROWS_ONLY_KEYS.
 # If the driver's window size or selection policy ever differs,
 # ``tools/check.py --strict`` still verifies ALL registered hashable keys
 # locally regardless of position — that local sweep, not this ordering,
@@ -172,7 +174,6 @@ CONTRACT_ORDER: list[str] = [
     "setop_union",           # O3  (rotated IN r12; r01+r03+r05+r08+r09 pass)
     "setop_intersect",       # O4  (rotated IN r12; r01+r03+r05+r08+r09 pass)
     "setop_except",          # O5  (rotated IN r12; r01+r03+r05+r08+r09 pass)
-    "fn_split_explode",      # F2
     "fn_map_json",           # F7
     "fn_cast_decimal",       # F8
     "udf_python",            # U1
@@ -187,13 +188,19 @@ CONTRACT_ORDER: list[str] = [
     "text_sentiment_lexicon",# L7
     "text_stats",            # L8
     "multimodal_norm",       # L9
-    # --- positions 46-50: fn_* rows restored by the r11 reverse swap ---
-    # (driver-hash-green in ALL NINE rounds r01-r09, refreshed r11)
-    "fn_string",             # F1  (r01-r09 pass, 9/9 rounds)
-    "fn_datetime",           # F3  (r01-r09 pass, 9/9 rounds)
-    "fn_math",               # F4  (r01-r09 pass, 9/9 rounds)
-    "fn_conditional",        # F5  (r01-r09 pass, 9/9 rounds)
-    "fn_array",              # F6  (r01-r09 pass, 9/9 rounds)
+    # --- positions 45-50: r14 EVIDENCE CARVE-OUT (one round, à la r10) ---
+    # Six §2 rows-only keys that had never (S4/S5/ST2/ST4/L3) or only
+    # weakly (A5, r01 rows) been driver-graded; one round inside the
+    # window records driver spark_rows evidence.  Hash-level correctness
+    # lives in their batch twins (events_sliding_batch,
+    # events_tumbling_batch late-filtered, dedup_minhash_banded, A4
+    # agg_distinct exact twin) and equality pytests.
+    "source_stream_file",    # S4  (r14 carve-out)
+    "sink_jdbc_batch",       # S5  (r14 carve-out)
+    "agg_approx_distinct",   # A5  (r14 carve-out; exact twin A4 hash-green)
+    "stream_sliding",        # ST2 (r14 carve-out)
+    "stream_watermark_late", # ST4 (r14 carve-out)
+    "dedup_minhash_lsh",     # L3  (r14 carve-out; hash twin banded green)
     # --- positions 51-60: hashable contract rows parked in r12 ---
     # (rotated out in r12 swap, driver-hash-green r01+r02+r06+r07+r10+r11;
     # every one still in check.py --strict each round)
@@ -202,30 +209,45 @@ CONTRACT_ORDER: list[str] = [
     "filter_like",           # P3  (r01+r02+r06+r07+r10+r11 pass)
     "agg_global",            # A1  (r01+r02+r06+r07+r10+r11 pass)
     "topk_global",           # O2  (r01+r02+r06+r07+r10+r11 pass)
+    # --- positions 56-61: fn_* rows parked by the r14 carve-out ---
+    # (the most redundantly evidenced keys in the registry: hash-green in
+    # TEN driver rounds each — r01-r09 + r11-r13 for the r10-parked five,
+    # all thirteen rounds for fn_split_explode; every one still verified
+    # by check.py --strict each round)
+    "fn_string",             # F1  (10 driver-green rounds)
+    "fn_split_explode",      # F2  (13 driver-green rounds)
+    "fn_datetime",           # F3  (10 driver-green rounds)
+    "fn_math",               # F4  (10 driver-green rounds)
+    "fn_conditional",        # F5  (10 driver-green rounds)
+    "fn_array",              # F6  (10 driver-green rounds)
     # --- remaining SURVEY §2 rows-only rows (no faithful ANSI oracle) ---
-    # (the five streaming keys now carry driver spark_rows evidence from
+    # (the five streaming keys carry driver spark_rows evidence from
     # their r10 tour through the graded window)
     "stream_tumbling",       # ST1  (r10 driver rows; batch twin hash-green)
     "stream_session",        # ST3  (r10 driver rows; batch twin hash-green)
     "stream_dedup",          # ST5  (r10 driver rows; doubled-feed pytest)
     "stream_stateful",       # ST6  (r10 driver rows; equals-batch pytest)
     "join_stream_static",    # J11  (r10 driver rows)
-    "source_stream_file",    # S4
-    "sink_jdbc_batch",       # S5
-    "agg_approx_distinct",   # A5
-    "stream_sliding",        # ST2
-    "stream_watermark_late", # ST4
-    "dedup_minhash_lsh",     # L3
 ]
 
 # Rows-only keys deliberately placed inside the graded 50-key window
-# this round.  EMPTY since the r11 reverse swap — the r10 streaming
-# evidence rotation was a one-round carve-out (its yield: driver
-# spark_rows counts, recorded in CORRECTNESS_r10.json).  Any future
-# rotation must both name its keys here AND bump ROTATION_ROUND so the
-# expiry test can tell a planned carve-out from a forgotten one.
-ROTATION_ROUND: int = 12
-WINDOW_ROWS_ONLY_KEYS: frozenset[str] = frozenset()
+# this round.  The r14 carve-out (r12 verdict ask #5, r13 verdict ask
+# #1) tours the six never/stale driver-graded rows-only keys through
+# the window for ONE round; r15 executes the reverse swap and empties
+# this set.  Any future rotation must both name its keys here AND bump
+# ROTATION_ROUND so the expiry test can tell a planned carve-out from a
+# forgotten one.
+ROTATION_ROUND: int = 14
+WINDOW_ROWS_ONLY_KEYS: frozenset[str] = frozenset(
+    {
+        "source_stream_file",
+        "sink_jdbc_batch",
+        "agg_approx_distinct",
+        "stream_sliding",
+        "stream_watermark_late",
+        "dedup_minhash_lsh",
+    }
+)
 
 
 def ordered_queries() -> tuple[dict[str, Callable], dict[str, str]]:

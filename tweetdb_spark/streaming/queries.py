@@ -240,6 +240,19 @@ def stream_rate_limit(spark, t):
         # slice spans chunks.  Concatenate, then sort once.
         full = pd.concat(list(pdfs), ignore_index=True)
         full = full.sort_values(["ts", "event_id"])
+        # Carrying only the LATEST (hr, cnt) is lossless only while a
+        # user's hours arrive monotonically across micro-batches —
+        # guaranteed here by the time-ordered staged feed (files are
+        # staged in ts order, maxFilesPerTrigger preserves listing
+        # order).  Fail loudly if that assumption ever breaks (ADVICE
+        # r13) instead of silently re-admitting an old hour.
+        if len(full) and int(full["hr"].iloc[0]) < hr:
+            raise ValueError(
+                f"stream_rate_limit: non-monotonic hour for user "
+                f"{key}: batch starts at {int(full['hr'].iloc[0])} < "
+                f"carried state hour {hr} — the single-(hr,cnt) state "
+                "layout requires a time-ordered feed"
+            )
         # rank within each hour of the sorted slice, continuing the
         # carried counter when the first hour is the carried hour
         rank = full.groupby("hr").cumcount().to_numpy() + 1
@@ -381,8 +394,6 @@ def join_stream_static(spark, t):
     identical rows, so the batch-equality pytest and the r10
     driver-graded rows evidence are unchanged.
     """
-    from tweetdb_spark import scratch
-
     s = read_events_stream(spark, _sf_dir(t))
     cust = t["customer"].select(
         F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
@@ -390,19 +401,7 @@ def join_stream_static(spark, t):
     joined = s.join(cust, "user_id").select(
         "event_id", "user_id", "event_type", "c_name", "c_mktsegment"
     )
-    out = scratch.fresh_dir("tweetdb_jss_sink")
-    ckpt = scratch.fresh_dir("tweetdb_jss_ckpt")
-    q = (
-        joined.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    # explicit schema: a zero-match join leaves only _spark_metadata
-    # in the sink dir, where schema inference would fail
-    return spark.read.schema(joined.schema).parquet(out)
+    return run_to_parquet(joined)
 
 
 @query("stream_sink_parquet", oracle=None)
