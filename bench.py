@@ -201,6 +201,18 @@ def main() -> None:
     times: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     for name, key in HEADLINE.items():
+        # Inter-key isolation (r14, r13 verdict ask #2): a key's timed
+        # runs must not inherit the PREDECESSOR's JVM debt.  The r13
+        # methodology change (full median-of-3 on heavy keys) 4x'd the
+        # dedup work running immediately before sim_ann_ivf, and the
+        # ivf samples absorbed its GC/heap churn: in-bench medians
+        # 0.13-0.25 s vs 0.05-0.07 s for the same collect() in a quiet
+        # process (sweeps/ab_r14_sim_ann_ivf.log).  One explicit full
+        # GC + settle between keys is the JMH-fork analogue available
+        # inside one session; it measures each key against a level
+        # heap instead of the previous key's garbage.
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.5)
         if key in REBUILD_KEYS:
             q = tweetdb_spark.QUERIES[key]
             action = lambda q=q: q(spark, sf_dir).collect()  # noqa: E731
