@@ -1,15 +1,25 @@
-"""Engine-side order-insensitive checksum check — sf1 evidence for
-huge-output pair keys where the strict pandas hasher is the bottleneck
-(23M rows materialized twice), not the query.
+"""Engine-side order-insensitive checksum check — cheap VALUE evidence
+at scale points where the strict pandas hasher is the bottleneck
+(23M+ rows materialized twice), not the query.
 
 Both engines compute SUM over rows of
-    Σ_i ((coalesce(int_col_i, -1) % p) * k_i) % p          (p = 2³¹−1)
+    Σ_i ((coalesce(key_i(col_i), -1) % p) * k_i) % p       (p = 2³¹−1)
 entirely inside the engine, so one bigint crosses to the driver per
-side.  Column order is sorted-by-name on both sides; double columns
-are excluded (their parity is already proven by the sf0.01 full hash —
-they are functions of the integer pair columns for every key here).
+side.  Column order is sorted-by-name on both sides.  key_i maps a
+column to an exact bigint, per type (r14, verdict ask #3 — extended
+beyond ints so every contract-core key carries value columns):
 
-Usage: SF_DIR=/tmp/tweetdb_sf1 python tools/check_sum.py key [key ...]
+  int/bigint/smallint/boolean -> CAST(col AS BIGINT)
+  string                      -> octet_length(col)   (UTF-8 bytes)
+  timestamp                   -> epoch microseconds
+  date                        -> days since 1970-01-01
+
+double/decimal/array/map/struct columns are excluded: FP sums are
+order-sensitive and non-scalar cells have no portable bigint map —
+their parity is already proven by the sf0.01/sf0.1 full value hash
+(tools/check.py), which this tool complements, not replaces.
+
+Usage: SF_DIR=/tmp/tweetdb_sf10 python tools/check_sum.py key [key ...]
 """
 from __future__ import annotations
 
@@ -22,12 +32,44 @@ import duckdb
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 P = 2147483647
-KS = [1315423911, 2654435761, 97, 1000003, 40503, 69621, 214013]
+# enough pairwise-distinct multipliers for the widest contract key
+KS = [
+    1315423911, 2654435761, 97, 1000003, 40503, 69621, 214013,
+    16777619, 31, 131071, 8191, 524287, 2147483629, 65599, 22695477, 1103515245,
+]
+
+# type -> (spark bigint mapper, duckdb bigint mapper); both EXACT
+_INT_TYPES = ("int", "bigint", "smallint", "boolean")
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
+
+
+def _mappers(simple_type: str, col: str):
+    """(spark_expr, duck_sql) bigint mappers for a column, or None."""
+    from pyspark.sql import functions as F
+
+    if simple_type in _INT_TYPES:
+        return F.col(col).cast("long"), f"CAST({col} AS BIGINT)"
+    if simple_type == "string":
+        return (
+            F.octet_length(F.col(col)).cast("long"),
+            # duckdb strlen = UTF-8 byte count (octet_length is BLOB-only)
+            f"CAST(strlen({col}) AS BIGINT)",
+        )
+    if simple_type == "timestamp":
+        return (
+            F.unix_micros(F.col(col)),
+            f"CAST(epoch_us({col}) AS BIGINT)",
+        )
+    if simple_type == "date":
+        return (
+            F.datediff(F.col(col), F.lit("1970-01-01")).cast("long"),
+            f"CAST(date_diff('day', DATE '1970-01-01', {col}) AS BIGINT)",
+        )
+    return None
 
 
 def main() -> int:
@@ -38,6 +80,18 @@ def main() -> int:
         path = f"{sf}/{t}.parquet"
         glob = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{glob}'")
+        if t == "events":
+            # mirror the catalog's ns-long shim (see tools/check.py):
+            # make_scale.py fixtures write ts as raw int64 NANOS
+            (ts_type,) = con.execute(
+                "SELECT typeof(ts) FROM events LIMIT 1"
+            ).fetchone()
+            if ts_type == "BIGINT":
+                con.execute(
+                    f"CREATE OR REPLACE VIEW events AS "
+                    f"SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
+                    f"FROM '{glob}'"
+                )
 
     import __spark_entry__ as entry
     from tweetdb_spark.session import get_spark
@@ -47,38 +101,43 @@ def main() -> int:
     fails = 0
     for key in sys.argv[1:]:
         df = qs[key](spark, sf)
-        int_cols = sorted(
-            f.name
-            for f in df.schema.fields
-            if f.dataType.simpleString() in ("int", "bigint", "smallint", "boolean")
-        )
-        assert int_cols, f"{key}: no integer columns to checksum"
         from pyspark.sql import functions as F
 
+        specs = []  # (name, spark_expr, duck_sql)
+        for f in sorted(df.schema.fields, key=lambda f: f.name):
+            m = _mappers(f.dataType.simpleString(), f.name)
+            if m is not None:
+                specs.append((f.name, m[0], m[1]))
+        assert specs, f"{key}: no checksummable columns"
+        assert len(specs) <= len(KS), f"{key}: widen KS ({len(specs)} cols)"
+
         expr = None
-        for c, k in zip(int_cols, KS):
-            term = (
-                (F.coalesce(F.col(c).cast("long"), F.lit(-1)) % P) * k
-            ) % P
+        duck_terms = []
+        for (name, s_expr, d_sql), k in zip(specs, KS):
+            term = (F.coalesce(s_expr, F.lit(-1)) % P) * k % P
             expr = term if expr is None else expr + term
+            duck_terms.append(f"(((COALESCE({d_sql}, -1) % {P}) * {k}) % {P})")
+        # reduce the per-ROW term sum mod P before SUMming: without it
+        # the bigint SUM overflows once n * 16P > 2^63 (~hundreds of
+        # millions of output rows — hit by the r14 sf10 run on the
+        # theta-join family); with it the bound is n * P, safe through
+        # sf100's billions.  Both engines reduce identically, so the
+        # sums stay comparable.
+        expr = expr % P
         t0 = time.time()
         row = df.agg(
             F.sum(expr).alias("s"), F.count("*").alias("n")
         ).collect()[0]
         t1 = time.time()
-        terms = " + ".join(
-            f"(((COALESCE(CAST({c} AS BIGINT), -1) % {P}) * {k}) % {P})"
-            for c, k in zip(int_cols, KS)
-        )
         o = con.execute(
-            f"SELECT CAST(SUM({terms}) AS BIGINT) AS s, count(*) AS n "
-            f"FROM ({oracles[key]})"
+            f"SELECT CAST(SUM(({' + '.join(duck_terms)}) % {P}) AS BIGINT) AS s, "
+            f"count(*) AS n FROM ({oracles[key]})"
         ).fetchone()
         t2 = time.time()
         ok = (row.s, row.n) == (o[0], o[1])
         fails += 0 if ok else 1
         print(
-            f"{'PASS' if ok else 'FAIL'} {key}: cols={int_cols} "
+            f"{'PASS' if ok else 'FAIL'} {key}: cols={[s[0] for s in specs]} "
             f"spark=(sum {row.s}, n {row.n}, {t1-t0:.1f}s) "
             f"oracle=(sum {o[0]}, n {o[1]}, {t2-t1:.1f}s)",
             flush=True,
