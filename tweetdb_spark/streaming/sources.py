@@ -253,6 +253,45 @@ def configure_state_store(spark: SparkSession) -> bool:
     return present
 
 
+class _stream_shuffle_partitions:
+    """Scope the engine's shuffle-partition count to a stream's run.
+
+    Streaming stages can't use AQE (micro-batch execution disables it),
+    so on a FOREIGN session (the driver's vanilla SparkSession) every
+    stateful operator runs at the 200-partition default — ~6x the task
+    count the fixture workload needs, paid per micro-batch (the r14
+    carve-out tour measured stream_watermark_late at 38 s mostly in
+    200-task state-store stages).  The state-store partition count is
+    read from the session conf at STREAM START, so setting it just for
+    the start/drain window and restoring afterwards leaves the caller's
+    batch confs untouched.  On the engine's own sessions this is a
+    no-op (get_spark already pins the same value).  At cluster scale
+    the operator sets TWEETDB_SHUFFLE_PARTITIONS to match executor
+    parallelism — state partitioning should track the cluster, not
+    Spark's static default.
+    """
+
+    def __init__(self, spark):
+        self.spark = spark
+        self.target = os.environ.get("TWEETDB_SHUFFLE_PARTITIONS", "32")
+
+    def __enter__(self):
+        try:
+            self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.target)
+        except Exception:
+            self.old = None
+        return self
+
+    def __exit__(self, *exc):
+        if self.old is not None:
+            try:
+                self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+            except Exception:
+                pass
+        return False
+
+
 def run_to_parquet(df: DataFrame) -> DataFrame:
     """Drain an append-mode streaming frame through a checkpointed
     parquet sink and return the schema'd read-back.
@@ -272,14 +311,15 @@ def run_to_parquet(df: DataFrame) -> DataFrame:
 
     out = scratch.fresh_dir("tweetdb_fsink")
     ckpt = scratch.fresh_dir("tweetdb_fschk")
-    q = (
-        df.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle_partitions(df.sparkSession):
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return df.sparkSession.read.schema(df.schema).parquet(out)
 
 
@@ -311,11 +351,12 @@ def run_to_memory(
         .outputMode(mode)
         .option("checkpointLocation", ckpt)
     )
-    if drain == "available_now":
-        q = writer.trigger(availableNow=True).start()
-        q.awaitTermination()
-    else:
-        q = writer.start()
-        q.processAllAvailable()
-        q.stop()
+    with _stream_shuffle_partitions(df.sparkSession):
+        if drain == "available_now":
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
+        else:
+            q = writer.start()
+            q.processAllAvailable()
+            q.stop()
     return df.sparkSession.table(name)
