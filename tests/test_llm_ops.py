@@ -359,6 +359,83 @@ def test_minhash_banded_recall_vs_exact(q):
     assert all(j >= 0.7 for j in banded.values())
 
 
+def test_minhash_banded_scale_branch_equals_exact(q, registry, spark, monkeypatch):
+    """Above _LSH_EXACT_PAIRS_MAX_DOCS dedup_minhash_banded switches to
+    the collapse-before-shingles scale branch + bounded per-doc_a
+    top-K expansion (r13 verdict ask #5).  Forcing the threshold to 0
+    on the fixture: with K large the scale branch must reproduce the
+    sub-threshold exact pair list bit-for-bit (proving the branch
+    itself introduces nothing), and with K small it must equal the
+    per-doc_a top-K of the exact list under the oracle's ordering
+    (ngram_jaccard DESC, doc_b ASC)."""
+    from tweetdb_spark.llm import dedup as D
+
+    exact = q("dedup_minhash_banded").collect()
+    assert exact, "fixture must contain near-dup documents"
+    monkeypatch.setattr(D, "_LSH_EXACT_PAIRS_MAX_DOCS", 0)
+    monkeypatch.setattr(D, "_LSH_PAIRS_PER_DOC", 10**9)
+    full = {(r.doc_a, r.doc_b, r.ngram_jaccard)
+            for r in q("dedup_minhash_banded").collect()}
+    assert full == {(r.doc_a, r.doc_b, r.ngram_jaccard) for r in exact}
+    k = 2
+    by_a = {}
+    for r in exact:
+        by_a.setdefault(r.doc_a, []).append(r)
+    want = {
+        (r.doc_a, r.doc_b, r.ngram_jaccard)
+        for rows in by_a.values()
+        for r in sorted(rows, key=lambda r: (-r.ngram_jaccard, r.doc_b))[:k]
+    }
+    monkeypatch.setattr(D, "_LSH_PAIRS_PER_DOC", k)
+    got = {(r.doc_a, r.doc_b, r.ngram_jaccard)
+           for r in q("dedup_minhash_banded").collect()}
+    assert got == want
+
+
+def test_capped_expansion_equals_windowed_naive_form(spark):
+    """_expand_rep_pairs_capped must equal window(_expand_rep_pairs)
+    on a synthetic clone corpus that exercises every branch the doc
+    fixture (no exact dupes) cannot: groups LARGER than K (within
+    slice binds), groups with no adjacency (solo bypass), multi-group
+    adjacency, and sim ties resolved by doc_b — in both orderings."""
+    from pyspark.sql import Window, functions as F
+
+    from tweetdb_spark.llm.dedup import (
+        _expand_rep_pairs, _expand_rep_pairs_capped,
+    )
+
+    # groups: rep 1 (ids 1-8), rep 100 (ids 100-103), rep 200 (ids
+    # 200-201), rep 300 (id 300, singleton, NO adjacency)
+    mem_rows = (
+        [(i, 1) for i in range(1, 9)]
+        + [(i, 100) for i in range(100, 104)]
+        + [(i, 200) for i in range(200, 202)]
+        + [(300, 300)]
+    )
+    mem = spark.createDataFrame(mem_rows, "doc_id long, rep_id long")
+    rp = spark.createDataFrame(
+        [(1, 100, 0.9), (1, 200, 0.9), (100, 200, 0.8)],
+        "rep_a long, rep_b long, v double",
+    )
+    for k in (1, 3, 100):
+        for desc in (True, False):
+            naive = _expand_rep_pairs(rp, mem, "v", 1.0 if desc else 0.0)
+            order = F.col("v").desc() if desc else F.col("v").asc()
+            w = Window.partitionBy("doc_a").orderBy(order, "doc_b")
+            want = sorted(
+                (r.doc_a, r.doc_b, r.v)
+                for r in naive.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= k).drop("rn").collect()
+            )
+            got = sorted(
+                (r.doc_a, r.doc_b, r.v)
+                for r in _expand_rep_pairs_capped(
+                    rp, mem, "v", 1.0 if desc else 0.0, k, descending=desc
+                ).collect()
+            )
+            assert got == want, (k, desc)
+
+
 def test_approx_distinct_error_bound(q, spark, tables):
     """HLL++ estimates must sit within the configured rsd of the exact
     distinct counts (agg_approx_distinct is rows-only by design; this

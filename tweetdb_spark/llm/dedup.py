@@ -1793,6 +1793,113 @@ def _expand_rep_pairs(rep_pairs, mem, value_col: str, within_value: float):
     return cross.unionAll(within)
 
 
+def _expand_rep_pairs_capped(
+    rep_pairs, mem, value_col: str, within_value: float, k: int,
+    descending: bool,
+):
+    """Per-doc_a top-``k`` of the expanded pair list WITHOUT ever
+    materializing the full expansion (r14, r13 verdict ask #5).
+
+    Semantics: identical to
+    ``window(_expand_rep_pairs(...), partitionBy doc_a,
+    orderBy value [desc], doc_b).filter(rn <= k)`` — but that form
+    enumerates the clone-quadratic pair mass before pruning (1.13B
+    rows / 1122 s at the sf100 rung).  This form generates a provable
+    PER-SOURCE-top-k SUPERSET boundedly, then windows the small union:
+
+    - WITHIN a group, every pair carries the constant best value
+      (``within_value``) so a doc's within-ranking is pure doc_b ASC:
+      its top-k within-partners are the next k members in id order.
+      Generated via a per-group SORTED MEMBER ARRAY + slice/explode —
+      ≤ k rows per doc, no quadratic join.
+    - For a CROSS rep pair (Ga, Gb, v), all member pairs share v, so
+      a member x ∈ Ga can contribute at most its k smallest partners
+      y ∈ Gb with y > x to x's final top-k — a k-slice of Gb's sorted
+      array filtered above x (and symmetrically for y ∈ Gb).  ≤ k
+      rows per (member, adjacent group).
+
+    Union of per-source top-k lists ⊇ global top-k (any pair in the
+    global top-k is in its source's top-k under the same ordering,
+    ties included), so the final window over the ≤ k·(1+adjacency)
+    rows per doc returns EXACTLY the naive form's capped output.
+    Pinned by tests/test_llm_ops.py::test_capped_expansion_equals_
+    windowed_naive_form on a multi-group clone corpus.
+
+    Group arrays are bounded by clone multiplicity (the sf100 rung's
+    1000-member groups ≈ 8 KB arrays); corpora with million-member
+    exact-dup groups should not be asking for pair lists at all
+    (dedup_minhash_verdicts is the registered scale form).
+    """
+    from pyspark.sql import Window as _W
+
+    idxw = _W.partitionBy("rep_id").orderBy("doc_id")
+    m = mem.withColumn("idx", F.row_number().over(idxw))
+    arrs = mem.groupBy("rep_id").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("arr")
+    )
+
+    def _side(rep_col, other_col):
+        # members of one side of a cross rep pair, each taking its k
+        # smallest greater partners from the OTHER side's sorted array
+        return (
+            rep_pairs.join(
+                m.select(F.col("rep_id").alias(rep_col), "doc_id"), rep_col
+            )
+            .join(
+                arrs.select(
+                    F.col("rep_id").alias(other_col), F.col("arr").alias("o")
+                ),
+                other_col,
+            )
+            .select(
+                F.col("doc_id").alias("doc_a"),
+                F.explode(
+                    F.slice(
+                        F.filter("o", lambda y: y > F.col("doc_id")), 1, k
+                    )
+                ).alias("doc_b"),
+                value_col,
+            )
+        )
+
+    # No-adjacency bypass: on clone-heavy corpora nearly all pair mass
+    # is WITHIN-group (the sf100 fixture's cross rep pairs are a
+    # rounding error next to 2k+ groups of 1000 clones), and a doc
+    # whose group has NO cross rep pair already holds its exact global
+    # top-k in the within list — no merge window needed.  Only members
+    # of groups that DO appear in rep_pairs ride the union + window.
+    adj = (
+        rep_pairs.select(F.col("rep_a").alias("rep_id"))
+        .unionAll(rep_pairs.select(F.col("rep_b").alias("rep_id")))
+        .distinct()
+    )
+    within_k = (
+        m.join(arrs, "rep_id")
+        .select(
+            "rep_id",
+            F.col("doc_id").alias("doc_a"),
+            F.explode(F.slice("arr", F.col("idx") + 1, k)).alias("doc_b"),
+            F.lit(float(within_value)).alias(value_col),
+        )
+    )
+    solo = within_k.join(adj, "rep_id", "left_anti").drop("rep_id")
+    contested = within_k.join(adj, "rep_id", "left_semi").drop("rep_id")
+
+    cand = contested.unionAll(_side("rep_a", "rep_b")).unionAll(
+        _side("rep_b", "rep_a")
+    )
+    order = (
+        F.col(value_col).desc() if descending else F.col(value_col).asc()
+    )
+    w = _W.partitionBy("doc_a").orderBy(order, "doc_b")
+    merged = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+    return solo.unionAll(merged)
+
+
 @query("dedup_minhash_banded", oracle=_mh_oracle())
 def dedup_minhash_banded(spark, t):
     """Banded MinHash near-dup — the LSH tier, hash-proven.
@@ -1846,21 +1953,67 @@ def dedup_minhash_banded(spark, t):
         # group-by, so no NULL-keyed mega-group can form.
         .where(F.size("g") > 0)
     )
-    # rep election as ONE window over the h exchange (not groupBy +
-    # two joins back): the gram frame crosses a single hash exchange
-    # on h, and mem / g_rep are projections of the same shuffled frame
-    # — at sf0.1 this is ~2 s of the collapse tax back, and at scale
-    # it is one linear exchange instead of three
-    from pyspark.sql import Window as _W
+    if t["documents"].count() <= _LSH_EXACT_PAIRS_MAX_DOCS:
+        # rep election as ONE window over the h exchange (not groupBy
+        # + joins back): the gram frame crosses a single hash exchange
+        # on h, and mem / g_rep are projections of the same shuffled
+        # frame — at sf0.1 this is ~2 s of the collapse tax back
+        from pyspark.sql import Window as _W
 
-    d = d.withColumn("rep_id", F.min("doc_id").over(_W.partitionBy("h")))
-    mem = d.select("doc_id", "rep_id")
-    g = d.where(F.col("doc_id") == F.col("rep_id")).select("doc_id", "g")
-    # n_salt=1: at rep level every bucket holds one row per DISTINCT
-    # text, so the dense-bucket skew salting addresses cannot form —
-    # clone multiplicity, the only unbounded density source, was
-    # removed by the collapse (sf1 A/B r13: salt within noise either
-    # way; the r12 60.3→87.9 s claim did not reproduce interleaved).
+        d = d.withColumn("rep_id", F.min("doc_id").over(_W.partitionBy("h")))
+        mem = d.select("doc_id", "rep_id")
+        g = d.where(F.col("doc_id") == F.col("rep_id")).select("doc_id", "g")
+        rep_pairs = _banded_gram_rep_pairs(g)
+        return _expand_rep_pairs(rep_pairs, mem, "ngram_jaccard", 1.0)
+    # --- scale path (above _LSH_EXACT_PAIRS_MAX_DOCS docs) ---
+    # Collapse BEFORE shingling: on clone-heavy corpora the shingle
+    # transform is the dominant per-doc cost and is byte-identical
+    # within an md5 group, so evaluate it once per DISTINCT text.  The
+    # groupBy carries the text via first() (all group members are
+    # byte-identical) with map-side partial aggregation — the exchange
+    # carries ~one text per distinct doc, not the corpus.  The empty-
+    # gram ingest filter is likewise evaluated on reps and propagated
+    # to members through the semi join (identical population: a group
+    # shares one text, hence one gram set).
+    base = t["documents"].where(F.col("lang") == "en").select(
+        "doc_id", "text"
+    ).where(F.col("text").isNotNull())
+    grp = base.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("rep_id"), F.first("text").alias("text")
+    )
+    reps = (
+        grp.select("rep_id", F.expr(_SPARK_SHINGLES).alias("g"))
+        .where(F.size("g") > 0)
+    )
+    mem = (
+        base.select("doc_id", F.md5("text").alias("h"))
+        .join(grp.select("h", "rep_id"), "h")
+        .join(reps.select("rep_id"), "rep_id", "left_semi")
+        .select("doc_id", "rep_id")
+    )
+    rep_pairs = _banded_gram_rep_pairs(
+        reps.select(F.col("rep_id").alias("doc_id"), "g")
+    )
+    # bounded per-doc_a top-K sample (see docstring): ranked on the
+    # ROUNDED similarity DESC with doc_b tiebreak — generated without
+    # ever enumerating the clone-quadratic full pair mass
+    return _expand_rep_pairs_capped(
+        rep_pairs, mem, "ngram_jaccard", 1.0, _LSH_PAIRS_PER_DOC,
+        descending=True,
+    )
+
+
+def _banded_gram_rep_pairs(g):
+    """Verified rep-level near-dup pairs from a (doc_id, g) gram frame
+    — the shared banding/verify core of dedup_minhash_banded's two
+    scale branches.
+
+    n_salt=1: at rep level every bucket holds one row per DISTINCT
+    text, so the dense-bucket skew salting addresses cannot form —
+    clone multiplicity, the only unbounded density source, was removed
+    by the collapse (sf1 A/B r13: salt within noise either way; the
+    r12 60.3→87.9 s claim did not reproduce interleaved).
+    """
     cand = _banded_candidate_pairs(g, n_bands=_MH_BANDS, n_salt=1)
     ga = g.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("g_a"))
     gb = g.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g_b"))
@@ -1870,7 +2023,7 @@ def dedup_minhash_banded(spark, t):
     # gives union 0 — DuckDB yields NULL and the threshold filter
     # drops it; ANSI `/` would crash (r11 NULL-survey catch)
     jac = F.try_divide(inter.cast("double"), union)
-    rep_pairs = (
+    return (
         cand.join(ga, "doc_a")
         .join(gb, "doc_b")
         .where(_size_ratio_ok(F.col("g_a"), F.col("g_b"), 7, 10) & (jac >= 0.7))
@@ -1879,19 +2032,6 @@ def dedup_minhash_banded(spark, t):
             F.col("doc_b").alias("rep_b"),
             F.round(jac, 6).alias("ngram_jaccard"),
         )
-    )
-    pairs = _expand_rep_pairs(rep_pairs, mem, "ngram_jaccard", 1.0)
-    if t["documents"].count() <= _LSH_EXACT_PAIRS_MAX_DOCS:
-        return pairs
-    # above-threshold bounded sample (see docstring): rank on the
-    # ROUNDED similarity both engines emit, doc_b as the deterministic
-    # tiebreak — the window rides the doc_a exchange the expansion
-    # already produces
-    w = _W.partitionBy("doc_a").orderBy(F.col("ngram_jaccard").desc(), "doc_b")
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= _LSH_PAIRS_PER_DOC)
-        .drop("rn")
     )
 
 
