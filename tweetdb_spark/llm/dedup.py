@@ -1350,15 +1350,19 @@ def dedup_minhash_lsh(spark, t):
         return pairs
     from pyspark.sql import Window
 
-    # NOTE (r13 adjudication): a prune-before-expand variant (per
-    # doc_a, keep only the K smallest same-group successors and the K
-    # smallest greater members per adjacent group, then window) was
-    # built, proven output-identical at sf0.1, and REJECTED on
-    # measurement: with the fixture's dense rep adjacency (~1200
-    # neighbors/rep) and K ≥ group size, it generates MORE
-    # intermediate rows than the plain expansion (sf1: 78.9 s vs
-    # 31.3 s, identical 3,423,964 rows).  Dense-adjacency member
-    # top-K is Ω(members × adjacency) however enumerated; corpora
+    # NOTE (r13 adjudication, r14 refinement): a prune-before-expand
+    # variant (per doc_a, keep only the K smallest same-group
+    # successors and the K smallest greater members per adjacent
+    # group, then window) was built, proven output-identical at sf0.1,
+    # and REJECTED on measurement: with THIS key's dense rep adjacency
+    # (~1200 verified neighbors/rep at the 0.2-distance threshold) and
+    # K ≥ group size, it generates MORE intermediate rows than the
+    # plain expansion (sf1: 78.9 s vs 31.3 s, identical 3,423,964
+    # rows).  r14's _expand_rep_pairs_capped (used by the BANDED key,
+    # whose 0.7-similarity threshold keeps rep adjacency near zero)
+    # is that same idea made exact+bounded — but its cross term is
+    # still Ω(members × adjacency), so it would regress THIS key for
+    # the same reason the r13 variant did.  Dense-adjacency corpora
     # beyond this window's reach should read dedup_minhash_verdicts
     # (one row per doc, flat in pair count) instead.
     w = Window.partitionBy("doc_a").orderBy("jaccard_dist", "doc_b")
