@@ -228,8 +228,22 @@ def stream_rate_limit(spark, t):
         "user_id",
         "ts",
         # hour as epoch SECONDS (long): state-schema friendly and
-        # avoids pandas datetime-unit ambiguity inside the UDF
-        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hr"),
+        # avoids pandas datetime-unit ambiguity inside the UDF.
+        # NULL ts (r14 edge-survey catch — a pre-existing crash the
+        # r13 survey's micro-batch boundaries happened to mask): the
+        # batch twin puts all of a user's NULL-ts events in ONE
+        # NULL-hour window group ordered by event_id; a NULL hr here
+        # becomes pandas NaN, poisoning cumcount ranks and the int()
+        # state round-trip.  Map NULL to a sentinel hour LARGER than
+        # any real epoch-hour: the staged feed writes NULL-day rows
+        # to the lexicographically-last file (mtime-ordered last), so
+        # the sentinel group arrives after every real hour — the
+        # monotonic-feed contract holds and the slice sort (NaT last)
+        # agrees with the group order.
+        F.coalesce(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))),
+            F.lit(2**62),
+        ).alias("hr"),
     )
 
     def admit(key, pdfs, state: GroupState):
