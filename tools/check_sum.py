@@ -20,11 +20,18 @@ their parity is already proven by the sf0.01/sf0.1 full value hash
 (tools/check.py), which this tool complements, not replaces.
 
 Usage: SF_DIR=/tmp/tweetdb_sf10 python tools/check_sum.py key [key ...]
+       CHECKSUM_TIMEOUT=300 ... python tools/check_sum.py key [key ...]
+
+CHECKSUM_TIMEOUT (seconds, default 0 = none) arms a per-key watchdog —
+the Spark job group is cancelled and the DuckDB query interrupted on
+expiry, the key prints TIME, and the batch continues (rung_rows'
+pattern; lets a wide sweep survive one pathological oracle).
 """
 from __future__ import annotations
 
 import os
 import sys
+import threading
 import time
 
 import duckdb
@@ -98,8 +105,48 @@ def main() -> int:
 
     spark = get_spark()
     qs, oracles = entry.queries(), entry.oracle_sql()
+    budget = float(os.environ.get("CHECKSUM_TIMEOUT", "0"))
     fails = 0
     for key in sys.argv[1:]:
+        t_key = time.time()
+        group = f"checksum-{key}"
+        spark.sparkContext.setJobGroup(group, key, interruptOnCancel=True)
+        timed_out = threading.Event()
+        timer = None
+        if budget:
+            def _cancel(g=group, ev=timed_out):
+                ev.set()
+                spark.sparkContext.cancelJobGroup(g)
+                try:
+                    con.interrupt()
+                except Exception:
+                    pass
+
+            timer = threading.Timer(budget, _cancel)
+            timer.daemon = True
+            timer.start()
+        try:
+            _one_key(spark, con, qs, oracles, sf, key)
+        except AssertionError as exc:
+            print(f"SKIP {key}: {exc}", flush=True)
+        except Exception as exc:
+            if timed_out.is_set():
+                print(
+                    f"TIME {key}: watchdog cancelled after "
+                    f"{time.time() - t_key:.1f}s", flush=True,
+                )
+            else:
+                first = str(exc).strip().splitlines()[0][:200]
+                if "already printed" not in first:
+                    print(f"FAIL {key}: {first}", flush=True)
+                fails += 1
+        finally:
+            if timer is not None:
+                timer.cancel()
+    return 1 if fails else 0
+
+
+def _one_key(spark, con, qs, oracles, sf, key):
         df = qs[key](spark, sf)
         from pyspark.sql import functions as F
 
@@ -135,14 +182,14 @@ def main() -> int:
         ).fetchone()
         t2 = time.time()
         ok = (row.s, row.n) == (o[0], o[1])
-        fails += 0 if ok else 1
         print(
             f"{'PASS' if ok else 'FAIL'} {key}: cols={[s[0] for s in specs]} "
             f"spark=(sum {row.s}, n {row.n}, {t1-t0:.1f}s) "
             f"oracle=(sum {o[0]}, n {o[1]}, {t2-t1:.1f}s)",
             flush=True,
         )
-    return 1 if fails else 0
+        if not ok:
+            raise ValueError("checksum mismatch (already printed)")
 
 
 if __name__ == "__main__":
