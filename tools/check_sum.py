@@ -164,24 +164,28 @@ def _one_key(spark, con, qs, oracles, sf, key):
             term = (F.coalesce(s_expr, F.lit(-1)) % P) * k % P
             expr = term if expr is None else expr + term
             duck_terms.append(f"(((COALESCE({d_sql}, -1) % {P}) * {k}) % {P})")
-        # reduce the per-ROW term sum mod P before SUMming: without it
-        # the bigint SUM overflows once n * 16P > 2^63 (~hundreds of
-        # millions of output rows — hit by the r14 sf10 run on the
-        # theta-join family); with it the bound is n * P, safe through
-        # sf100's billions.  Both engines reduce identically, so the
-        # sums stay comparable.
-        expr = expr % P
+        # reduce the per-ROW term sum mod P before SUMming (without it
+        # the bigint row value overflows at 16 wide columns), and
+        # accumulate in DECIMAL(38,0) / HUGEINT: a bigint SUM of
+        # row values < P overflows past ~4.3e9 output rows — hit by
+        # dedup_containment's 19B pairs at sf10.  decimal38 holds
+        # 1e18 rows x P; DuckDB's SUM(BIGINT) is already HUGEINT.
+        # Identical arithmetic, wider accumulator — values unchanged.
+        expr = (expr % P).cast("decimal(20,0)")
         t0 = time.time()
         row = df.agg(
             F.sum(expr).alias("s"), F.count("*").alias("n")
         ).collect()[0]
         t1 = time.time()
         o = con.execute(
-            f"SELECT CAST(SUM(({' + '.join(duck_terms)}) % {P}) AS BIGINT) AS s, "
+            f"SELECT CAST(SUM(({' + '.join(duck_terms)}) % {P}) AS HUGEINT) AS s, "
             f"count(*) AS n FROM ({oracles[key]})"
         ).fetchone()
         t2 = time.time()
-        ok = (row.s, row.n) == (o[0], o[1])
+        ok = (
+            (None if row.s is None else int(row.s), row.n)
+            == (None if o[0] is None else int(o[0]), o[1])
+        )
         print(
             f"{'PASS' if ok else 'FAIL'} {key}: cols={[s[0] for s in specs]} "
             f"spark=(sum {row.s}, n {row.n}, {t1-t0:.1f}s) "
