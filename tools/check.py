@@ -47,6 +47,33 @@ TABLES = [
 ]
 
 
+def register_duck_views(con, sf_dir: str, tables: list[str] | None = None) -> None:
+    """Register every fixture table as a DuckDB view over its parquet.
+
+    Shared by check.py and check_sum.py (review r14 — previously
+    copy-pasted).  Handles both layouts (driver fixtures are single
+    files; Spark-written make_scale.py fixtures are directories of
+    part files) and mirrors the catalog's ns-long shim: scaled
+    fixtures write events.ts as raw int64 NANOS, which the Spark side
+    normalizes but a naive DuckDB view would expose as BIGINT —
+    breaking every ts-typed oracle at sf1+.
+    """
+    for t in tables or TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{pat}'")
+        if t == "events":
+            (ts_type,) = con.execute(
+                "SELECT typeof(ts) FROM events LIMIT 1"
+            ).fetchone()
+            if ts_type == "BIGINT":
+                con.execute(
+                    f"CREATE OR REPLACE VIEW events AS "
+                    f"SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
+                    f"FROM '{pat}'"
+                )
+
+
 def canon(v):
     """Canonicalize a cell for cross-engine comparison."""
     if v is None:
@@ -237,26 +264,7 @@ def main() -> int:
 
         spark = get_spark("tweetdb-check")
     con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        # driver fixtures are single files; Spark-written fixtures (e.g.
-        # tools/make_scale.py output) are directories of part files
-        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
-        if t == "events":
-            # mirror the catalog's ns-long shim: scaled fixtures
-            # (make_scale.py) write ts as raw int64 NANOS, which the
-            # Spark side normalizes but a naive DuckDB view would
-            # expose as BIGINT — breaking every ts-typed oracle at sf1
-            (ts_type,) = con.execute(
-                "SELECT typeof(ts) FROM events LIMIT 1"
-            ).fetchone()
-            if ts_type == "BIGINT":
-                con.execute(
-                    f"CREATE OR REPLACE VIEW events AS "
-                    f"SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
-                    f"FROM '{pat}'"
-                )
+    register_duck_views(con, sf_dir)
 
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():

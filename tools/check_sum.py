@@ -83,22 +83,9 @@ def main() -> int:
     sf = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
     con = duckdb.connect()
     con.execute("PRAGMA threads=16")
-    for t in TABLES:
-        path = f"{sf}/{t}.parquet"
-        glob = f"{path}/*.parquet" if os.path.isdir(path) else path
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{glob}'")
-        if t == "events":
-            # mirror the catalog's ns-long shim (see tools/check.py):
-            # make_scale.py fixtures write ts as raw int64 NANOS
-            (ts_type,) = con.execute(
-                "SELECT typeof(ts) FROM events LIMIT 1"
-            ).fetchone()
-            if ts_type == "BIGINT":
-                con.execute(
-                    f"CREATE OR REPLACE VIEW events AS "
-                    f"SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
-                    f"FROM '{glob}'"
-                )
+    from tools.check import register_duck_views
+
+    register_duck_views(con, sf, TABLES)
 
     import __spark_entry__ as entry
     from tweetdb_spark.session import get_spark
@@ -126,7 +113,12 @@ def main() -> int:
             timer.daemon = True
             timer.start()
         try:
-            _one_key(spark, con, qs, oracles, sf, key)
+            # a completed comparison returns a verdict — a MISMATCH is
+            # a returned False, never an exception, so a watchdog that
+            # fires just as the query finishes cannot reclassify a
+            # genuine value mismatch as TIME (review r14)
+            if not _one_key(spark, con, qs, oracles, sf, key):
+                fails += 1
         except AssertionError as exc:
             print(f"SKIP {key}: {exc}", flush=True)
         except Exception as exc:
@@ -136,9 +128,8 @@ def main() -> int:
                     f"{time.time() - t_key:.1f}s", flush=True,
                 )
             else:
-                first = str(exc).strip().splitlines()[0][:200]
-                if "already printed" not in first:
-                    print(f"FAIL {key}: {first}", flush=True)
+                first = (str(exc).strip().splitlines() or ["<no message>"])[0][:200]
+                print(f"FAIL {key}: {first}", flush=True)
                 fails += 1
         finally:
             if timer is not None:
@@ -146,7 +137,7 @@ def main() -> int:
     return 1 if fails else 0
 
 
-def _one_key(spark, con, qs, oracles, sf, key):
+def _one_key(spark, con, qs, oracles, sf, key) -> bool:
         df = qs[key](spark, sf)
         from pyspark.sql import functions as F
 
@@ -192,8 +183,7 @@ def _one_key(spark, con, qs, oracles, sf, key):
             f"oracle=(sum {o[0]}, n {o[1]}, {t2-t1:.1f}s)",
             flush=True,
         )
-        if not ok:
-            raise ValueError("checksum mismatch (already printed)")
+        return ok
 
 
 if __name__ == "__main__":

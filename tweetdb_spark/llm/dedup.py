@@ -1737,7 +1737,8 @@ def _mh_oracle() -> str:
     )
     SELECT doc_a, doc_b, ngram_jaccard
     FROM capped
-    WHERE rn <= 100 OR (SELECT count(*) FROM documents) <= 10000
+    WHERE rn <= {_LSH_PAIRS_PER_DOC}
+       OR (SELECT count(*) FROM documents) <= {_LSH_EXACT_PAIRS_MAX_DOCS}
     """
 
 

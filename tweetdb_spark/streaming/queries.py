@@ -260,7 +260,11 @@ def stream_rate_limit(spark, t):
         # staged in ts order, maxFilesPerTrigger preserves listing
         # order).  Fail loudly if that assumption ever breaks (ADVICE
         # r13) instead of silently re-admitting an old hour.
-        if len(full) and int(full["hr"].iloc[0]) < hr:
+        # state.exists guard (review r14): with no carried state the
+        # sentinel hr = -1 is not a real hour, and a pre-1970 fixture
+        # (legal negative epoch-hours) would trip the check on a
+        # user's very first batch
+        if state.exists and len(full) and int(full["hr"].iloc[0]) < hr:
             raise ValueError(
                 f"stream_rate_limit: non-monotonic hour for user "
                 f"{key}: batch starts at {int(full['hr'].iloc[0])} < "

@@ -273,12 +273,19 @@ class _stream_shuffle_partitions:
 
     def __init__(self, spark):
         self.spark = spark
-        self.target = os.environ.get("TWEETDB_SHUFFLE_PARTITIONS", "32")
+        self.target = int(os.environ.get("TWEETDB_SHUFFLE_PARTITIONS", "32"))
 
     def __enter__(self):
         try:
             self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
-            self.spark.conf.set("spark.sql.shuffle.partitions", self.target)
+            # LOWER only, never raise (review r14): a session whose
+            # partitions were pinned deliberately below the engine
+            # default (tests pin 8) must keep its smaller value — the
+            # scope exists to stop the 200-partition static default
+            # from taxing stateful micro-batches, not to override an
+            # explicit choice.
+            target = min(int(self.old), self.target)
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(target))
         except Exception:
             self.old = None
         return self
