@@ -63,6 +63,22 @@ def main() -> None:
 
     n_ok = n_fail = 0
     for key in keys:
+        # Inter-key reclamation (r14 sf100 catch — the rung analogue of
+        # bench.py's inter-key GC): eager-fixpoint keys localCheckpoint
+        # intermediate frames whose storage blocks stay pinned until
+        # the DRIVER-side RDD objects are garbage-collected and the
+        # ContextCleaner unpersists them.  Without this, running
+        # corpus_dedup_e2e before corpus_negative_pairs at the sf100
+        # rung carried ~checkpoint-sized executor heap into the next
+        # key and OOM-killed the JVM, failing the rest of the batch.
+        import gc
+
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001 — best-effort
+            pass
+        time.sleep(0.5)
         group = f"rung-{key}"
         spark.sparkContext.setJobGroup(group, key, interruptOnCancel=True)
         timed_out = threading.Event()
