@@ -156,3 +156,63 @@ def test_fixed_key_matches_oracle_on_edge_catalog(key, edge_catalog, spark, regi
         key,
         mode,
     )
+
+
+def test_interpolate_half_boundary_is_engine_exact(spark, registry):
+    """r14 second-seed survey catch (NULL_SEED=77002331): when linear
+    interpolation lands exactly on a 4th-decimal HALF, the engines'
+    double-ROUND pipelines could disagree by one final digit even with
+    matched float op order (Spark 155.8203 vs DuckDB 155.8202).  The
+    fix computes round-half-away-from-zero on the exact int64 rational
+    on BOTH sides.  This pins a constructed tie: purchases of 100.00
+    at hour 0 and 100.01 at hour 8 put the hour-1 interpolation at
+    exactly 100.00125 -> 100.0013 (away from zero), identical in both
+    engines."""
+    import tempfile
+
+    import duckdb
+
+    import tweetdb_spark.catalog as cat
+    import tweetdb_spark.registry as reg
+    from tweetdb_spark.registry import ordered_queries
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:10:00", 7, "purchase", 100.00, "{}"),
+            (2, "2024-01-01 08:10:00", 7, "purchase", 100.01, "{}"),
+        ],
+        "event_id long, ts_s string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "props",
+    )
+    out = tempfile.mkdtemp(prefix="interp_tie_")
+    p = f"{out}/events.parquet"
+    ev.coalesce(1).write.mode("overwrite").parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{p}/*.parquet')")
+
+    def patched(spark_arg, _sf, subset=None, *a, **kw):
+        d = {"events": spark_arg.read.parquet(p)}
+        d["events"].createOrReplaceTempView("events")
+        return d
+
+    orig_cat, orig_reg = cat.load_tables, reg.load_tables
+    cat.load_tables = patched
+    reg.load_tables = patched
+    try:
+        queries, oracles = ordered_queries()
+        s = {
+            r.hour_start: r.revenue_interp
+            for r in queries["events_interpolate"](spark, "/ignored").collect()
+        }
+        d = {r[0]: r[2] for r in con.execute(oracles["events_interpolate"]).fetchall()}
+    finally:
+        cat.load_tables = orig_cat
+        reg.load_tables = orig_reg
+    assert s == d, (s, d)
+    import datetime
+
+    tie_hour = datetime.datetime(2024, 1, 1, 1, 0)
+    assert s[tie_hour] == 100.0013, s[tie_hour]

@@ -32,7 +32,10 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 NULL_RATE = 0.08  # deterministic per-row via xxhash64(key) % 100
-SEED_SALT = 20260815
+# NULL_SEED overrides the injection seed (r14): a second-seed sweep
+# moves every injected position, proving a green survey is not luck
+# about WHICH rows got riddled.  Default unchanged (r11-r14 history).
+SEED_SALT = int(os.environ.get("NULL_SEED", "20260815"))
 
 # columns to NULL-inject per table: nullable, non-join-key, chosen to
 # reach the expression surface (dates for windows, numerics for

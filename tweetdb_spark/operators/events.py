@@ -466,17 +466,33 @@ def events_anomaly(spark, t):
         wnext AS (ORDER BY g.hour_start
                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
     )
+    , ints AS (
+      -- integer-exact interpolation (mirror of the Spark side): the
+      -- operands are 2dp values and whole-second deltas, so the
+      -- half-away-from-zero rounding of the exact rational happens in
+      -- int64 — no cross-engine ROUND(double) pipeline involved
+      SELECT *,
+             CAST(epoch(hour_start) AS BIGINT)
+               - CAST(epoch(prev_t) AS BIGINT) AS d1,
+             CAST(epoch(next_t) AS BIGINT)
+               - CAST(epoch(prev_t) AS BIGINT) AS d2,
+             CAST(ROUND(prev_val * 10000) AS BIGINT) AS p_s,
+             CAST(ROUND(next_val * 10000) AS BIGINT) AS n_s
+      FROM marked
+    ), rational AS (
+      SELECT *, p_s * d2 + (n_s - p_s) * d1 AS i_num FROM ints
+    )
     SELECT hour_start, revenue,
            CASE
              WHEN revenue IS NOT NULL THEN revenue
              WHEN prev_val IS NULL THEN next_val
              WHEN next_val IS NULL THEN prev_val
-             ELSE ROUND(prev_val + (next_val - prev_val)
-                        * (epoch(hour_start) - epoch(prev_t))
-                        / (epoch(next_t) - epoch(prev_t)), 4)
+             ELSE (CASE WHEN i_num < 0
+                        THEN -((2 * (-i_num) + d2) // (2 * d2))
+                        ELSE (2 * i_num + d2) // (2 * d2) END) / 10000.0
            END AS revenue_interp,
            CASE WHEN revenue IS NULL THEN 1 ELSE 0 END AS was_gap
-    FROM marked
+    FROM rational
     """,
 )
 def events_interpolate(spark, t):
@@ -527,17 +543,27 @@ def events_interpolate(spark, t):
         .withColumn("next_val", F.first("revenue", ignorenulls=True).over(wnext))
         .withColumn("next_t", F.first(known_t, ignorenulls=True).over(wnext))
     )
-    # SAME float op order as the oracle's `a + (b-a) * d1 / d2`, which
-    # binds as ((b-a)*d1)/d2 — precomputing the fraction d1/d2 first
-    # gives a 1-ulp-different product that flips ROUND(...,4) on
-    # boundary values (r11 empty-value survey caught one such row)
+    # INTEGER-EXACT interpolation + rounding (r14 second-seed survey
+    # catch, NULL_SEED=77002331): matching the float op order (the r11
+    # fix) is not enough — when the true value lands exactly on a
+    # 4th-decimal HALF (e.g. 155.82025, reachable because the operands
+    # are 2dp values and small integer second-deltas), the two
+    # engines' ROUND pipelines (JVM BigDecimal-of-double HALF_UP vs
+    # scaled-double rounding) can disagree by one final-digit ulp.
+    # The operands are exactly representable integers in disguise —
+    # prev/next are ROUND(..,2) values, the deltas whole seconds — so
+    # compute round-half-away-from-zero on the exact RATIONAL
+    # (p*1e4*d2 + (n-p)*1e4*d1) / d2 in int64 on BOTH engines:
+    # identical by construction, no FP rounding step at all.
     d1 = F.unix_timestamp("hour_start") - F.unix_timestamp("prev_t")
     d2 = F.unix_timestamp("next_t") - F.unix_timestamp("prev_t")
-    interp = F.round(
-        F.col("prev_val")
-        + ((F.col("next_val") - F.col("prev_val")) * d1) / d2,
-        4,
+    p_s = F.round(F.col("prev_val") * 10000).cast("long")
+    n_s = F.round(F.col("next_val") * 10000).cast("long")
+    marked = marked.withColumn("i_num", p_s * d2 + (n_s - p_s) * d1).withColumn(
+        "i_den", d2
     )
+    q = F.expr("(2 * abs(i_num) + i_den) DIV (2 * i_den)")
+    interp = F.when(F.col("i_num") < 0, -q).otherwise(q) / F.lit(10000.0)
     return marked.select(
         "hour_start",
         "revenue",
