@@ -133,10 +133,19 @@ def query(name: str, oracle: Optional[str] = None, eager: bool = False):
 #        rounds each: r01-r09 + r11-r13) plus fn_split_explode
 #        (hash-green every round r01-r13) OUT; WINDOW_ROWS_ONLY_KEYS set
 #        to the six, ROTATION_ROUND bumped to 14.
-#   r15 (PLANNED): reverse swap — restore the all-hashable window
-#        (fn_string/fn_datetime/fn_math/fn_conditional/fn_array/
-#        fn_split_explode back IN, the six rows-only keys back to their
-#        natural tail positions), clear WINDOW_ROWS_ONLY_KEYS.
+#   r15 (EXECUTED, r14 verdict ask #1): reverse swap — restored the
+#        all-hashable window (fn_string/fn_split_explode/fn_datetime/
+#        fn_math/fn_conditional/fn_array back IN at positions 45-50, the
+#        six r14 carve-out keys back to their natural rows-only tail
+#        positions), WINDOW_ROWS_ONLY_KEYS emptied, ROTATION_ROUND=15.
+#   r16 (PLANNED, r14 verdict ask #3): one-round streaming evidence
+#        re-tour à la r10/r14 — stream_tumbling/stream_session/
+#        stream_dedup/stream_stateful/join_stream_static IN (their
+#        driver spark_rows evidence is r10-vintage, six rounds stale by
+#        r16); the six fn_* keys OUT again to make room (the most
+#        redundantly evidenced keys in the registry).  Mechanics: set
+#        WINDOW_ROWS_ONLY_KEYS to the five streaming keys, bump
+#        ROTATION_ROUND to 16; r17 executes the reverse swap.
 # If the driver's window size or selection policy ever differs,
 # ``tools/check.py --strict`` still verifies ALL registered hashable keys
 # locally regardless of position — that local sweep, not this ordering,
@@ -188,20 +197,17 @@ CONTRACT_ORDER: list[str] = [
     "text_sentiment_lexicon",# L7
     "text_stats",            # L8
     "multimodal_norm",       # L9
-    # --- positions 45-50: r14 EVIDENCE CARVE-OUT (one round, à la r10) ---
-    # Six §2 rows-only keys that had never (S4/S5/ST2/ST4/L3) or only
-    # weakly (A5, r01 rows) been driver-graded; one round inside the
-    # window records driver spark_rows evidence.  Hash-level correctness
-    # lives in their batch twins (events_sliding_batch,
-    # events_tumbling_batch late-filtered, dedup_minhash_banded, A4
-    # agg_distinct exact twin) and equality pytests.
-    "source_stream_file",    # S4  (r14 carve-out)
-    "sink_jdbc_batch",       # S5  (r14 carve-out)
-    "agg_approx_distinct",   # A5  (r14 carve-out; exact twin A4 hash-green)
-    "stream_sliding",        # ST2 (r14 carve-out)
-    "stream_watermark_late", # ST4 (r14 carve-out)
-    "dedup_minhash_lsh",     # L3  (r14 carve-out; hash twin banded green)
-    # --- positions 51-60: hashable contract rows parked in r12 ---
+    # --- positions 45-50: fn_* family restored by the r15 reverse swap ---
+    # (toured OUT for the one-round r14 carve-out; hash-green in TEN
+    # driver rounds each — r01-r09 + r11-r13 for the r10-parked five,
+    # all thirteen rounds for fn_split_explode)
+    "fn_string",             # F1  (10 driver-green rounds)
+    "fn_split_explode",      # F2  (13 driver-green rounds)
+    "fn_datetime",           # F3  (10 driver-green rounds)
+    "fn_math",               # F4  (10 driver-green rounds)
+    "fn_conditional",        # F5  (10 driver-green rounds)
+    "fn_array",              # F6  (10 driver-green rounds)
+    # --- positions 51-55: hashable contract rows parked in r12 ---
     # (rotated out in r12 swap, driver-hash-green r01+r02+r06+r07+r10+r11;
     # every one still in check.py --strict each round)
     "scan_parquet",          # S1  (r01+r02+r06+r07+r10+r11 pass)
@@ -209,20 +215,17 @@ CONTRACT_ORDER: list[str] = [
     "filter_like",           # P3  (r01+r02+r06+r07+r10+r11 pass)
     "agg_global",            # A1  (r01+r02+r06+r07+r10+r11 pass)
     "topk_global",           # O2  (r01+r02+r06+r07+r10+r11 pass)
-    # --- positions 56-61: fn_* rows parked by the r14 carve-out ---
-    # (the most redundantly evidenced keys in the registry: hash-green in
-    # TEN driver rounds each — r01-r09 + r11-r13 for the r10-parked five,
-    # all thirteen rounds for fn_split_explode; every one still verified
-    # by check.py --strict each round)
-    "fn_string",             # F1  (10 driver-green rounds)
-    "fn_split_explode",      # F2  (13 driver-green rounds)
-    "fn_datetime",           # F3  (10 driver-green rounds)
-    "fn_math",               # F4  (10 driver-green rounds)
-    "fn_conditional",        # F5  (10 driver-green rounds)
-    "fn_array",              # F6  (10 driver-green rounds)
     # --- remaining SURVEY §2 rows-only rows (no faithful ANSI oracle) ---
-    # (the five streaming keys carry driver spark_rows evidence from
-    # their r10 tour through the graded window)
+    # (back at their natural tail positions after the r14 carve-out tour;
+    # every one now carries driver-executed spark_rows evidence — six
+    # from r14, five streaming keys from the r10 tour — alongside
+    # hash-checked batch twins and equality pytests)
+    "source_stream_file",    # S4  (r14 driver rows, 7986)
+    "sink_jdbc_batch",       # S5  (r14 driver rows, 150; idempotence pytest)
+    "agg_approx_distinct",   # A5  (r14 driver rows; exact twin A4 hash-green)
+    "stream_sliding",        # ST2 (r14 driver rows, 2883; twin hash-green)
+    "stream_watermark_late", # ST4 (r14 driver rows, 719; window-count pytest)
+    "dedup_minhash_lsh",     # L3  (r14 driver rows, 30327; twin banded green)
     "stream_tumbling",       # ST1  (r10 driver rows; batch twin hash-green)
     "stream_session",        # ST3  (r10 driver rows; batch twin hash-green)
     "stream_dedup",          # ST5  (r10 driver rows; doubled-feed pytest)
@@ -231,23 +234,14 @@ CONTRACT_ORDER: list[str] = [
 ]
 
 # Rows-only keys deliberately placed inside the graded 50-key window
-# this round.  The r14 carve-out (r12 verdict ask #5, r13 verdict ask
-# #1) tours the six never/stale driver-graded rows-only keys through
-# the window for ONE round; r15 executes the reverse swap and empties
-# this set.  Any future rotation must both name its keys here AND bump
-# ROTATION_ROUND so the expiry test can tell a planned carve-out from a
-# forgotten one.
-ROTATION_ROUND: int = 14
-WINDOW_ROWS_ONLY_KEYS: frozenset[str] = frozenset(
-    {
-        "source_stream_file",
-        "sink_jdbc_batch",
-        "agg_approx_distinct",
-        "stream_sliding",
-        "stream_watermark_late",
-        "dedup_minhash_lsh",
-    }
-)
+# this round.  r15 executed the reverse swap (r14 verdict ask #1):
+# the window is all-hashable again and this set is EMPTY.  The r16
+# streaming re-tour (r14 verdict ask #3, staged in the rotation log
+# above) will set it to the five streaming keys for one round.  Any
+# future rotation must both name its keys here AND bump ROTATION_ROUND
+# so the expiry test can tell a planned carve-out from a forgotten one.
+ROTATION_ROUND: int = 15
+WINDOW_ROWS_ONLY_KEYS: frozenset[str] = frozenset()
 
 
 def ordered_queries() -> tuple[dict[str, Callable], dict[str, str]]:
