@@ -392,12 +392,49 @@ def test_minhash_banded_scale_branch_equals_exact(q, registry, spark, monkeypatc
     assert got == want
 
 
+def test_semantic_blocked_cap_branch_equals_exact(q, monkeypatch):
+    """Above _LSH_EXACT_PAIRS_MAX_DOCS valid vectors
+    dedup_semantic_blocked switches its member-pair expansion to the
+    bounded per-vec_a top-K form (r15, r14 verdict ask #2).  Forcing
+    the threshold to 0 on the fixture: with K large the capped branch
+    must reproduce the exact pair list bit-for-bit, and with K small
+    it must equal the per-vec_a top-K of the exact list under the
+    capped form's ordering (cos_sim DESC, vec_b ASC).  Everything
+    upstream of the expansion (quantizer, blocking, gram verify) is
+    shared between branches, so any difference is the expansion's."""
+    from tweetdb_spark.llm import dedup as D
+
+    exact = q("dedup_semantic_blocked").collect()
+    assert exact, "fixture must contain semantic near-dup vectors"
+    monkeypatch.setattr(D, "_LSH_EXACT_PAIRS_MAX_DOCS", 0)
+    monkeypatch.setattr(D, "_LSH_PAIRS_PER_DOC", 10**9)
+    full = {(r.vec_a, r.vec_b, r.cos_sim)
+            for r in q("dedup_semantic_blocked").collect()}
+    assert full == {(r.vec_a, r.vec_b, r.cos_sim) for r in exact}
+    k = 2
+    by_a = {}
+    for r in exact:
+        by_a.setdefault(r.vec_a, []).append(r)
+    want = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for rows in by_a.values()
+        for r in sorted(rows, key=lambda r: (-r.cos_sim, r.vec_b))[:k]
+    }
+    monkeypatch.setattr(D, "_LSH_PAIRS_PER_DOC", k)
+    got = {(r.vec_a, r.vec_b, r.cos_sim)
+           for r in q("dedup_semantic_blocked").collect()}
+    assert got == want
+
+
 def test_capped_expansion_equals_windowed_naive_form(spark):
     """_expand_rep_pairs_capped must equal window(_expand_rep_pairs)
     on a synthetic clone corpus that exercises every branch the doc
     fixture (no exact dupes) cannot: groups LARGER than K (within
     slice binds), groups with no adjacency (solo bypass), multi-group
-    adjacency, and sim ties resolved by doc_b — in both orderings."""
+    adjacency, sim ties resolved by doc_b — in both orderings — and
+    (r15) cross rep pairs whose value TIES the identity value (1.0
+    desc / 0.0 asc), which defeats the per-member merge bypass and
+    forces whole tie-exposed groups through the merge window."""
     from pyspark.sql import Window, functions as F
 
     from tweetdb_spark.llm.dedup import (
@@ -405,16 +442,21 @@ def test_capped_expansion_equals_windowed_naive_form(spark):
     )
 
     # groups: rep 1 (ids 1-8), rep 100 (ids 100-103), rep 200 (ids
-    # 200-201), rep 300 (id 300, singleton, NO adjacency)
+    # 200-201), rep 300 (id 300, singleton, tie-valued adjacency),
+    # rep 400 (id 400, singleton, NO adjacency)
     mem_rows = (
         [(i, 1) for i in range(1, 9)]
         + [(i, 100) for i in range(100, 104)]
         + [(i, 200) for i in range(200, 202)]
         + [(300, 300)]
+        + [(400, 400)]
     )
     mem = spark.createDataFrame(mem_rows, "doc_id long, rep_id long")
     rp = spark.createDataFrame(
-        [(1, 100, 0.9), (1, 200, 0.9), (100, 200, 0.8)],
+        [(1, 100, 0.9), (1, 200, 0.9), (100, 200, 0.8),
+         # tie-valued cross pairs: 1.0 ties within_value under the
+         # descending convention, 0.0 under the ascending one
+         (100, 300, 1.0), (200, 300, 0.0)],
         "rep_a long, rep_b long, v double",
     )
     for k in (1, 3, 100):

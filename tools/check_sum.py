@@ -159,10 +159,14 @@ def _one_key(spark, con, qs, oracles, sf, key) -> bool:
         # the bigint row value overflows at 16 wide columns), and
         # accumulate in DECIMAL(38,0) / HUGEINT: a bigint SUM of
         # row values < P overflows past ~4.3e9 output rows — hit by
-        # dedup_containment's 19B pairs at sf10.  decimal38 holds
-        # 1e18 rows x P; DuckDB's SUM(BIGINT) is already HUGEINT.
+        # dedup_containment's 19B pairs at sf10.  Spark's SUM widens a
+        # decimal(p,0) input to decimal(p+10,0), so the decimal(28,0)
+        # row cast below accumulates in decimal(38,0) — ~1e28 rows x P
+        # of headroom (ADVICE r14: the earlier decimal(20,0) cast gave
+        # a decimal(30,0) accumulator, ample but narrower than this
+        # comment claimed); DuckDB's SUM(BIGINT) is already HUGEINT.
         # Identical arithmetic, wider accumulator — values unchanged.
-        expr = (expr % P).cast("decimal(20,0)")
+        expr = (expr % P).cast("decimal(28,0)")
         t0 = time.time()
         row = df.agg(
             F.sum(expr).alias("s"), F.count("*").alias("n")

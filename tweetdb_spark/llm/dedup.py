@@ -1022,7 +1022,48 @@ def corpus_pipeline_audit(spark, t):
     )
 
 
-@query("dedup_semantic_blocked", oracle=None, eager=True)  # KMeans fit at build  # cell-blocked ≈ → rows-only
+def _np_kmeans(X, k, seed=42, iters=20, chunk=8192):
+    """Deterministic vectorized Lloyd's k-means for coarse-quantizer
+    training on a driver-side bounded sample (r15; see the call-site
+    note in dedup_semantic_blocked).  k-means++ D² seeding with a
+    seeded RandomState, chunked assignment so the distance matrix
+    never exceeds chunk×k doubles, empty cells keep their previous
+    center.  Everything is fixed-shape numpy on a fixed-order input —
+    byte-stable run to run, unlike a distributed fit's arrival-order
+    float reductions."""
+    import numpy as np
+
+    n = len(X)
+    k = max(1, min(k, n))
+    rs = np.random.RandomState(seed)
+    C = np.empty((k, X.shape[1]), dtype=np.float64)
+    C[0] = X[rs.randint(n)]
+    d2 = ((X - C[0]) ** 2).sum(axis=1)
+    for j in range(1, k):
+        tot = d2.sum()
+        idx = rs.choice(n, p=d2 / tot) if tot > 0 else rs.randint(n)
+        C[j] = X[idx]
+        np.minimum(d2, ((X - C[j]) ** 2).sum(axis=1), out=d2)
+    assign = np.empty(n, dtype=np.int64)
+    for _ in range(iters):
+        c2 = (C * C).sum(axis=1)
+        for s in range(0, n, chunk):
+            G = X[s : s + chunk] @ C.T
+            assign[s : s + chunk] = np.argmin(c2[None, :] - 2.0 * G, axis=1)
+        newC = np.zeros_like(C)
+        np.add.at(newC, assign, X)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        nonempty = counts > 0
+        newC[nonempty] /= counts[nonempty, None]
+        newC[~nonempty] = C[~nonempty]
+        shift = ((newC - C) ** 2).sum()
+        C = newC
+        if shift < 1e-12:
+            break
+    return C
+
+
+@query("dedup_semantic_blocked", oracle=None, eager=True)  # quantizer fit at build  # cell-blocked ≈ → rows-only
 def dedup_semantic_blocked(spark, t):
     """Cell-blocked semantic near-dup — the 100 TB path for
     dedup_embedding_cosine, executable (not just prose in SCALE.md).
@@ -1052,10 +1093,15 @@ def dedup_semantic_blocked(spark, t):
     multiply-adds inside numpy, 3 rows per vector out, no N×k row
     explosion.  argsort(kind="stable") breaks d2 ties by cell id,
     matching the old window's (d2, cell_id) order.
+
+    **Output-size bound (r15, r14 verdict ask #2)**: above
+    ``_LSH_EXACT_PAIRS_MAX_DOCS`` valid vectors the member-pair
+    expansion switches to the bounded per-doc
+    top-``_LSH_PAIRS_PER_DOC`` form (cos_sim DESC) — see the inline
+    note at the return site and dedup_minhash_banded's docstring for
+    the generator's proof sketch.
     """
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
     from tweetdb_spark.llm.similarity import _valid_embeddings
 
@@ -1091,36 +1137,72 @@ def dedup_semantic_blocked(spark, t):
     # vectors have cosine exactly 1 ≥ τ, so every within-group pair
     # is a pair, and a cross-group member pair verifies to exactly
     # its rep pair's cosine.
-    from pyspark.sql import Window as _W
-
-    collapsed = raw.withColumn("h", F.xxhash64("embedding")).withColumn(
-        "rep_id", F.min("vec_id").over(_W.partitionBy("h"))
+    # Collapse via groupBy, not a window (r15): the r13 window form
+    # pushed 2M embedding-carrying rows (~600 MB at sf100) through the
+    # partitionBy(h) exchange, and every downstream consumer (m, arrs,
+    # ranked) re-executed it.  The groupBy ships only (h, vec_id)
+    # pairs — embeddings never ride the collapse shuffle — and the
+    # rep frame `e` reaches its embeddings through an equi-join on h
+    # that AQE broadcasts whenever the distinct-vector side is small
+    # (plan-asserted at fixture scale).  Same (doc_id → min-vec_id)
+    # mapping, identical outputs.
+    grp = (
+        raw.select(F.xxhash64("embedding").alias("h"), "vec_id")
+        .groupBy("h")
+        .agg(F.min("vec_id").alias("rep_id"))
     )
-    mem = collapsed.select(F.col("vec_id").alias("doc_id"), "rep_id")
-    e = collapsed.where(F.col("vec_id") == F.col("rep_id")).select(
-        "vec_id", "embedding"
+    mem = (
+        raw.select(
+            F.xxhash64("embedding").alias("h"),
+            F.col("vec_id").alias("doc_id"),
+        )
+        .join(grp, "h")
+        .select("doc_id", "rep_id")
+    )
+    e = (
+        raw.select(F.xxhash64("embedding").alias("h"), "vec_id", "embedding")
+        .join(grp, "h")
+        .where(F.col("vec_id") == F.col("rep_id"))
+        .select("vec_id", "embedding")
     )
     # k scales with UNIQUE vectors (~300 reps/cell — the verify-cost
     # intent; clone mass no longer inflates the cell count), but the
-    # quantizer still FITS on a sample of the raw corpus: the raw
-    # frame's partitioning is untouched by the collapse shuffle, so
-    # fixture-scale output is bit-identical to the pre-collapse form
-    # (KMeans' seeded init samples by partition layout), and at clone
-    # scales the training distribution is the one the old form saw.
-    n_rep = e.count()
+    # quantizer still FITS on a sample of the RAW corpus, so at clone
+    # scales the training distribution is the member-weighted one the
+    # pre-collapse form saw.
+    n_rep = grp.count()
     k = max(8, n_rep // 300)  # constant ~300-UNIQUE-vector cells
     fit_target = max(50_000, 100 * k)  # ~100 training vectors/centroid
-    fit_base = raw.withColumn("vec", array_to_vector("embedding"))
-    n_raw = fit_base.count()
+    n_raw = raw.count()
+    # seed MUST be passed as a keyword pair with fraction=: PySpark
+    # 4.1.2's sample(0.025, seed=42) overload shim silently DROPS a
+    # keyword seed when fraction is positional, drawing a fresh random
+    # seed per invocation — root cause of the r15 run-to-run jitter
+    # (~±3e4 member pairs at the sf100 rung; see
+    # sweeps/ab_r15_semantic_cap.log bisection).
     fit_df = (
-        fit_base
+        raw
         if n_raw <= fit_target
-        else fit_base.sample(fit_target / n_raw, seed=42)
+        else raw.sample(fraction=fit_target / n_raw, seed=42)
     )
-    model = KMeans(k=k, seed=42, featuresCol="vec", predictionCol="cell").fit(
-        fit_df
-    )
-    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    # Driver-side numpy Lloyd on the BOUNDED training sample (r15):
+    # the MLlib fit was both the key's dominant cost once the
+    # expansion was capped (~30 s of its 62 s at the sf100 rung —
+    # k-means|| init + Lloyd passes as separate distributed jobs over
+    # a 50k-row frame) and, distributed, run-to-run NONDETERMINISTIC
+    # (treeAggregate arrival-order float reduction jittered centers
+    # in the last ulps and moved the sf100 pair count by ~1e4 between
+    # identical runs; pinning it to one partition restored
+    # determinism but made it slower still).  Training a coarse
+    # quantizer on a collected bounded sample is the standard IVF
+    # pattern (faiss trains driver-side): the transfer is ~100
+    # vectors/centroid — fit_target rows ≈ 25 MB at 64 dims, CONSTANT
+    # in corpus size, index metadata not corpus data — and vectorized
+    # Lloyd over it runs in well under a second, deterministically
+    # (seeded RandomState, fixed chunking, stable scan order).
+    sample_pdf = fit_df.select("embedding").toPandas()
+    X = np.stack(sample_pdf["embedding"].to_numpy()).astype(np.float64)
+    centers = _np_kmeans(X, k, seed=42)
 
     bc = spark.sparkContext.broadcast(centers)
 
@@ -1216,7 +1298,29 @@ def dedup_semantic_blocked(spark, t):
     # identical vectors: cosine exactly 1 (the verify's round-6 value
     # for a self-pair is 1.0 too — v·v/(‖v‖‖v‖) differs from 1 only
     # in the last ulp, under the 1e-6 rounding)
-    return _expand_rep_pairs(rep_pairs, mem, "cos_sim", 1.0).select(
+    #
+    # Output-size bound (r15, r14 verdict ask #2): the full member-pair
+    # expansion is quadratic in clone multiplicity — the sf100 fixture
+    # (2M valid vectors at 1000× clone mass) made this key emit 4.95B
+    # pair rows in 182.5 s (sweeps/sf100_r14_llm_rung.log), the
+    # heaviest LLM rung line, for a diagnostic output no pipeline
+    # consumes (dedup_minhash_verdicts is the one-row-per-doc
+    # production form).  Same conditional cap dedup_minhash_banded got
+    # in r14: at fixture scales (≤ _LSH_EXACT_PAIRS_MAX_DOCS valid
+    # vectors — covers every driver/pytest scale, so outputs there are
+    # byte-identical to the uncapped form) the pair list stays EXACT;
+    # above it, emit per vec_a only its _LSH_PAIRS_PER_DOC most-similar
+    # neighbors (cos_sim DESC, vec_b tiebreak) via the bounded
+    # per-source-top-k generator — output linear in corpus size,
+    # never materializing the clone-quadratic mass.
+    if n_raw <= _LSH_EXACT_PAIRS_MAX_DOCS:
+        expanded = _expand_rep_pairs(rep_pairs, mem, "cos_sim", 1.0)
+    else:
+        expanded = _expand_rep_pairs_capped(
+            rep_pairs, mem, "cos_sim", 1.0, _LSH_PAIRS_PER_DOC,
+            descending=True,
+        )
+    return expanded.select(
         F.col("doc_a").alias("vec_a"),
         F.col("doc_b").alias("vec_b"),
         "cos_sim",
@@ -1830,6 +1934,28 @@ def _expand_rep_pairs_capped(
     Pinned by tests/test_llm_ops.py::test_capped_expansion_equals_
     windowed_naive_form on a multi-group clone corpus.
 
+    **Per-MEMBER merge bypass (r15, r14 verdict ask #2)**: the r14
+    form sent every member of every ADJACENT group through the merge
+    window — on dedup_semantic_blocked's sf100 fixture (2k groups of
+    ~1000 clones, nearly all groups adjacent under the loose τ=0.35)
+    that was the whole ~200M-row output mass through one row_number
+    exchange, ~110 s of the key's 133 s.  But ``within_value`` is the
+    IDENTITY similarity — the best possible value under either
+    ordering — so a member with ≥ k greater within-partners holds k
+    candidates that outrank every cross candidate ranked strictly
+    worse than the identity value: its exact top-k IS its within
+    slice, no merge needed.  Only members that are BORDERLINE (fewer
+    than k greater within-partners — the slice cannot fill the quota
+    alone) or TIE-EXPOSED (some adjacent rep pair's value ranks equal
+    to or better than ``within_value``, so the doc_b tiebreak can
+    interleave cross partners among within ones) ride the union +
+    window; everyone else emits their within slice directly.  The
+    cross-side generators are restricted to those same borderline
+    members — a bypassed member provably contributes no cross pair to
+    its own top-k, and pairs where it is doc_b are generated by their
+    own doc_a's side.  Groups with no adjacency at all remain the
+    trivial case of the bypass (bestv NULL → never merged).
+
     Group arrays are bounded by clone multiplicity (the sf100 rung's
     1000-member groups ≈ 8 KB arrays); corpora with million-member
     exact-dup groups should not be asking for pair lists at all
@@ -1843,12 +1969,87 @@ def _expand_rep_pairs_capped(
         F.sort_array(F.collect_list("doc_id")).alias("arr")
     )
 
+    # Per-group best CROSS value (max under descending, min under
+    # ascending): a group whose best cross value still ranks strictly
+    # worse than the identity value can never interleave a cross
+    # partner among a full within slice.  ``>=`` / ``<=`` (not ``==``)
+    # keeps the bypass sound even for a caller whose within_value is
+    # not the extreme of the value domain.
+    va = rep_pairs.select(
+        F.col("rep_a").alias("rep_id"), F.col(value_col).alias("v")
+    )
+    vb = rep_pairs.select(
+        F.col("rep_b").alias("rep_id"), F.col(value_col).alias("v")
+    )
+    best = F.max("v") if descending else F.min("v")
+    adjv = va.unionAll(vb).groupBy("rep_id").agg(best.alias("bestv"))
+
+    flags = m.join(arrs, "rep_id").join(adjv, "rep_id", "left")
+    cross_ties = (
+        F.col("bestv") >= F.lit(float(within_value))
+        if descending
+        else F.col("bestv") <= F.lit(float(within_value))
+    )
+    n_within = F.least(F.size("arr") - F.col("idx"), F.lit(k))
+    # Three member classes (r15 sf100 probe: adj coverage 1957/2000
+    # groups but ZERO tie pairs — the r14-shape merge was pushing the
+    # whole ~200M-row output through one window for nothing):
+    #  - COVERED (≥ k greater within-partners, group not tie-exposed):
+    #    top-k IS the within slice — direct emit.
+    #  - FULL merge (group tie-exposed): cross candidates can
+    #    interleave among within rows on the doc_b tiebreak — rank
+    #    everything, quota k (the r14 semantics).
+    #  - FILL (borderline in a non-tie group: fewer than k greater
+    #    within-partners): every within row still outranks every
+    #    cross row (cross strictly worse than the identity value), so
+    #    direct-emit the within rows and rank ONLY cross rows for the
+    #    remaining quota q = k − n_within; cross slices are generated
+    #    at length q, not k.
+    needs_full = F.col("bestv").isNotNull() & cross_ties
+    needs_fill = (
+        F.col("bestv").isNotNull()
+        & ~cross_ties
+        & (F.size("arr") - F.col("idx") < F.lit(k))
+    )
+    within_k = flags.select(
+        needs_full.alias("full"),
+        F.col("doc_id").alias("doc_a"),
+        F.explode(F.slice("arr", F.col("idx") + 1, k)).alias("doc_b"),
+        F.lit(float(within_value)).alias(value_col),
+    )
+    direct = within_k.where(~F.col("full")).drop("full")
+
+    # Merge-riding members by MEMBERSHIP (not via within_k: a group's
+    # LAST member has an empty within slice — no within_k row — but
+    # still needs its cross slices).  quota = per-member cross rank
+    # budget: k for full-merge members (within rows ride the window
+    # with them), k − n_within for fill members.
+    m_need = flags.where(needs_full | needs_fill).select(
+        "rep_id",
+        "doc_id",
+        needs_full.alias("full"),
+        F.when(needs_full, F.lit(k)).otherwise(F.lit(k) - n_within).alias(
+            "quota"
+        ),
+    )
+
     def _side(rep_col, other_col):
-        # members of one side of a cross rep pair, each taking its k
-        # smallest greater partners from the OTHER side's sorted array
+        # merge-riding members of one side of a cross rep pair, each
+        # taking its quota smallest greater partners from the OTHER
+        # side's sorted array
         return (
             rep_pairs.join(
-                m.select(F.col("rep_id").alias(rep_col), "doc_id"), rep_col
+                m_need.select(
+                    F.col("rep_id").alias(rep_col), "doc_id", "full", "quota"
+                ),
+                rep_col,
+            )
+            .select(
+                F.col("doc_id").alias("doc_a"),
+                "full",
+                "quota",
+                F.col(other_col),
+                F.col(value_col),
             )
             .join(
                 arrs.select(
@@ -1857,52 +2058,50 @@ def _expand_rep_pairs_capped(
                 other_col,
             )
             .select(
-                F.col("doc_id").alias("doc_a"),
+                "doc_a",
+                "full",
+                "quota",
                 F.explode(
                     F.slice(
-                        F.filter("o", lambda y: y > F.col("doc_id")), 1, k
+                        F.filter("o", lambda y: y > F.col("doc_a")),
+                        F.lit(1),
+                        F.col("quota"),
                     )
                 ).alias("doc_b"),
                 value_col,
             )
         )
 
-    # No-adjacency bypass: on clone-heavy corpora nearly all pair mass
-    # is WITHIN-group (the sf100 fixture's cross rep pairs are a
-    # rounding error next to 2k+ groups of 1000 clones), and a doc
-    # whose group has NO cross rep pair already holds its exact global
-    # top-k in the within list — no merge window needed.  Only members
-    # of groups that DO appear in rep_pairs ride the union + window.
-    adj = (
-        rep_pairs.select(F.col("rep_a").alias("rep_id"))
-        .unionAll(rep_pairs.select(F.col("rep_b").alias("rep_id")))
-        .distinct()
-    )
-    within_k = (
-        m.join(arrs, "rep_id")
-        .select(
-            "rep_id",
-            F.col("doc_id").alias("doc_a"),
-            F.explode(F.slice("arr", F.col("idx") + 1, k)).alias("doc_b"),
-            F.lit(float(within_value)).alias(value_col),
-        )
-    )
-    solo = within_k.join(adj, "rep_id", "left_anti").drop("rep_id")
-    contested = within_k.join(adj, "rep_id", "left_semi").drop("rep_id")
-
-    cand = contested.unionAll(_side("rep_a", "rep_b")).unionAll(
-        _side("rep_b", "rep_a")
-    )
     order = (
         F.col(value_col).desc() if descending else F.col(value_col).asc()
     )
     w = _W.partitionBy("doc_a").orderBy(order, "doc_b")
+
+    cross = _side("rep_a", "rep_b").unionAll(_side("rep_b", "rep_a"))
+    # FULL-merge members re-rank their within rows together with the
+    # cross rows (ties can interleave); FILL members rank cross only.
+    full_within = (
+        flags.where(needs_full)
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.lit(True).alias("full"),
+            F.lit(k).cast("int").alias("quota"),
+            F.explode(F.slice("arr", F.col("idx") + 1, k)).alias("doc_b"),
+            F.lit(float(within_value)).alias(value_col),
+        )
+    )
+    cand = full_within.unionAll(cross)
     merged = (
         cand.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .drop("rn")
+        .where(F.col("rn") <= F.col("quota"))
+        .select("doc_a", "doc_b", value_col)
     )
-    return solo.unionAll(merged)
+    # direct already emitted within rows for FILL members (they are
+    # always in the top-k); merged must therefore EXCLUDE the within
+    # rows of full-merge members from direct — handled above by the
+    # ~full filter — and contributes: full members' complete top-k,
+    # fill members' cross fill.
+    return direct.unionAll(merged)
 
 
 @query("dedup_minhash_banded", oracle=_mh_oracle())

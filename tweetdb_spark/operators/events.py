@@ -506,10 +506,15 @@ def events_interpolate(spark, t):
     are IGNORE NULLS window navigations over the dense hour grid —
     two passes over an already-hour-sized frame, no self-join.
 
-    Float parity: the interpolation fraction is (whole-second epoch
-    deltas) divided as doubles — bit-identical on both engines — and
-    the operands are already-rounded 2dp sums, so ROUND(...,4) sees
-    the same double on both sides.
+    Float parity: there is no cross-engine FP rounding step at all
+    (r14, ADVICE fix of the stale ROUND(...,4) description).  The
+    operands are integers in disguise — prev/next are ROUND(..,2)
+    values scaled to int64 by 1e4, the deltas whole seconds — so both
+    engines compute round-half-away-from-zero on the exact RATIONAL
+    (p_s*d2 + (n_s-p_s)*d1) / d2 with pure int64 arithmetic
+    ((2*|num| + den) DIV (2*den), sign restored) and only divide by
+    10000.0 at the very end; see the inline note at the i_num
+    construction below.
 
     Scale: the grid is hours-between-min-and-max (bounded, tiny
     relative to the input); the unpartitioned window is over that
