@@ -1,0 +1,198 @@
+"""Bounded (tractable) DuckDB oracles for two of the ten
+oracle-intractable extras (r15, r14 verdict ask #5):
+dedup_cluster_resolve and graph_degree_distribution.
+
+The registered oracles for these keys are deliberately NAIVE —
+all-pairs bit_count joins over every MEMBER document plus (for the
+cluster key) a member-level recursive transitive closure.  That form
+proves band completeness at fixture scale but times out at sf10
+(500k docs -> 125e9 member-pair comparisons; the r14 extras sweep
+recorded TIME at a 900/920 s budget, sweeps/sf10_r14_extras_sums.log
+ADDENDUM).
+
+The blow-up is pure clone multiplicity, not essential: sf10 holds
+only ~5k DISTINCT texts.  So this tool gives DuckDB the same
+collapse-first algebra the engine uses — group by md5(text), vote
+fingerprints once per distinct text, collapse to fingerprint VALUES,
+then run the ALL-PAIRS hamming join and the recursive closure over
+the ~5k fingerprint nodes (12.5e6 comparisons — trivial) with
+group-size weights.  Everything is still computed BY DUCKDB from the
+raw parquet: token hash, bit votes, fingerprints, pair predicate,
+closure, weighted aggregation.  Only the collapse idea is shared
+with the engine; no Spark-computed intermediate is fed in.  The two
+forms' equivalence at member level is the same argument the engine's
+own collapsed forms carry (clones share fingerprints by construction;
+equal values are hamming-0 pairs / collide in every band), and the
+naive-form oracle remains the registered one at every driver-graded
+scale.
+
+Usage:  SF_DIR=/tmp/tweetdb_sf10 python tools/bounded_oracle.py
+Prints PASS/FAIL per key with row counts; exit 1 on any mismatch.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Shared CTE prefix: md5(text) collapse -> per-rep tf-weighted 32-bit
+# bit-vote fingerprint -> fingerprint-VALUE groups with member counts.
+# Token hash / vote arithmetic are copied verbatim from the registered
+# naive oracle (tweetdb_spark.llm.dedup._SIMHASH_LABELS_CTE) — only the
+# granularity moves from members to distinct texts.
+_PREFIX = """
+WITH tgrp AS (
+  SELECT md5(text) AS h, MIN(doc_id) AS rep, COUNT(*) AS n
+  FROM documents GROUP BY md5(text)
+), rtext AS (
+  SELECT g.rep, g.n, d.text
+  FROM tgrp g JOIN documents d ON d.doc_id = g.rep
+  WHERE d.text IS NOT NULL
+), tok AS (
+  SELECT rep, unnest(string_split(text, ' ')) AS token FROM rtext
+), tf AS (
+  SELECT rep, token, count(*) AS cnt FROM tok GROUP BY rep, token
+), th AS (
+  SELECT token, {tokhash} AS h FROM (SELECT DISTINCT token FROM tf)
+), bits AS (
+  SELECT tf.rep, b.b,
+         SUM(CASE WHEN (th.h >> CAST(b.b AS INT)) & 1 = 1
+                  THEN tf.cnt ELSE -tf.cnt END) AS s
+  FROM tf JOIN th USING (token)
+  CROSS JOIN (SELECT unnest(range(0, 32)) AS b) b
+  GROUP BY tf.rep, b.b
+), rfp AS (
+  SELECT rep,
+         CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INT))
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY rep
+), fpg AS (
+  -- fingerprint-VALUE groups: md = min doc_id in the group (the
+  -- text-group rep already is its text group's min), c = member count
+  SELECT r.simhash, MIN(r.rep) AS md, SUM(g.n) AS c
+  FROM rfp r JOIN tgrp g ON g.rep = r.rep
+  GROUP BY r.simhash
+)
+"""
+
+
+def _cluster_sql(tokhash: str) -> str:
+    return (
+        _PREFIX.format(tokhash=tokhash)
+        + """
+, fedges AS (
+  SELECT a.simhash AS u, b.simhash AS v
+  FROM fpg a JOIN fpg b
+    ON a.simhash < b.simhash
+   AND bit_count(xor(a.simhash, b.simhash)) <= 1
+), fsym AS (
+  SELECT u, v FROM fedges UNION ALL SELECT v, u FROM fedges
+), reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT u, v FROM fsym
+    UNION
+    SELECT r.src, s.v FROM r JOIN fsym s ON r.dst = s.u
+  )
+  SELECT src, dst FROM r
+), lab AS (
+  SELECT f.simhash, f.c,
+         LEAST(f.md, COALESCE(MIN(g.md), f.md)) AS comp
+  FROM fpg f
+  LEFT JOIN reach ON reach.src = f.simhash
+  LEFT JOIN fpg g ON g.simhash = reach.dst
+  GROUP BY f.simhash, f.md, f.c
+)
+SELECT comp AS component_id,
+       CAST(SUM(c) AS BIGINT) AS n_docs,
+       comp AS keep_doc_id
+FROM lab GROUP BY comp
+UNION ALL
+-- fingerprint-less docs (NULL text): singleton components, exactly
+-- the rows the naive oracle's LEFT JOIN fabricates for them
+SELECT d.doc_id, CAST(1 AS BIGINT), d.doc_id
+FROM documents d WHERE d.text IS NULL
+"""
+    )
+
+
+def _degree_sql(tokhash: str, max_hamming: int) -> str:
+    return (
+        _PREFIX.format(tokhash=tokhash)
+        + f"""
+, fedges AS (
+  SELECT a.simhash AS u, b.simhash AS v
+  FROM fpg a JOIN fpg b
+    ON a.simhash < b.simhash
+   AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+), fsym AS (
+  SELECT u, v FROM fedges UNION ALL SELECT v, u FROM fedges
+), nsum AS (
+  SELECT s.u AS simhash, SUM(g.c) AS ns
+  FROM fsym s JOIN fpg g ON g.simhash = s.v
+  GROUP BY s.u
+), deg AS (
+  SELECT f.c, (f.c - 1 + COALESCE(n.ns, 0)) AS degree
+  FROM fpg f LEFT JOIN nsum n USING (simhash)
+  WHERE (f.c - 1 + COALESCE(n.ns, 0)) > 0
+)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(SUM(c) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree
+"""
+    )
+
+
+def main() -> int:
+    sf = os.environ.get("SF_DIR", "/tmp/tweetdb_sf10")
+
+    import tweetdb_spark
+    from tweetdb_spark.llm.dedup import _DUCK_TOKHASH, _HAMMING_MAX
+    from tweetdb_spark.session import get_spark
+    from tools.check import register_duck_views
+
+    tweetdb_spark.load_all_operators()
+    spark = get_spark("tweetdb-bounded-oracle")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    con.execute("PRAGMA threads=16")
+    register_duck_views(con, sf)
+
+    checks = [
+        ("dedup_cluster_resolve", _cluster_sql(_DUCK_TOKHASH)),
+        ("graph_degree_distribution", _degree_sql(_DUCK_TOKHASH, _HAMMING_MAX)),
+    ]
+    fails = 0
+    for key, sql in checks:
+        t0 = time.time()
+        sdf = tweetdb_spark.QUERIES[key](spark, sf)
+        s_rows = sorted(tuple(int(v) for v in r) for r in sdf.collect())
+        t1 = time.time()
+        o_rows = sorted(
+            tuple(int(v) for v in r) for r in con.execute(sql).fetchall()
+        )
+        t2 = time.time()
+        if s_rows == o_rows:
+            print(
+                f"PASS {key}: {len(s_rows)} rows VALUE-IDENTICAL "
+                f"(spark {t1 - t0:.1f}s, duck {t2 - t1:.1f}s)",
+                flush=True,
+            )
+        else:
+            only_s = [r for r in s_rows if r not in set(o_rows)][:5]
+            only_o = [r for r in o_rows if r not in set(s_rows)][:5]
+            print(
+                f"FAIL {key}: spark {len(s_rows)} vs oracle {len(o_rows)} "
+                f"rows; spark-only {only_s} oracle-only {only_o}",
+                flush=True,
+            )
+            fails += 1
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
