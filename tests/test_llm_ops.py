@@ -426,6 +426,39 @@ def test_semantic_blocked_cap_branch_equals_exact(q, monkeypatch):
     assert got == want
 
 
+def test_np_kmeans_deterministic_and_total():
+    """The driver-side quantizer (r15) must be byte-deterministic for
+    a given (X, k, seed) — the whole point of replacing the MLlib fit
+    — assign every training point a finite center, handle k > n and
+    duplicate-heavy inputs (empty cells keep their previous center),
+    and move with the seed."""
+    import numpy as np
+
+    from tweetdb_spark.llm.dedup import _np_kmeans
+
+    rng = np.random.RandomState(7)
+    X = np.vstack([
+        rng.normal(0, 1, (500, 16)),
+        rng.normal(8, 1, (500, 16)),
+        np.tile(rng.normal(-8, 1, (1, 16)), (200, 1)),  # clone block
+    ])
+    a = _np_kmeans(X, 6, seed=42)
+    b = _np_kmeans(X, 6, seed=42)
+    assert a.shape == (6, 16) and a.tobytes() == b.tobytes()
+    c = _np_kmeans(X, 6, seed=43)
+    assert c.tobytes() != a.tobytes()
+    assert np.isfinite(a).all()
+    # k > n degrades to n centers, never crashes
+    small = _np_kmeans(X[:3], 8, seed=42)
+    assert small.shape == (3, 16) and np.isfinite(small).all()
+    # all-identical input: one live center at the point, rest parked
+    dup = _np_kmeans(np.tile(X[:1], (50, 1)), 4, seed=42)
+    assert np.isfinite(dup).all()
+    assert np.allclose(dup[0], X[0]) or any(
+        np.allclose(dup[i], X[0]) for i in range(len(dup))
+    )
+
+
 def test_capped_expansion_equals_windowed_naive_form(spark):
     """_expand_rep_pairs_capped must equal window(_expand_rep_pairs)
     on a synthetic clone corpus that exercises every branch the doc
