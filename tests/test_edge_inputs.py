@@ -236,3 +236,20 @@ def test_sketch_ops_degenerate_events(spark):
     cms = sketch_cms_merge(spark, {"events": const}).collect()
     assert {r.user_id: r.exact_cnt for r in cms} == {0: 2, 1: 2, 2: 2, 3: 2, 4: 2}
     assert all(r.overcount >= 0 for r in cms)
+
+
+def test_seeded_sample_is_deterministic_across_fresh_plans(spark):
+    """Load-bearing PySpark behavior lock (r15): the quantizer's
+    bounded training sample relies on df.sample(fraction=..., seed=...)
+    returning the SAME rows for freshly-built plans.  PySpark 4.1.2's
+    overload shim silently drops a keyword seed when fraction is
+    passed positionally — sample(0.025, seed=42) is a fresh random
+    draw every call (the r15 nondeterminism root cause,
+    sweeps/ab_r15_semantic_cap.log).  This pins the kwargs form we
+    use, and documents the positional trap: if an upgrade makes the
+    counts below diverge, every seeded-sample call site needs review."""
+    base = spark.range(200_000)
+    kw = [base.sample(fraction=0.1, seed=42).count() for _ in range(2)]
+    assert kw[0] == kw[1], "kwargs-form seeded sample must be stable"
+    full3 = [base.sample(False, 0.1, 42).count() for _ in range(2)]
+    assert full3[0] == full3[1] == kw[0]
