@@ -266,36 +266,71 @@ def ensure_ivf_index(spark, t) -> tuple[str, str]:
     ):
         return entry
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    import numpy as np
 
     # degenerate-vector ingest filter (r12, rows-only edge survey): a
-    # NULL or empty embedding would crash KMeans.fit and can never be
-    # a meaningful neighbor anyway (its cosine is NULL in the exact
-    # twin, sorted last) — drop it from the index, mirroring the
+    # NULL or empty embedding would crash quantizer training and can
+    # never be a meaningful neighbor anyway (its cosine is NULL in the
+    # exact twin, sorted last) — drop it from the index, mirroring the
     # exact tier's effective semantics.  Also keeps the PQ tier clean:
     # ensure_pq_index trains/encodes over THIS table's residuals.
-    e = _valid_embeddings(t["embeddings"]).withColumn(
-        "vec", array_to_vector("embedding")
+    e = _valid_embeddings(t["embeddings"])
+    # Coarse quantizer trained driver-side on a BOUNDED seeded sample
+    # (r15, same change dedup_semantic_blocked got and for the same
+    # two reasons, sweeps/ab_r15_semantic_cap.log): the r14 MLlib fit
+    # ran over the FULL corpus (2M vectors at the sf100 rung — the
+    # dominant share of the 45 s index build) and was run-to-run
+    # nondeterministic (treeAggregate arrival-order float reductions),
+    # which is exactly the variance class that cost the r13/r14
+    # sim_ann_ivf bench adjudications.  faiss-style train-on-sample:
+    # ~100 vectors/centroid, constant in corpus size; seeded numpy
+    # Lloyd is byte-stable.  The cell ASSIGNMENT pass stays
+    # distributed (Arrow-batched argmin against the broadcast centers
+    # — one BLAS product per batch, no ml.Vector conversion).
+    n_valid = e.count()
+    fit_target = max(50_000, 100 * _IVF_K)
+    fit_df = (
+        e
+        if n_valid <= fit_target
+        else e.sample(fraction=fit_target / n_valid, seed=42)
     )
-    model = KMeans(
-        k=_IVF_K, seed=42, featuresCol="vec", predictionCol="cell"
-    ).fit(e)
+    X = np.stack(
+        fit_df.select("embedding").toPandas()["embedding"].to_numpy()
+    ).astype(np.float64)
+    from tweetdb_spark.llm.dedup import _np_kmeans
+
+    centers = _np_kmeans(X, _IVF_K, seed=42)
+    bc = spark.sparkContext.broadcast(centers)
+
+    def _assign(batches):
+        import numpy as np
+        import pandas as pd  # noqa: F401  (Arrow batch interface)
+
+        C = np.asarray(bc.value, dtype=np.float64)
+        c2 = (C * C).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            # nearest center by euclidean: ||v||² is row-constant, so
+            # argmin(c² − 2 v·c) — identical to the old MLlib transform
+            cell = np.argmin(c2[None, :] - 2.0 * (V @ C.T), axis=1)
+            yield pdf.assign(cell=cell.astype("int32"))
+
+    assigned = e.select("vec_id", "label", "embedding").mapInPandas(
+        _assign, "vec_id bigint, label int, embedding array<float>, cell int"
+    )
     # session+sf-tagged prefix: rebuilding sf_dir A must never reap sf
     # dir B's live index, nor another live session's index for the SAME
     # sf_dir (fresh_dir reaps same-prefix dirs of this process)
     tag = f"{tok}_" + t.sf_dir.strip("/").replace("/", "_")
     out = scratch.fresh_dir(f"tweetdb_ivf_{tag}")
     (
-        model.transform(e)
-        .select("vec_id", "label", "embedding", "cell")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(out)
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(out)
     )
     cents = scratch.fresh_dir(f"tweetdb_ivfc_{tag}")
     centers_df = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
         "cell int, center array<double>",
     )
     centers_df.write.mode("overwrite").parquet(cents)
