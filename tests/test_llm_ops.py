@@ -278,6 +278,46 @@ def test_cluster_resolution_converges_on_long_chains(spark):
         assert not bad, f"n={n}: stale labels {bad}"
 
 
+def test_local_and_distributed_components_agree(spark, monkeypatch):
+    """The r15 size-gated local path and the distributed
+    contraction/doubling loop must produce the identical labelling on
+    graphs exercising chains (pointer depth), cliques, isolated nodes,
+    multi-component mixes, and non-contiguous ids.  Forcing the
+    threshold to -1 routes the SAME helper through the distributed
+    loop; the unique-min-label partition makes the outputs comparable
+    row for row."""
+    from pyspark.sql import functions as F
+
+    from tweetdb_spark.llm import dedup as D
+
+    edge_rows = (
+        [(i, i + 1) for i in range(0, 10)]          # chain 0-10
+        + [(a, b) for a in range(100, 105) for b in range(a + 1, 105)]
+        + [(1000, 2000), (2000, 3000), (500, 3000)]  # sparse far ids
+    )
+    edges = spark.createDataFrame(edge_rows, "u long, v long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in (
+            list(range(0, 11)) + list(range(100, 105))
+            + [500, 1000, 2000, 3000, 7777]          # 7777 isolated
+        )],
+        "doc_id long",
+    )
+    local = sorted(
+        (r.doc_id, r.component_id)
+        for r in D._min_label_components(nodes, edges).collect()
+    )
+    monkeypatch.setattr(D, "_LOCAL_COMPONENTS_MAX_EDGES", -1)
+    dist = sorted(
+        (r.doc_id, r.component_id)
+        for r in D._min_label_components(nodes, edges).collect()
+    )
+    assert local == dist
+    comp = dict(local)
+    assert comp[7777] == 7777 and comp[10] == 0 and comp[104] == 100
+    assert comp[3000] == 500 and comp[1000] == 500
+
+
 def test_semantic_blocked_recall_vs_exact(q):
     """Cell-blocked semantic dedup: every emitted pair must be real
     (exact cosine filter ⇒ zero false positives) and recall vs the
