@@ -633,17 +633,36 @@ def _simhash_components(spark, t):
     through the two stars), but the edge count stays linear in corpus
     size where the clique form is quadratic in clone multiplicity
     (the sf10 fixture's ~100-clone groups).  The green hash against
-    the all-pairs oracle is the standing equivalence proof."""
+    the all-pairs oracle is the standing equivalence proof.
+
+    r15: the stars leave the GRAPH entirely — a star edge only ever
+    encoded "member inherits its rep's component", which is a join,
+    not a graph problem (dedup_minhash_verdicts has used this shape
+    since r12).  The fixpoint now runs on the REP graph alone
+    (bounded by #distinct fingerprints at every scale — the sf100
+    clone fixture's loop input drops from ~5M star edges to the rep
+    pair list), members inherit through one (doc_id, rep_id) join,
+    and fingerprint-less docs label themselves through the left
+    join's coalesce.  component_id is unchanged: the rep-graph min
+    label is the min rep id of the component, and each rep is
+    already its group's min doc_id."""
     fp = _simhash_fingerprints(spark, t)
     m, rep_pairs = _simhash_rep_pairs(spark, fp, max_hamming=1)
-    star = m.where(F.col("doc_id") != F.col("rep_id")).select(
-        F.col("doc_id").alias("u"), F.col("rep_id").alias("v")
-    )
     edges = rep_pairs.select(
         F.col("rep_a").alias("u"), F.col("rep_b").alias("v")
-    ).unionAll(star)
+    )
+    rep_nodes = m.where(F.col("doc_id") == F.col("rep_id")).select("doc_id")
+    rep_labels = _min_label_components(rep_nodes, edges).withColumnRenamed(
+        "doc_id", "rep_id"
+    )
+    inherited = m.select("doc_id", "rep_id").join(rep_labels, "rep_id").select(
+        "doc_id", "component_id"
+    )
     nodes = t["documents"].select("doc_id")
-    return _min_label_components(nodes, edges)
+    return nodes.join(inherited, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component_id", F.col("doc_id")).alias("component_id"),
+    )
 
 
 # Edge-count bound for solving connected components driver-side (the
