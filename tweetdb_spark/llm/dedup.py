@@ -646,7 +646,11 @@ def _simhash_components(spark, t):
     join's coalesce.  component_id is unchanged: the rep-graph min
     label is the min rep id of the component, and each rep is
     already its group's min doc_id."""
-    fp = _simhash_fingerprints(spark, t)
+    # fp checkpoint (r15): this key spans multiple jobs (edge
+    # checkpoint, component solve, final count), and each would
+    # otherwise re-execute the token-explode × bit-vote fingerprint
+    # pipeline; one materialization serves them all
+    fp = _simhash_fingerprints(spark, t).localCheckpoint(eager=True)
     m, rep_pairs = _simhash_rep_pairs(spark, fp, max_hamming=1)
     edges = rep_pairs.select(
         F.col("rep_a").alias("u"), F.col("rep_b").alias("v")
@@ -2419,7 +2423,15 @@ def graph_pagerank(spark, t):
     hamming ≤ 3.  The symmetric graph has no dangling nodes, so no
     redistribution term is needed.
     """
-    fp = _simhash_fingerprints(spark, t)
+    # checkpoint the fingerprint table once (r15): the iterative key
+    # is multi-JOB (a checkpoint per round), and every downstream
+    # consumer (sizes via m, rsym via rep_pairs, the final member
+    # join) otherwise re-executes the token-explode × 32-bit-vote
+    # pipeline in its own job — the dominant fixed cost at fixture
+    # scale (sf0.1 build 15.6 s → 8.6 s with rsym cut, → ~4 s with
+    # this).  Single-plan consumers of _simhash_fingerprints don't
+    # need this: exchange reuse covers them inside one job.
+    fp = _simhash_fingerprints(spark, t).localCheckpoint(eager=True)
     m, rep_pairs = _simhash_rep_pairs(spark, fp, _HAMMING_MAX)
     # Collapsed iteration (r13): the member graph is clique-per-group
     # + complete-bipartite across adjacent groups, so every member of
@@ -2432,11 +2444,16 @@ def graph_pagerank(spark, t):
     # multiply-vs-repeated-add ulp drift exactly as it already does
     # between Spark's and DuckDB's member-level sum orders.
     sizes = m.groupBy("rep_id").agg(F.count("*").alias("c"))
+    # checkpoint the symmetric rep adjacency ONCE (r15): it rides the
+    # cross-contribution join in EVERY iteration, and without the
+    # lineage cut each round's job re-executed the whole
+    # banding+verify pipeline upstream of rep_pairs — five recomputes
+    # of the expensive part for five cheap rounds
     rsym = rep_pairs.select(
         F.col("rep_a").alias("r"), F.col("rep_b").alias("nb")
     ).unionAll(
         rep_pairs.select(F.col("rep_b").alias("r"), F.col("rep_a").alias("nb"))
-    )
+    ).localCheckpoint(eager=True)
     nsum = (
         rsym.join(
             sizes.select(F.col("rep_id").alias("nb"), F.col("c").alias("nc")),
