@@ -68,6 +68,28 @@ def test_agg_grouped_is_two_phase_hash(q):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_negative_pairs_partial_group_limit_below_exchange(q):
+    """corpus_negative_pairs generates ~n×bucket-size candidate rows
+    (1.5B at sf100); the per-anchor top-2 MUST be taken map-side
+    (Partial WindowGroupLimit below the exchange) so the shuffle
+    carries ≤2 rows per (anchor, input partition) instead of the full
+    candidate mass.  Locks the InferWindowGroupLimit shape the sf100
+    rung depends on."""
+    plan = _plan(q("corpus_negative_pairs"))
+    # tree section: Final WindowGroupLimit ABOVE the anchor Exchange,
+    # Partial WindowGroupLimit BELOW it (two WGL nodes sandwiching the
+    # exchange proves the map-side partial limit exists)
+    lines = plan.splitlines()
+    wgl = [i for i, ln in enumerate(lines)
+           if "WindowGroupLimit (" in ln and "+-" in ln]
+    ex = [i for i, ln in enumerate(lines)
+          if "Exchange (" in ln and "+-" in ln and "Broadcast" not in ln]
+    assert len(wgl) >= 2 and ex, plan
+    assert wgl[0] < min(ex) < wgl[-1], (
+        "Partial WindowGroupLimit must sit below the anchor exchange"
+    )
+
+
 def test_whole_stage_codegen_covers_flagship(q):
     # AQE hides WSCG in the formatted plan pre-execution; codegen mode
     # compiles the initial plan and reports the fused subtrees.
