@@ -147,6 +147,95 @@ FROM deg GROUP BY degree
     )
 
 
+def _e2e_sql(tokhash: str) -> str:
+    """Bounded form of corpus_dedup_e2e's oracle: the cluster pipeline
+    above (hamming <= 1 on fingerprint-VALUE groups) produces per-doc
+    labels through joins instead of a member-level closure, then the
+    registered oracle's canon/verdict tail runs verbatim on top.  The
+    member-pair blow-up is gone; the 5M-row canon window is plain
+    DuckDB work."""
+    return (
+        _PREFIX.format(tokhash=tokhash)
+        + """
+, fedges AS (
+  SELECT a.simhash AS u, b.simhash AS v
+  FROM fpg a JOIN fpg b
+    ON a.simhash < b.simhash
+   AND bit_count(xor(a.simhash, b.simhash)) <= 1
+), fsym AS (
+  SELECT u, v FROM fedges UNION ALL SELECT v, u FROM fedges
+), reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT u, v FROM fsym
+    UNION
+    SELECT r.src, s.v FROM r JOIN fsym s ON r.dst = s.u
+  )
+  SELECT src, dst FROM r
+), flab AS (
+  SELECT f.simhash, LEAST(f.md, COALESCE(MIN(g.md), f.md)) AS comp
+  FROM fpg f
+  LEFT JOIN reach ON reach.src = f.simhash
+  LEFT JOIN fpg g ON g.simhash = reach.dst
+  GROUP BY f.simhash, f.md
+), memlab AS (
+  SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS component_id
+  FROM documents d
+  LEFT JOIN tgrp g ON g.h = md5(d.text)
+  LEFT JOIN rfp r ON r.rep = g.rep
+  LEFT JOIN flab l ON l.simhash = r.simhash
+), lab2 AS (
+  SELECT ml.doc_id, ml.component_id, md5(d.text) AS h, d.n_chars
+  FROM memlab ml JOIN documents d USING (doc_id)
+), canon AS (
+  SELECT component_id, doc_id AS keep_doc_id, h AS keep_h
+  FROM (SELECT lab2.*, row_number() OVER (
+            PARTITION BY component_id
+            ORDER BY n_chars DESC, doc_id) AS rn FROM lab2)
+  WHERE rn = 1
+)
+SELECT lab2.doc_id, lab2.component_id,
+       lab2.doc_id = canon.keep_doc_id AS keep,
+       canon.keep_doc_id,
+       CASE WHEN lab2.doc_id = canon.keep_doc_id THEN 'kept'
+            WHEN lab2.h = canon.keep_h THEN 'exact_dup'
+            ELSE 'near_dup' END AS reason
+FROM lab2 JOIN canon USING (component_id)
+"""
+    )
+
+
+def _keyed_sum_compare(sdf, con, sql) -> tuple[bool, str]:
+    """check_sum's mod-P keyed-sum compare (same mappers/multipliers,
+    so numbers are comparable across tools) for outputs too wide/tall
+    to fetch row-by-row."""
+    from pyspark.sql import functions as F
+
+    from tools.check_sum import KS, P, _mappers
+
+    specs = []
+    for f in sorted(sdf.schema.fields, key=lambda f: f.name):
+        m = _mappers(f.dataType.simpleString(), f.name)
+        if m is not None:
+            specs.append((f.name, m[0], m[1]))
+    expr = None
+    duck_terms = []
+    for (name, s_expr, d_sql), k in zip(specs, KS):
+        term = (F.coalesce(s_expr, F.lit(-1)) % P) * k % P
+        expr = term if expr is None else expr + term
+        duck_terms.append(f"(((COALESCE({d_sql}, -1) % {P}) * {k}) % {P})")
+    expr = (expr % P).cast("decimal(28,0)")
+    row = sdf.agg(F.sum(expr).alias("s"), F.count("*").alias("n")).collect()[0]
+    o = con.execute(
+        f"SELECT CAST(SUM(({' + '.join(duck_terms)}) % {P}) AS HUGEINT), count(*) "
+        f"FROM ({sql})"
+    ).fetchone()
+    ok = (None if row.s is None else int(row.s), row.n) == (
+        None if o[0] is None else int(o[0]),
+        o[1],
+    )
+    return ok, f"spark=(sum {row.s}, n {row.n}) oracle=(sum {o[0]}, n {o[1]})"
+
+
 def main() -> int:
     sf = os.environ.get("SF_DIR", "/tmp/tweetdb_sf10")
 
@@ -163,13 +252,30 @@ def main() -> int:
     register_duck_views(con, sf)
 
     checks = [
-        ("dedup_cluster_resolve", _cluster_sql(_DUCK_TOKHASH)),
-        ("graph_degree_distribution", _degree_sql(_DUCK_TOKHASH, _HAMMING_MAX)),
+        ("dedup_cluster_resolve", _cluster_sql(_DUCK_TOKHASH), "exact"),
+        (
+            "graph_degree_distribution",
+            _degree_sql(_DUCK_TOKHASH, _HAMMING_MAX),
+            "exact",
+        ),
+        # full-result fetch of 5M wide rows is driver-hostile; the
+        # keyed-sum covers every column (strings by UTF-8 byte count)
+        ("corpus_dedup_e2e", _e2e_sql(_DUCK_TOKHASH), "sum"),
     ]
     fails = 0
-    for key, sql in checks:
+    for key, sql, mode in checks:
         t0 = time.time()
         sdf = tweetdb_spark.QUERIES[key](spark, sf)
+        if mode == "sum":
+            ok, detail = _keyed_sum_compare(sdf, con, sql)
+            t1 = time.time()
+            print(
+                f"{'PASS' if ok else 'FAIL'} {key}: KEYED-SUM {detail} "
+                f"({t1 - t0:.1f}s)",
+                flush=True,
+            )
+            fails += 0 if ok else 1
+            continue
         s_rows = sorted(tuple(int(v) for v in r) for r in sdf.collect())
         t1 = time.time()
         o_rows = sorted(
