@@ -204,6 +204,102 @@ FROM lab2 JOIN canon USING (component_id)
     )
 
 
+def _audit_sql(tokhash: str) -> str:
+    """Bounded form of corpus_pipeline_audit's oracle: e2e's bounded
+    label pipeline plus per-DISTINCT-TEXT token stats and 8-gram sets
+    (clones share both), with the member-level doc_id % 7 split
+    preserved exactly — a text contributes to the bench gram set iff
+    it has at least one bench-split member, and a train doc is
+    contaminated iff its text shares a gram with that set, which is
+    the naive form's definition verbatim."""
+    return (
+        _PREFIX.format(tokhash=tokhash)
+        + """
+, fedges AS (
+  SELECT a.simhash AS u, b.simhash AS v
+  FROM fpg a JOIN fpg b
+    ON a.simhash < b.simhash
+   AND bit_count(xor(a.simhash, b.simhash)) <= 1
+), fsym AS (
+  SELECT u, v FROM fedges UNION ALL SELECT v, u FROM fedges
+), reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT u, v FROM fsym
+    UNION
+    SELECT r.src, s.v FROM r JOIN fsym s ON r.dst = s.u
+  )
+  SELECT src, dst FROM r
+), flab AS (
+  SELECT f.simhash, LEAST(f.md, COALESCE(MIN(g.md), f.md)) AS comp
+  FROM fpg f
+  LEFT JOIN reach ON reach.src = f.simhash
+  LEFT JOIN fpg g ON g.simhash = reach.dst
+  GROUP BY f.simhash, f.md
+), memlab AS (
+  SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS component_id
+  FROM documents d
+  LEFT JOIN tgrp g ON g.h = md5(d.text)
+  LEFT JOIN rfp r ON r.rep = g.rep
+  LEFT JOIN flab l ON l.simhash = r.simhash
+), lab2 AS (
+  SELECT ml.doc_id, ml.component_id, d.n_chars
+  FROM memlab ml JOIN documents d USING (doc_id)
+), canon AS (
+  SELECT component_id, doc_id AS keep_doc_id
+  FROM (SELECT lab2.*, row_number() OVER (
+            PARTITION BY component_id
+            ORDER BY n_chars DESC, doc_id) AS rn FROM lab2)
+  WHERE rn = 1
+), rstats AS (
+  SELECT rep, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         count(*) AS n_distinct
+  FROM tf GROUP BY rep
+), tgrams AS (
+  SELECT g.h, list_distinct(list_transform(
+           range(1, len(string_split(t.text, ' ')) - 6),
+           i -> array_to_string(string_split(t.text, ' ')[i:i+7], ' ')))
+           AS grams
+  FROM tgrp g JOIN documents t ON t.doc_id = g.rep
+  WHERE t.text IS NOT NULL
+), textsplit AS (
+  SELECT md5(text) AS h, BOOL_OR(doc_id % 7 = 0) AS has_bench
+  FROM documents WHERE text IS NOT NULL GROUP BY md5(text)
+), bench AS (
+  SELECT DISTINCT unnest(tg.grams) AS gram
+  FROM tgrams tg JOIN textsplit ts USING (h)
+  WHERE ts.has_bench
+), contam_text AS (
+  SELECT DISTINCT e.h
+  FROM (SELECT h, unnest(grams) AS gram FROM tgrams) e
+  JOIN bench USING (gram)
+), audit AS (
+  SELECT d.doc_id, d.lang,
+         d.doc_id % 7 <> 0 AS is_train,
+         CASE WHEN s.n_tokens BETWEEN 20 AND 1000
+               AND CAST(s.n_distinct AS DOUBLE) / s.n_tokens > 0.2
+              THEN 1 ELSE 0 END AS quality_pass,
+         lab2.doc_id = canon.keep_doc_id AS dedup_keep,
+         NOT (d.doc_id % 7 <> 0 AND ct.h IS NOT NULL) AS decontam_clean
+  FROM documents d
+  JOIN tgrp tg ON tg.h = md5(d.text)
+  JOIN rstats s ON s.rep = tg.rep
+  JOIN lab2 ON lab2.doc_id = d.doc_id
+  JOIN canon ON canon.component_id = lab2.component_id
+  LEFT JOIN contam_text ct ON ct.h = md5(d.text)
+)
+SELECT doc_id, lang, is_train, quality_pass, dedup_keep,
+       decontam_clean,
+       (is_train AND quality_pass = 1 AND dedup_keep
+        AND decontam_clean) AS selected,
+       CASE WHEN is_train AND quality_pass = 1 AND dedup_keep
+             AND decontam_clean
+            THEN ((doc_id % 2147483647) * 2654435761) % 2147483647 % 8
+            ELSE -1 END AS shard
+FROM audit
+"""
+    )
+
+
 def _keyed_sum_compare(sdf, con, sql) -> tuple[bool, str]:
     """check_sum's mod-P keyed-sum compare (same mappers/multipliers,
     so numbers are comparable across tools) for outputs too wide/tall
@@ -261,6 +357,7 @@ def main() -> int:
         # full-result fetch of 5M wide rows is driver-hostile; the
         # keyed-sum covers every column (strings by UTF-8 byte count)
         ("corpus_dedup_e2e", _e2e_sql(_DUCK_TOKHASH), "sum"),
+        ("corpus_pipeline_audit", _audit_sql(_DUCK_TOKHASH), "sum"),
     ]
     fails = 0
     for key, sql, mode in checks:
