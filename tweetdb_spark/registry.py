@@ -138,14 +138,24 @@ def query(name: str, oracle: Optional[str] = None, eager: bool = False):
 #        fn_math/fn_conditional/fn_array back IN at positions 45-50, the
 #        six r14 carve-out keys back to their natural rows-only tail
 #        positions), WINDOW_ROWS_ONLY_KEYS emptied, ROTATION_ROUND=15.
-#   r16 (PLANNED, r14 verdict ask #3): one-round streaming evidence
-#        re-tour à la r10/r14 — stream_tumbling/stream_session/
-#        stream_dedup/stream_stateful/join_stream_static IN (their
-#        driver spark_rows evidence is r10-vintage, six rounds stale by
-#        r16); the six fn_* keys OUT again to make room (the most
-#        redundantly evidenced keys in the registry).  Mechanics: set
-#        WINDOW_ROWS_ONLY_KEYS to the five streaming keys, bump
-#        ROTATION_ROUND to 16; r17 executes the reverse swap.
+#   r16 (EXECUTED, r14 verdict ask #3 / r15 verdict ask #1): one-round
+#        streaming evidence re-tour à la r10/r14 — stream_tumbling/
+#        stream_session/stream_dedup/stream_stateful/join_stream_static
+#        IN at positions 45-49 (their driver spark_rows evidence was
+#        r10-vintage, six rounds stale); the six fn_* keys OUT to make
+#        room (the most redundantly evidenced keys in the registry: ten+
+#        driver-green rounds each).  Five out-keys for five in-keys
+#        leaves one window slot, filled by promoting scan_parquet to
+#        position 50 — the stalest parked HASHABLE key (driver-green
+#        r01+r02+r06+r07+r10+r11, nothing since), so the tour also
+#        refreshes one batch key's driver evidence for free.
+#        WINDOW_ROWS_ONLY_KEYS = the five streaming keys,
+#        ROTATION_ROUND = 16.
+#   r17 (PLANNED): reverse swap — the six fn_* keys back IN at
+#        positions 45-50, scan_parquet back to the parked-hashable
+#        block, the five streaming keys back to their natural rows-only
+#        tail positions, WINDOW_ROWS_ONLY_KEYS emptied, ROTATION_ROUND
+#        bumped to 17.  Restores the all-hashable 50-key window.
 # If the driver's window size or selection policy ever differs,
 # ``tools/check.py --strict`` still verifies ALL registered hashable keys
 # locally regardless of position — that local sweep, not this ordering,
@@ -197,28 +207,37 @@ CONTRACT_ORDER: list[str] = [
     "text_sentiment_lexicon",# L7
     "text_stats",            # L8
     "multimodal_norm",       # L9
-    # --- positions 45-50: fn_* family restored by the r15 reverse swap ---
-    # (toured OUT for the one-round r14 carve-out; hash-green in TEN
-    # driver rounds each — r01-r09 + r11-r13 for the r10-parked five,
-    # all thirteen rounds for fn_split_explode)
-    "fn_string",             # F1  (10 driver-green rounds)
-    "fn_split_explode",      # F2  (13 driver-green rounds)
-    "fn_datetime",           # F3  (10 driver-green rounds)
-    "fn_math",               # F4  (10 driver-green rounds)
-    "fn_conditional",        # F5  (10 driver-green rounds)
-    "fn_array",              # F6  (10 driver-green rounds)
-    # --- positions 51-55: hashable contract rows parked in r12 ---
+    # --- positions 45-49: r16 streaming evidence re-tour (one round) ---
+    # (r10-vintage driver evidence, six rounds stale — the oldest in the
+    # registry; declared in WINDOW_ROWS_ONLY_KEYS below, revert staged
+    # for r17)
+    "stream_tumbling",       # ST1  (r10 driver rows; batch twin hash-green)
+    "stream_session",        # ST3  (r10 driver rows; batch twin hash-green)
+    "stream_dedup",          # ST5  (r10 driver rows; doubled-feed pytest)
+    "stream_stateful",       # ST6  (r10 driver rows; equals-batch pytest)
+    "join_stream_static",    # J11  (r10 driver rows; batch-join pytest)
+    # --- position 50: stalest parked hashable key, promoted for the tour ---
+    "scan_parquet",          # S1  (r01+r02+r06+r07+r10+r11 pass)
+    # --- positions 51-56: fn_* family parked for the one-round r16 tour ---
+    # (hash-green in ELEVEN driver rounds each — r01-r09 + r11-r13 + r15
+    # for the r10/r14-parked five, all fourteen graded rounds for
+    # fn_split_explode; every one still in check.py --strict each round)
+    "fn_string",             # F1  (11 driver-green rounds)
+    "fn_split_explode",      # F2  (14 driver-green rounds)
+    "fn_datetime",           # F3  (11 driver-green rounds)
+    "fn_math",               # F4  (11 driver-green rounds)
+    "fn_conditional",        # F5  (11 driver-green rounds)
+    "fn_array",              # F6  (11 driver-green rounds)
+    # --- hashable contract rows parked in r12 ---
     # (rotated out in r12 swap, driver-hash-green r01+r02+r06+r07+r10+r11;
     # every one still in check.py --strict each round)
-    "scan_parquet",          # S1  (r01+r02+r06+r07+r10+r11 pass)
     "project_arith",         # P1  (r01+r02+r06+r07+r10+r11 pass)
     "filter_like",           # P3  (r01+r02+r06+r07+r10+r11 pass)
     "agg_global",            # A1  (r01+r02+r06+r07+r10+r11 pass)
     "topk_global",           # O2  (r01+r02+r06+r07+r10+r11 pass)
     # --- remaining SURVEY §2 rows-only rows (no faithful ANSI oracle) ---
-    # (back at their natural tail positions after the r14 carve-out tour;
-    # every one now carries driver-executed spark_rows evidence — six
-    # from r14, five streaming keys from the r10 tour — alongside
+    # (every one carries driver-executed spark_rows evidence — six from
+    # r14, five streaming keys touring the window in r16 — alongside
     # hash-checked batch twins and equality pytests)
     "source_stream_file",    # S4  (r14 driver rows, 7986)
     "sink_jdbc_batch",       # S5  (r14 driver rows, 150; idempotence pytest)
@@ -226,22 +245,24 @@ CONTRACT_ORDER: list[str] = [
     "stream_sliding",        # ST2 (r14 driver rows, 2883; twin hash-green)
     "stream_watermark_late", # ST4 (r14 driver rows, 719; window-count pytest)
     "dedup_minhash_lsh",     # L3  (r14 driver rows, 30327; twin banded green)
-    "stream_tumbling",       # ST1  (r10 driver rows; batch twin hash-green)
-    "stream_session",        # ST3  (r10 driver rows; batch twin hash-green)
-    "stream_dedup",          # ST5  (r10 driver rows; doubled-feed pytest)
-    "stream_stateful",       # ST6  (r10 driver rows; equals-batch pytest)
-    "join_stream_static",    # J11  (r10 driver rows)
 ]
 
 # Rows-only keys deliberately placed inside the graded 50-key window
-# this round.  r15 executed the reverse swap (r14 verdict ask #1):
-# the window is all-hashable again and this set is EMPTY.  The r16
-# streaming re-tour (r14 verdict ask #3, staged in the rotation log
-# above) will set it to the five streaming keys for one round.  Any
-# future rotation must both name its keys here AND bump ROTATION_ROUND
-# so the expiry test can tell a planned carve-out from a forgotten one.
-ROTATION_ROUND: int = 15
-WINDOW_ROWS_ONLY_KEYS: frozenset[str] = frozenset()
+# this round.  r16 executes the staged streaming evidence re-tour (r14
+# verdict ask #3 / r15 verdict ask #1): the five r10-stale streaming
+# keys tour the window for ONE round to refresh their driver-executed
+# spark_rows evidence; r17 executes the reverse swap (staged in the
+# rotation log above).  Any future rotation must both name its keys
+# here AND bump ROTATION_ROUND so the expiry test can tell a planned
+# carve-out from a forgotten one.
+ROTATION_ROUND: int = 16
+WINDOW_ROWS_ONLY_KEYS: frozenset[str] = frozenset({
+    "stream_tumbling",
+    "stream_session",
+    "stream_dedup",
+    "stream_stateful",
+    "join_stream_static",
+})
 
 
 def ordered_queries() -> tuple[dict[str, Callable], dict[str, str]]:
