@@ -499,6 +499,34 @@ def test_np_kmeans_deterministic_and_total():
     )
 
 
+def test_np_kmeans_nonfinite_rows_filtered_not_fatal():
+    """r16 ADVICE: a NaN/Inf ELEMENT inside an embedding (which
+    _valid_embeddings does not screen — it only drops NULL/empty
+    vectors) must not poison the D² seeding probabilities.  Rows with
+    non-finite elements are dropped from the training sample; an
+    all-non-finite sample raises a clear ValueError, not numpy's
+    'probabilities contain NaN'."""
+    import numpy as np
+    import pytest
+
+    from tweetdb_spark.llm.dedup import _np_kmeans
+
+    rng = np.random.RandomState(7)
+    X = rng.normal(0, 1, (200, 8))
+    Xbad = X.copy()
+    Xbad[3, 2] = np.nan
+    Xbad[17, 0] = np.inf
+    got = _np_kmeans(Xbad, 4, seed=42)
+    assert got.shape == (4, 8) and np.isfinite(got).all()
+    # poisoned rows excluded ⇒ same fit as dropping them up front
+    clean = np.delete(X, [3, 17], axis=0)
+    assert got.tobytes() == _np_kmeans(clean, 4, seed=42).tobytes()
+    with pytest.raises(ValueError, match="no finite embedding rows"):
+        _np_kmeans(np.full((5, 8), np.nan), 2, seed=42)
+    with pytest.raises(ValueError, match="no finite embedding rows"):
+        _np_kmeans(np.empty((0, 8)), 2, seed=42)
+
+
 def test_capped_expansion_equals_windowed_naive_form(spark):
     """_expand_rep_pairs_capped must equal window(_expand_rep_pairs)
     on a synthetic clone corpus that exercises every branch the doc

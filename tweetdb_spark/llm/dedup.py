@@ -747,6 +747,19 @@ def _min_label_components(nodes, edges):
     checksum-identical to the r11 plain loop by construction (A/B'd at
     sf0.01/sf0.1/sf1 on all five consuming keys).
 
+    **Precondition (r16 ADVICE): every edge endpoint must appear in
+    ``nodes``.**  The two size-gated strategies only agree under it:
+    the local numpy path labels every edge ENDPOINT (then left-joins
+    onto ``nodes``, silently dropping labels for endpoints outside
+    it), while the distributed loop only ever labels rows of ``nodes``
+    (an endpoint missing from ``nodes`` still PROPAGATES its id as a
+    min-label candidate through the edge frame).  A caller passing
+    edges over a superset of ``nodes`` — e.g. edges built before a
+    filter that ``nodes`` reflects — could therefore get
+    strategy-dependent labels.  Every current caller derives both
+    frames from the same candidate set, satisfying this by
+    construction.
+
     r11 shape: every round re-joined the FULL symmetric edge list
     against current labels even after most components had converged,
     plus a changed-rows count join (sf0.1 verdict graph, 5.9M sym
@@ -1143,6 +1156,21 @@ def _np_kmeans(X, k, seed=42, iters=20, chunk=8192):
     float reductions."""
     import numpy as np
 
+    X = np.asarray(X, dtype=np.float64)
+    # Non-finite screen (r16 ADVICE): _valid_embeddings only drops
+    # NULL/empty VECTORS, so a NaN/Inf ELEMENT inside a row would
+    # poison the D² seeding probabilities (rs.choice raises
+    # "probabilities contain NaN") instead of degrading gracefully.
+    # Drop those rows from the training sample only — downstream
+    # assignment still sees them and parks them in some cell.
+    finite = np.isfinite(X).all(axis=1)
+    if not finite.all():
+        X = X[finite]
+    if len(X) == 0:
+        raise ValueError(
+            "k-means training sample is empty: no finite embedding rows "
+            "(all candidates NULL/empty or containing NaN/Inf elements)"
+        )
     n = len(X)
     k = max(1, min(k, n))
     rs = np.random.RandomState(seed)
@@ -1284,6 +1312,15 @@ def dedup_semantic_blocked(spark, t):
     k = max(8, n_rep // 300)  # constant ~300-UNIQUE-vector cells
     fit_target = max(50_000, 100 * k)  # ~100 training vectors/centroid
     n_raw = raw.count()
+    # Explicit empty-input error (r16 ADVICE): with zero valid
+    # embeddings the driver-side fit would otherwise die inside
+    # np.stack with "need at least one array to stack" — opaque
+    # compared to the old MLlib fit error it replaced.
+    if n_raw == 0:
+        raise ValueError(
+            "dedup_semantic_blocked: embeddings table has no valid "
+            "(non-NULL, non-empty) vectors to fit the quantizer on"
+        )
     # seed MUST be passed as a keyword pair with fraction=: PySpark
     # 4.1.2's sample(0.025, seed=42) overload shim silently DROPS a
     # keyword seed when fraction is positional, drawing a fresh random

@@ -288,6 +288,14 @@ def ensure_ivf_index(spark, t) -> tuple[str, str]:
     # distributed (Arrow-batched argmin against the broadcast centers
     # — one BLAS product per batch, no ml.Vector conversion).
     n_valid = e.count()
+    # Explicit empty-input error (r16 ADVICE): zero valid embeddings
+    # would otherwise surface as an opaque np.stack ValueError ("need
+    # at least one array to stack") from the driver-side fit.
+    if n_valid == 0:
+        raise ValueError(
+            "ensure_ivf_index: embeddings table has no valid (non-NULL, "
+            "non-empty) vectors to index"
+        )
     fit_target = max(50_000, 100 * _IVF_K)
     fit_df = (
         e
