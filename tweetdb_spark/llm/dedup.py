@@ -1685,19 +1685,47 @@ def dedup_minhash_verdicts(spark, t):
     toks = docs.where(F.col("doc_id") == F.col("rep_id")).select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
     )
-    g = toks.select(
-        "doc_id",
-        F.expr("transform(tokens, w -> xxhash64(w) & 2147483647)").alias("g"),
-    )
-    cand = _banded_candidate_pairs(g, n_bands=8)
-    # sorted 64-bit token ids for the verify — see dedup_minhash_lsh's
-    # docstring for the string→bigint intersection rationale (r12)
+    # sorted 64-bit token ids — computed BEFORE banding since r16 so
+    # they drive both the second-level collapse and the verify; see
+    # dedup_minhash_lsh's docstring for the string→bigint intersection
+    # rationale (r12)
     ids = toks.select(
         "doc_id",
         F.sort_array(F.expr("transform(tokens, w -> xxhash64(w))")).alias("i"),
     )
-    ta = ids.select(F.col("doc_id").alias("doc_a"), F.col("i").alias("t_a"))
-    tb = ids.select(F.col("doc_id").alias("doc_b"), F.col("i").alias("t_b"))
+    # Second-level exact collapse on the token SET (r16, from the
+    # sweeps/mh_verdicts_attrib_r16.log attribution): every stage
+    # below — minhash bands, band candidates, exact-Jaccard verify —
+    # is a pure function of the token-id array, so reps with
+    # identical token sets (whitespace/duplicate-token variants whose
+    # bytes differ but tokens don't: 4992 → 3935 at the sf0.1 bench
+    # graph) are interchangeable nodes.  They always share all band
+    # signatures AND verify at distance 0, so collapsing them first
+    # is connectivity-exact while cutting the quadratic candidate
+    # mass by (1 - (u/n)²) ≈ 38% at sf0.1.  Group key is
+    # xxhash64(cast(i)) — the same 2⁻⁶⁴ collision trust as the
+    # token-id verify itself; NULL-token docs (NULL text) get a
+    # per-doc sentinel exactly like the md5 stage above, since a NULL
+    # token set asserts nothing about equality (xxhash64(NULL) is a
+    # CONSTANT, which would otherwise merge all NULL-text docs).
+    ts_key = F.when(
+        F.col("i").isNotNull(),
+        F.concat(F.lit("t:"), F.xxhash64(F.col("i").cast("string")).cast("string")),
+    ).otherwise(F.concat(F.lit(":null:"), F.col("doc_id").cast("string")))
+    ids = ids.withColumn(
+        "ts_rep", F.min("doc_id").over(Window.partitionBy(ts_key))
+    )
+    rep_map = ids.select(F.col("doc_id").alias("rep_doc"), "ts_rep")
+    uids = ids.where(F.col("doc_id") == F.col("ts_rep")).select("doc_id", "i")
+    # minhash ids: same value set as the old transform(tokens, ...) &
+    # mask form — masking the already-hashed ids; minhash is
+    # order/multiplicity-invariant so banding is unchanged
+    g = uids.select(
+        "doc_id", F.expr("transform(i, x -> x & 2147483647)").alias("g")
+    )
+    cand = _banded_candidate_pairs(g, n_bands=8)
+    ta = uids.select(F.col("doc_id").alias("doc_a"), F.col("i").alias("t_a"))
+    tb = uids.select(F.col("doc_id").alias("doc_b"), F.col("i").alias("t_b"))
     inter = F.size(F.array_intersect(F.col("t_a"), F.col("t_b")))
     union = F.size(F.col("t_a")) + F.size(F.col("t_b")) - inter
     dist = 1.0 - F.try_divide(inter.cast("double"), union)
@@ -1708,7 +1736,14 @@ def dedup_minhash_verdicts(spark, t):
         .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     )
 
-    rep_labels = _min_label_components(toks.select("doc_id"), edges)
+    # components over token-set reps only; text-reps inherit through
+    # the ts_rep map.  component_id stays the min doc_id of the FULL
+    # component: a ts_rep is the min doc_id of its token-set group, so
+    # min over ts_reps == min over all text-reps of the component.
+    ts_labels = _min_label_components(uids.select("doc_id"), edges)
+    rep_labels = rep_map.join(
+        ts_labels.withColumnRenamed("doc_id", "ts_rep"), "ts_rep"
+    ).select(F.col("rep_doc").alias("doc_id"), "component_id")
     lab = member.join(
         rep_labels.select(
             F.col("doc_id").alias("rep_id"), "component_id"
