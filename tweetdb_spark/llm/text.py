@@ -1497,18 +1497,36 @@ def corpus_negative_pairs(spark, t):
     """Contrastive-training negative sampling: 2 cross-language
     negatives per anchor doc, deterministic, without a cross join.
 
-    Candidates come from an EQUI-join on a bucket id (doc_id % B) —
-    each anchor only meets the ~n/B docs in its own bucket, then a
-    portable pair-hash shuffle key picks k of them per anchor.  At
-    100 TB, B scales with the corpus (B = n / c for a constant
-    per-bucket candidate count c) so total candidate rows stay
-    Θ(n·c): linear work, one shuffle on the bucket id, one on the
-    anchor for the top-k window — vs the Θ(n²) cross join this
-    replaces.  Determinism (hash, not rand) is what makes the drawn
-    pairs reproducible across engines and re-runs — the property a
-    training-data pipeline needs for auditable batches.
+    Candidates come from an EQUI-grouping on a bucket id (hashed
+    doc_id % B) — each anchor only meets the ~n/B docs in its own
+    bucket, then a portable pair-hash picks the 2 smallest
+    (pair_hash, neg_id) candidates per anchor.  Determinism (hash,
+    not rand) is what makes the drawn pairs reproducible across
+    engines and re-runs — the property a training-data pipeline
+    needs for auditable batches.
+
+    **Execution shape (r16 rewrite, sweeps/neg_pairs_attrib_r16.log):**
+    the r13-r15 form expressed the draw as self-join on bucket +
+    row_number() <= 2.  Catalyst already did everything right with it
+    — broadcast/SMJ on bucket, Partial WindowGroupLimit BEFORE the
+    exchange — yet the key was the heaviest sf100 rung line (68.5 s),
+    because even the optimal window plan must MATERIALIZE the
+    Θ(n·c) candidate join rows through a per-partition Sort to feed
+    the partial limit: 1.19B sorted rows at sf100, 82% of the key's
+    wall time, and at 100 TB (n=10¹⁰, c=320) trillions.  The draw
+    itself needs none of that: per ~c-doc bucket it is a c×c
+    vectorized argmin.  So the r16 form shuffles the Θ(n) SKINNY
+    (doc_id, lang) frame once by bucket and computes each bucket's
+    pair-hash matrix + per-anchor 2-smallest selection in an Arrow
+    ``applyInPandas`` kernel — O(c²) ints per bucket, c constant in
+    corpus size, no candidate-row materialization, no sort.  This is
+    the documented exception where a Pandas kernel beats built-ins:
+    the DataFrame algebra can only express "2 smallest per anchor"
+    by producing and ordering every candidate row.  The DuckDB
+    oracle keeps the join+window SQL — the driver hash check is the
+    per-round equivalence proof of the two forms.
     """
-    from pyspark.sql.window import Window
+    import pandas as pd
 
     # B = max(16, n/320): constant ~320-doc buckets however large the
     # corpus (the sf10 rung caught the fixed B=16 — 31k-doc buckets
@@ -1522,26 +1540,64 @@ def corpus_negative_pairs(spark, t):
     bucket = (
         (F.col("doc_id") % 2147483647) * 2654435761 % 2147483647
     ) % n_buckets
-    d = t["documents"].select("doc_id", "lang", bucket.alias("bucket"))
-    a, b = d.alias("a"), d.alias("b")
-    pair_hash = (
-        ((F.col("a.doc_id") * 131 + F.col("b.doc_id")) % 2147483647)
-        * 2654435761
-    ) % 2147483647
-    w = Window.partitionBy("a.doc_id").orderBy(pair_hash, F.col("b.doc_id"))
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.lang") != F.col("b.lang")),
+    # NULL-lang docs can never pair (a.lang <> b.lang is UNKNOWN on
+    # either side in the oracle's join) — filter before the shuffle
+    d = (
+        t["documents"]
+        .where(F.col("lang").isNotNull())
+        .select("doc_id", "lang", bucket.alias("bucket"))
+    )
+
+    def _draw(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        langs = pdf["lang"].to_numpy()
+        m = len(ids)
+        empty = pd.DataFrame(
+            {
+                "anchor_id": pd.Series([], dtype="int64"),
+                "neg_id": pd.Series([], dtype="int64"),
+                "neg_lang": pd.Series([], dtype="object"),
+            }
         )
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 2)
-        .select(
-            F.col("a.doc_id").alias("anchor_id"),
-            F.col("b.doc_id").alias("neg_id"),
-            F.col("b.lang").alias("neg_lang"),
+        if m < 2:
+            return empty
+        P = np.int64(2147483647)
+        # (a*131 + b) stays under 2⁶³ for any realistic doc_id
+        # (≤ ~7·10¹⁶); (x % P) * 2654435761 < 2³¹·2.7·10⁹ < 2⁶³.
+        ph = ((ids[:, None] * np.int64(131) + ids[None, :]) % P) * np.int64(
+            2654435761
+        ) % P
+        # candidate mask: cross-language only (NULLs already filtered)
+        valid = langs[:, None] != langs[None, :]
+        # composite order key (pair_hash ASC, neg_id ASC): neg_id is
+        # replaced by its ascending RANK within the bucket so the
+        # composite fits int64 (ph < 2³¹, rank < 2³², key < 2⁶³)
+        rank = np.empty(m, dtype=np.int64)
+        rank[np.argsort(ids, kind="stable")] = np.arange(m, dtype=np.int64)
+        key = ph * np.int64(m) + rank[None, :]
+        sentinel = np.iinfo(np.int64).max
+        key = np.where(valid, key, sentinel)
+        # 2 smallest per row: argpartition then order the pair
+        top2 = np.argpartition(key, 1, axis=1)[:, :2]
+        k2 = np.take_along_axis(key, top2, axis=1)
+        swap = k2[:, 0] > k2[:, 1]
+        top2[swap] = top2[swap][:, ::-1]
+        k2[swap] = k2[swap][:, ::-1]
+        keep = k2 != sentinel
+        anchor = np.repeat(ids, 2)[keep.ravel()]
+        neg_idx = top2.ravel()[keep.ravel()]
+        return pd.DataFrame(
+            {
+                "anchor_id": anchor,
+                "neg_id": ids[neg_idx],
+                "neg_lang": langs[neg_idx],
+            }
         )
+
+    return d.groupBy("bucket").applyInPandas(
+        _draw, "anchor_id bigint, neg_id bigint, neg_lang string"
     )
 
 
