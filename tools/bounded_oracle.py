@@ -1,6 +1,8 @@
-"""Bounded (tractable) DuckDB oracles for two of the ten
-oracle-intractable extras (r15, r14 verdict ask #5):
-dedup_cluster_resolve and graph_degree_distribution.
+"""Bounded (tractable) DuckDB oracles for the oracle-intractable
+extras: dedup_cluster_resolve + graph_degree_distribution (+ the
+corpus_dedup_e2e / corpus_pipeline_audit keyed sums) from r15, and
+graph_pagerank + graph_triangle_count added in r16 (r15 verdict ask
+#5 — both ride the same fingerprint-VALUE edge closure).
 
 The registered oracles for these keys are deliberately NAIVE —
 all-pairs bit_count joins over every MEMBER document plus (for the
@@ -26,7 +28,10 @@ equal values are hamming-0 pairs / collide in every band), and the
 naive-form oracle remains the registered one at every driver-graded
 scale.
 
-Usage:  SF_DIR=/tmp/tweetdb_sf10 python tools/bounded_oracle.py
+Usage:  SF_DIR=/tmp/tweetdb_sf10 python tools/bounded_oracle.py [key ...]
+        PAGERANK_MODE=hist ...   # rank-histogram compare for scales
+                                 # where a 5M-row full fetch is
+                                 # driver-hostile (sf100)
 Prints PASS/FAIL per key with row counts; exit 1 on any mismatch.
 """
 
@@ -300,6 +305,109 @@ FROM audit
     )
 
 
+def _pagerank_sql(tokhash: str, max_hamming: int) -> str:
+    """Bounded form of graph_pagerank's oracle: the engine's collapsed
+    iteration (llm/dedup.py graph_pagerank r13 algebra) re-derived BY
+    DUCKDB from raw parquet — fingerprint-value groups, hamming <=
+    max_hamming adjacency (band collision is implied at hamming <= 3
+    by pigeonhole over the 4x8-bit bands, the same argument the
+    degree key's r15 bounded oracle passed on), 5 unrolled synchronous
+    rounds on the ~5k-group graph with size weights, members
+    inheriting their group's rank.  FP expressions keep the engine's
+    association — (c-1)*(p/d), c'*(p/d') — so only commutative sum
+    order differs, which the shared round(.,6) absorbs exactly as it
+    does between Spark's and DuckDB's member-level sum orders."""
+    # every multiply-referenced CTE is MATERIALIZED: the unrolled
+    # iteration references p{k-1} twice, and without materialization
+    # DuckDB inlines the chain — 2^5 re-evaluations of the whole
+    # token-explode prefix (observed: 160 s at sf0.01 vs 0.6 s here)
+    body = _PREFIX.format(tokhash=tokhash) + f"""
+, fpgm AS MATERIALIZED (
+  SELECT * FROM fpg
+), fedges AS MATERIALIZED (
+  SELECT a.simhash AS u, b.simhash AS v
+  FROM fpgm a JOIN fpgm b
+    ON a.simhash < b.simhash
+   AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+), fsym AS MATERIALIZED (
+  SELECT u, v FROM fedges UNION ALL SELECT v, u FROM fedges
+), nsumt AS (
+  SELECT s.u AS simhash, SUM(g.c) AS ns
+  FROM fsym s JOIN fpgm g ON g.simhash = s.v
+  GROUP BY s.u
+), grp AS MATERIALIZED (
+  SELECT f.simhash, f.c,
+         CAST(f.c - 1 + COALESCE(n.ns, 0) AS DOUBLE) AS d
+  FROM fpgm f LEFT JOIN nsumt n USING (simhash)
+  WHERE (f.c - 1 + COALESCE(n.ns, 0)) > 0
+), nn AS MATERIALIZED (
+  SELECT CAST(SUM(c) AS DOUBLE) AS n FROM grp
+), p0 AS MATERIALIZED (
+  SELECT simhash, 1.0 / nn.n AS p FROM grp CROSS JOIN nn
+)"""
+    for k in range(1, 6):
+        body += f"""
+, c{k} AS (
+  SELECT s.u AS simhash, SUM(g2.c * (pk.p / g2.d)) AS cs
+  FROM fsym s
+  JOIN grp g2 ON g2.simhash = s.v
+  JOIN p{k - 1} pk ON pk.simhash = s.v
+  GROUP BY s.u
+), p{k} AS MATERIALIZED (
+  SELECT g.simhash,
+         0.15 / nn.n
+         + 0.85 * ((g.c - 1) * (pk.p / g.d) + COALESCE(c{k}.cs, 0)) AS p
+  FROM grp g
+  JOIN p{k - 1} pk USING (simhash)
+  LEFT JOIN c{k} USING (simhash)
+  CROSS JOIN nn
+)"""
+    return body + """
+SELECT d.doc_id, ROUND(p5.p, 6) AS pagerank
+FROM documents d
+JOIN tgrp tg ON tg.h = md5(d.text)
+JOIN rfp r ON r.rep = tg.rep
+JOIN p5 ON p5.simhash = r.simhash
+"""
+
+
+def _triangle_sql(tokhash: str, max_hamming: int) -> str:
+    """Bounded form of graph_triangle_count's oracle: the engine's
+    exact r13 decomposition over fingerprint-value groups — (1)
+    C(c,3) within groups, (2) C(c,2)*c' + C(c',2)*c per adjacent
+    pair, (3) compact-forward rep-triangle join weighted by the size
+    product — recomputed by DuckDB from raw parquet.  Orientation is
+    by simhash value here vs min-doc_id in the engine; any strict
+    total order counts each rep triangle exactly once, so the totals
+    agree.  All-integer arithmetic: no FP tolerance anywhere."""
+    return (
+        _PREFIX.format(tokhash=tokhash)
+        + f"""
+, fpgm AS MATERIALIZED (
+  SELECT * FROM fpg
+), fedges AS MATERIALIZED (
+  SELECT a.simhash AS u, a.c AS cu, b.simhash AS v, b.c AS cv
+  FROM fpgm a JOIN fpgm b
+    ON a.simhash < b.simhash
+   AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+), t1 AS (
+  SELECT COALESCE(SUM((c * (c - 1) * (c - 2)) // 6), 0) AS tri FROM fpgm
+), t2 AS (
+  SELECT COALESCE(SUM(((cu * (cu - 1)) // 2) * cv
+                      + ((cv * (cv - 1)) // 2) * cu), 0) AS tri
+  FROM fedges
+), t3 AS (
+  SELECT COALESCE(SUM(e1.cu * e1.cv * e2.cv), 0) AS tri
+  FROM fedges e1
+  JOIN fedges e2 ON e2.u = e1.v
+  JOIN fedges e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT CAST(t1.tri + t2.tri + t3.tri AS BIGINT) AS n_triangles
+FROM t1, t2, t3
+"""
+    )
+
+
 def _keyed_sum_compare(sdf, con, sql) -> tuple[bool, str]:
     """check_sum's mod-P keyed-sum compare (same mappers/multipliers,
     so numbers are comparable across tools) for outputs too wide/tall
@@ -358,7 +466,23 @@ def main() -> int:
         # keyed-sum covers every column (strings by UTF-8 byte count)
         ("corpus_dedup_e2e", _e2e_sql(_DUCK_TOKHASH), "sum"),
         ("corpus_pipeline_audit", _audit_sql(_DUCK_TOKHASH), "sum"),
+        (
+            "graph_pagerank",
+            _pagerank_sql(_DUCK_TOKHASH, _HAMMING_MAX),
+            # exact fetches every member row (fine at sf10's 500k x 2
+            # narrow columns); hist compares the rank-value histogram
+            # (rank, n_docs, mod-P doc_id keyed sum) for sf100's 5M
+            ("hist" if os.environ.get("PAGERANK_MODE") == "hist" else "exact"),
+        ),
+        (
+            "graph_triangle_count",
+            _triangle_sql(_DUCK_TOKHASH, _HAMMING_MAX),
+            "exact",
+        ),
     ]
+    only = set(sys.argv[1:])
+    if only:
+        checks = [c for c in checks if c[0] in only]
     fails = 0
     for key, sql, mode in checks:
         t0 = time.time()
@@ -373,10 +497,32 @@ def main() -> int:
             )
             fails += 0 if ok else 1
             continue
-        s_rows = sorted(tuple(int(v) for v in r) for r in sdf.collect())
+        if mode == "hist":
+            # rank-value histogram: every distinct round-6 rank with its
+            # member count and a mod-P doc_id keyed sum — the full value
+            # multiset of the 2-column result, collapsed to ~#groups rows
+            from pyspark.sql import functions as F
+
+            P, K = 2147483647, 2654435761
+            sdf = sdf.groupBy("pagerank").agg(
+                F.count("*").alias("n"),
+                F.sum((F.col("doc_id") % P) * K % P).alias("ks"),
+            )
+            sql = (
+                f"SELECT pagerank, count(*) AS n, "
+                f"CAST(SUM((doc_id % {P}) * {K} % {P}) AS HUGEINT) AS ks "
+                f"FROM ({sql}) GROUP BY pagerank"
+            )
+
+        # round-6 doubles (pagerank) scale exactly to ints at 1e6; both
+        # engines' fetches go through the same mapping
+        def _cell(v):
+            return int(round(v * 1_000_000)) if isinstance(v, float) else int(v)
+
+        s_rows = sorted(tuple(_cell(v) for v in r) for r in sdf.collect())
         t1 = time.time()
         o_rows = sorted(
-            tuple(int(v) for v in r) for r in con.execute(sql).fetchall()
+            tuple(_cell(v) for v in r) for r in con.execute(sql).fetchall()
         )
         t2 = time.time()
         if s_rows == o_rows:
