@@ -68,26 +68,25 @@ def test_agg_grouped_is_two_phase_hash(q):
     assert plan.count("HashAggregate") >= 2
 
 
-def test_negative_pairs_partial_group_limit_below_exchange(q):
-    """corpus_negative_pairs generates ~n×bucket-size candidate rows
-    (1.5B at sf100); the per-anchor top-2 MUST be taken map-side
-    (Partial WindowGroupLimit below the exchange) so the shuffle
-    carries ≤2 rows per (anchor, input partition) instead of the full
-    candidate mass.  Locks the InferWindowGroupLimit shape the sf100
-    rung depends on."""
+def test_negative_pairs_single_skinny_shuffle_no_candidate_sort(q):
+    """corpus_negative_pairs (r16 form) must shuffle only the Θ(n)
+    SKINNY (doc_id, lang, bucket) frame once and draw per-bucket in an
+    Arrow kernel — the r13-r15 join+window form materialized the
+    Θ(n·c) candidate mass through a per-partition Sort even under the
+    optimal Partial-WindowGroupLimit plan (1.19B sorted rows at sf100,
+    82% of the key's wall; sweeps/neg_pairs_attrib_r16.log).  Locks:
+    no join, no WindowGroupLimit, exactly one non-broadcast exchange
+    (the bucket shuffle), the kernel node present, and the scan pruned
+    to the two input columns with the lang filter pushed down."""
     plan = _plan(q("corpus_negative_pairs"))
-    # tree section: Final WindowGroupLimit ABOVE the anchor Exchange,
-    # Partial WindowGroupLimit BELOW it (two WGL nodes sandwiching the
-    # exchange proves the map-side partial limit exists)
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "WindowGroupLimit" not in plan, plan
+    assert "Join" not in plan, plan
     lines = plan.splitlines()
-    wgl = [i for i, ln in enumerate(lines)
-           if "WindowGroupLimit (" in ln and "+-" in ln]
-    ex = [i for i, ln in enumerate(lines)
-          if "Exchange (" in ln and "+-" in ln and "Broadcast" not in ln]
-    assert len(wgl) >= 2 and ex, plan
-    assert wgl[0] < min(ex) < wgl[-1], (
-        "Partial WindowGroupLimit must sit below the anchor exchange"
-    )
+    ex = [ln for ln in lines if "Exchange (" in ln and "Broadcast" not in ln]
+    assert len(ex) == 1, plan
+    assert "PushedFilters: [IsNotNull(lang)]" in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan, plan
 
 
 def test_whole_stage_codegen_covers_flagship(q):

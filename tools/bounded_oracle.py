@@ -408,6 +408,248 @@ FROM t1, t2, t3
     )
 
 
+def _mh_banded_sql() -> str:
+    """Bounded form of dedup_minhash_banded's oracle: the registered
+    naive SQL computes 16 minhash permutations over every MEMBER's
+    shingle array (500k at sf10 -> TIME); here DuckDB collapses to
+    distinct md5(text) groups first (clones share shingle sets, hence
+    signatures, hence band values and verify results — the engine's
+    own r13 argument), bands/verifies the ~5k reps, expands group
+    pairs to id-only member pairs (within at exact jaccard 1.0), and
+    applies the registered conditional per-doc_a cap verbatim.  The
+    jaccard column is compared as round-6-scaled BIGINT so the keyed
+    sum covers the VALUE, not just the ids."""
+    from tweetdb_spark.llm.dedup import (
+        _DUCK_SHINGLES,
+        _LSH_EXACT_PAIRS_MAX_DOCS,
+        _LSH_PAIRS_PER_DOC,
+        _mh_band_sql,
+    )
+
+    bands = _mh_band_sql("duck")
+    band_union = "\n      UNION ALL ".join(
+        f"SELECT rep, {j} AS j, {b} AS v FROM g" for j, b in enumerate(bands)
+    )
+    jac = (
+        "CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) "
+        "/ (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)))"
+    )
+    return f"""
+WITH tgrp AS MATERIALIZED (
+  SELECT md5(text) AS h, MIN(doc_id) AS rep
+  FROM documents WHERE lang = 'en' AND text IS NOT NULL
+  GROUP BY md5(text)
+), g_all AS (
+  SELECT tg.h, tg.rep, {_DUCK_SHINGLES} AS g
+  FROM tgrp tg JOIN documents d ON d.doc_id = tg.rep
+), g AS MATERIALIZED (
+  SELECT * FROM g_all WHERE len(g) > 0
+), bands AS (
+      {band_union}
+), cand AS (
+  SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b
+  FROM bands a JOIN bands b
+    ON a.j = b.j AND a.v = b.v AND a.rep < b.rep
+), vp AS MATERIALIZED (
+  SELECT c.rep_a, c.rep_b, ROUND({jac}, 6) AS jac
+  FROM cand c
+  JOIN g ga ON ga.rep = c.rep_a
+  JOIN g gb ON gb.rep = c.rep_b
+  WHERE {jac} >= 0.7
+), mem AS MATERIALIZED (
+  SELECT d.doc_id, g.rep
+  FROM documents d JOIN g ON g.h = md5(d.text)
+  WHERE d.lang = 'en'
+), allp AS (
+  SELECT LEAST(x.doc_id, y.doc_id) AS doc_a,
+         GREATEST(x.doc_id, y.doc_id) AS doc_b,
+         v.jac AS ngram_jaccard
+  FROM vp v
+  JOIN mem x ON x.rep = v.rep_a
+  JOIN mem y ON y.rep = v.rep_b
+  UNION ALL
+  SELECT x.doc_id, y.doc_id, CAST(1.0 AS DOUBLE)
+  FROM mem x JOIN mem y
+    ON x.rep = y.rep AND x.doc_id < y.doc_id
+), capped AS (
+  SELECT doc_a, doc_b, ngram_jaccard,
+         row_number() OVER (
+           PARTITION BY doc_a
+           ORDER BY ngram_jaccard DESC, doc_b
+         ) AS rn
+  FROM allp
+)
+SELECT doc_a, doc_b,
+       CAST(ROUND(ngram_jaccard * 1000000) AS BIGINT) AS j6
+FROM capped
+WHERE rn <= {_LSH_PAIRS_PER_DOC}
+   OR (SELECT count(*) FROM documents) <= {_LSH_EXACT_PAIRS_MAX_DOCS}
+"""
+
+
+def _lev_bounded_sql() -> str:
+    """Bounded form of fn_levenshtein_blocked's oracle: the registered
+    all-pairs SQL is quadratic in supplier MEMBERS; collapsing to
+    distinct names first (identical names are edit-distance 0 and
+    share every levenshtein value against any third name) keeps the
+    all-pairs levenshtein on ~distinct-name reps and expands group
+    pairs to id-only member pairs — the rep-level join is still the
+    full ground-truth all-pairs, so this check also re-proves blocked
+    candidate COMPLETENESS at sf10, not just value parity."""
+    return """
+WITH grp AS MATERIALIZED (
+  SELECT s_name, MIN(s_suppkey) AS rep
+  FROM supplier WHERE s_name IS NOT NULL GROUP BY s_name
+), rp AS MATERIALIZED (
+  SELECT a.rep AS rep_a, b.rep AS rep_b,
+         levenshtein(a.s_name, b.s_name) AS d
+  FROM grp a JOIN grp b ON a.rep < b.rep
+  WHERE levenshtein(a.s_name, b.s_name) <= 2
+), mem AS MATERIALIZED (
+  SELECT s.s_suppkey, g.rep
+  FROM supplier s JOIN grp g ON g.s_name = s.s_name
+)
+SELECT LEAST(x.s_suppkey, y.s_suppkey) AS supp_a,
+       GREATEST(x.s_suppkey, y.s_suppkey) AS supp_b,
+       rp.d AS edit_dist
+FROM rp
+JOIN mem x ON x.rep = rp.rep_a
+JOIN mem y ON y.rep = rp.rep_b
+UNION ALL
+SELECT x.s_suppkey, y.s_suppkey, 0
+FROM mem x JOIN mem y
+  ON x.rep = y.rep AND x.s_suppkey < y.s_suppkey
+"""
+
+
+def _simhash_pairs_moments(spark, sf, con, tokhash: str, max_hamming: int):
+    """Bounded VALUE check for the pair-emitting dedup_simhash (r16):
+    the member-level output is Theta(sum c_i*c_j) rows — quadratic in
+    clone multiplicity, so no oracle may materialize it at sf10+.  But
+    its row multiset is a pure function of the fingerprint-value
+    groups, so DuckDB can compute EXACT symmetric moments of the
+    unordered pair multiset in closed form, linear work only:
+
+      within a group   (h = 0):  pairs C(c,2),  S1 = sum_x u_x*(c-1),
+                                 S2 = (su^2 - sum u^2)/2
+      across an edge (A,B,h):    pairs cA*cB,   S1 = suA*cB + suB*cA,
+                                 S2 = suA*suB,  plus h-coupled copies
+
+    with u = ((doc_id % P) * K) % P under TWO independent keys, and
+    the engine side summing the same functionals directly over its
+    output rows (exact decimal(38,0) arithmetic, no mod collisions).
+    Moments identical under both keys + the h-coupled moment pins the
+    multiset of (unordered pair, hamming); the doc_a < doc_b ordering
+    the schema promises is asserted engine-side (violations counted),
+    which together fix the ORDERED row multiset."""
+    from pyspark.sql import functions as F
+
+    P = 2147483647
+    K1, K2 = 2654435761, 2246822519
+    sdf = __import__("tweetdb_spark").QUERIES["dedup_simhash"](spark, sf)
+    ua = (F.col("doc_a") % P) * K1 % P
+    ub = (F.col("doc_b") % P) * K1 % P
+    va = (F.col("doc_a") % P) * K2 % P
+    vb = (F.col("doc_b") % P) * K2 % P
+    # All engine-side arithmetic stays in BIGINT: per-row moment
+    # terms are reduced mod a 31-bit prime Q (SUM of x%Q ≡ SUM x
+    # mod Q), and the sum runs two-level — partial sums per salt
+    # group (each < 2^31 * rows/8192, no overflow), re-modded, then
+    # summed over <=8192 groups.  Spark's decimal(38,0) SUM was the
+    # natural exact form but its agg fast path dies with an internal
+    # Decimal.setOrNull ArrayIndexOutOfBoundsException on the sf10
+    # straggler task (pyspark 4.1.2); DuckDB keeps EXACT HUGEINT
+    # moments and Python mods them for the compare, so the check
+    # loses nothing but a 2^-31 collision bound per moment (x5
+    # independent moments, two member keys).
+    Q = 2147483629
+    terms = {
+        "sh": F.col("hamming") % Q,
+        "m1": (ua + ub) % Q,
+        "m2": (ua * ub) % Q,
+        "mh": (F.col("hamming") * (ua + ub)) % Q,
+        "w1": (va + vb) % Q,
+        "w2": (va * vb) % Q,
+    }
+    salt = (F.col("doc_a") + F.col("doc_b")) % 8192
+    partial = sdf.groupBy(salt.alias("s")).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("doc_a") >= F.col("doc_b"), 1).otherwise(0)
+        ).alias("bad_order"),
+        *[(F.sum(e) % Q).alias(k) for k, e in terms.items()],
+    )
+    row = partial.agg(
+        F.sum("n").alias("n"),
+        F.sum("bad_order").alias("bad_order"),
+        *[(F.sum(k) % Q).alias(k) for k in terms],
+    ).collect()[0]
+    sql = (
+        _PREFIX.format(tokhash=tokhash)
+        + f"""
+, fpgm AS MATERIALIZED (SELECT * FROM fpg
+), fedges AS MATERIALIZED (
+  SELECT a.simhash AS u, b.simhash AS v,
+         bit_count(xor(a.simhash, b.simhash)) AS h
+  FROM fpgm a JOIN fpgm b
+    ON a.simhash < b.simhash
+   AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+), mem AS (
+  SELECT d.doc_id, r.simhash,
+         ((d.doc_id % {P}) * {K1}) % {P} AS u,
+         ((d.doc_id % {P}) * {K2}) % {P} AS w
+  FROM documents d
+  JOIN tgrp tg ON tg.h = md5(d.text)
+  JOIN rfp r ON r.rep = tg.rep
+), gagg AS MATERIALIZED (
+  SELECT simhash, CAST(COUNT(*) AS HUGEINT) AS c,
+         CAST(SUM(u) AS HUGEINT) AS su, CAST(SUM(u * u) AS HUGEINT) AS suu,
+         CAST(SUM(w) AS HUGEINT) AS sw, CAST(SUM(w * w) AS HUGEINT) AS sww
+  FROM mem GROUP BY simhash
+), wi AS (
+  SELECT COALESCE(SUM((c * (c - 1)) // 2), 0) AS n,
+         0 AS sh,
+         COALESCE(SUM((c - 1) * su), 0) AS m1,
+         COALESCE(SUM((su * su - suu) // 2), 0) AS m2,
+         0 AS mh,
+         COALESCE(SUM((c - 1) * sw), 0) AS w1,
+         COALESCE(SUM((sw * sw - sww) // 2), 0) AS w2
+  FROM gagg
+), xr AS (
+  SELECT COALESCE(SUM(ga.c * gb.c), 0) AS n,
+         COALESCE(SUM(e.h * ga.c * gb.c), 0) AS sh,
+         COALESCE(SUM(ga.su * gb.c + gb.su * ga.c), 0) AS m1,
+         COALESCE(SUM(ga.su * gb.su), 0) AS m2,
+         COALESCE(SUM(e.h * (ga.su * gb.c + gb.su * ga.c)), 0) AS mh,
+         COALESCE(SUM(ga.sw * gb.c + gb.sw * ga.c), 0) AS w1,
+         COALESCE(SUM(ga.sw * gb.sw), 0) AS w2
+  FROM fedges e
+  JOIN gagg ga ON ga.simhash = e.u
+  JOIN gagg gb ON gb.simhash = e.v
+)
+SELECT wi.n + xr.n, wi.sh + xr.sh, wi.m1 + xr.m1, wi.m2 + xr.m2,
+       wi.mh + xr.mh, wi.w1 + xr.w1, wi.w2 + xr.w2
+FROM wi, xr
+"""
+    )
+    o = con.execute(sql).fetchone()
+    s_vals = tuple(
+        0 if x is None else int(x)
+        for x in (row.n, row.sh, row.m1, row.m2, row.mh, row.w1, row.w2)
+    )
+    # n compares exactly; the six moments compare mod Q against
+    # DuckDB's exact HUGEINT closed forms
+    o_vals = (int(o[0]),) + tuple(int(x) % Q for x in o[1:])
+    ok = s_vals == o_vals and row.bad_order == 0
+    detail = (
+        f"spark {s_vals} bad_order={row.bad_order} vs oracle {o_vals}"
+        if not ok
+        else f"{s_vals[0]} pairs, n exact + 6 mod-{Q} moments "
+        f"identical, ordering clean"
+    )
+    return ok, detail
+
+
 def _keyed_sum_compare(sdf, con, sql) -> tuple[bool, str]:
     """check_sum's mod-P keyed-sum compare (same mappers/multipliers,
     so numbers are comparable across tools) for outputs too wide/tall
@@ -479,14 +721,42 @@ def main() -> int:
             _triangle_sql(_DUCK_TOKHASH, _HAMMING_MAX),
             "exact",
         ),
+        ("dedup_simhash", None, "pairs"),
+        ("dedup_minhash_banded", _mh_banded_sql(), "sum"),
+        ("fn_levenshtein_blocked", _lev_bounded_sql(), "sum"),
     ]
     only = set(sys.argv[1:])
     if only:
         checks = [c for c in checks if c[0] in only]
+
+    def _scale_jaccard(sdf):
+        # round-6 double -> exact 1e6-scaled BIGINT so the keyed sum
+        # (which excludes FP columns) covers the jaccard VALUE; the
+        # bounded SQL applies the identical cast on its side
+        from pyspark.sql import functions as F
+
+        return sdf.withColumn(
+            "j6", F.round(F.col("ngram_jaccard") * 1000000, 0).cast("bigint")
+        ).drop("ngram_jaccard")
+
+    transforms = {"dedup_minhash_banded": _scale_jaccard}
     fails = 0
     for key, sql, mode in checks:
         t0 = time.time()
+        if mode == "pairs":
+            ok, detail = _simhash_pairs_moments(
+                spark, sf, con, _DUCK_TOKHASH, _HAMMING_MAX
+            )
+            print(
+                f"{'PASS' if ok else 'FAIL'} {key}: MOMENTS {detail} "
+                f"({time.time() - t0:.1f}s)",
+                flush=True,
+            )
+            fails += 0 if ok else 1
+            continue
         sdf = tweetdb_spark.QUERIES[key](spark, sf)
+        if key in transforms:
+            sdf = transforms[key](sdf)
         if mode == "sum":
             ok, detail = _keyed_sum_compare(sdf, con, sql)
             t1 = time.time()

@@ -324,7 +324,12 @@ def _simhash_band_candidates(spark, fp, max_hamming=_HAMMING_MAX):
     ma = m.select(F.col("simhash").alias("sh_a"), F.col("doc_id").alias("da"))
     mb = m.select(F.col("simhash").alias("sh_b"), F.col("doc_id").alias("db"))
     cross = (
+        # rebalance before the broadcast expansion joins — same
+        # output-explosion reasoning as _expand_rep_pairs (r16):
+        # without it the clone-quadratic cross mass lands in the ~1
+        # AQE-coalesced partition of the rep-pair frame
         rep_pairs.select("sh_a", "sh_b")
+        .repartition(spark.sparkContext.defaultParallelism)
         .join(ma, "sh_a")
         .join(mb, "sh_b")
         .select(
@@ -2059,6 +2064,19 @@ def _expand_rep_pairs(rep_pairs, mem, value_col: str, within_value: float):
     """
     ma = mem.select(F.col("rep_id").alias("rep_a"), F.col("doc_id").alias("da"))
     mb = mem.select(F.col("rep_id").alias("rep_b"), F.col("doc_id").alias("db"))
+    # Rebalance the rep-pair frame to full parallelism BEFORE the
+    # member joins (r16 sf10 catch): the joins broadcast the small
+    # member maps, so the expansion inherits rep_pairs' partitioning —
+    # which AQE has coalesced to ~1 partition by INPUT size (a few MB
+    # of id rows), blind to the clone-quadratic OUTPUT.  At sf10 the
+    # whole 1.4B-row cross expansion then runs in one task; on a
+    # 1000-executor cluster the same plan would idle every core but
+    # one.  A round-robin shuffle of the tiny rep-pair frame costs
+    # ~nothing and bounds expansion parallelism below by the cluster
+    # width.  Output multiset unchanged (repartition only moves rows).
+    rep_pairs = rep_pairs.repartition(
+        rep_pairs.sparkSession.sparkContext.defaultParallelism
+    )
     cross = (
         rep_pairs.join(ma, "rep_a")
         .join(mb, "rep_b")

@@ -434,7 +434,15 @@ def fn_levenshtein_blocked(spark, t):
     ma = mem.select(F.col("rep").alias("rep_a"), F.col("s_suppkey").alias("ka"))
     mb = mem.select(F.col("rep").alias("rep_b"), F.col("s_suppkey").alias("kb"))
     cross = (
-        rep_pairs.join(ma, "rep_a")
+        # rebalance before the broadcast expansion joins (r16, sf10
+        # catch): 142k rep pairs expand to 1.4B member pairs; without
+        # the round-robin shuffle the whole expansion inherits the ~1
+        # AQE-coalesced input partition and runs in one task (see
+        # llm/dedup.py _expand_rep_pairs for the full reasoning)
+        rep_pairs.repartition(
+            rep_pairs.sparkSession.sparkContext.defaultParallelism
+        )
+        .join(ma, "rep_a")
         .join(mb, "rep_b")
         .select(
             F.least("ka", "kb").alias("supp_a"),
