@@ -285,24 +285,42 @@ def text_lang_id(spark, t):
     'und'.  The profile table is the tweet-era keyword-list pattern;
     swap in learned character-n-gram profiles for real corpora.
     """
+    from pyspark.sql import Window as _W
+
     profile = F.broadcast(
         spark.createDataFrame(
             [(w, lang) for lang, ws in LANG_PROFILES.items() for w in ws],
             "token string, plang string",
         )
     )
-    tok = t["documents"].select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    # Exact-collapse-first (r16, sf100 rung: this was the heaviest
+    # line at 25.8s): (pred_lang, score) is a pure function of the
+    # token multiset, so explode/score only the min-doc_id md5(text)
+    # representative (~#distinct texts) and map the verdict back to
+    # every member — the per-member form pushed 250M exploded tokens
+    # through the profile join at sf100 for ~5k distinct texts.
+    # NULL-text docs group under h = NULL, their rep explodes to zero
+    # tokens, the rep never scores, and the left join's coalesce
+    # yields ('und', 0) — exactly the rows the per-member form
+    # produced for them.  Same argument and shape as
+    # _simhash_fingerprints (llm/dedup.py).
+    docs = t["documents"].select(
+        "doc_id", F.md5("text").alias("h"), "text"
+    ).withColumn("rep_id", F.min("doc_id").over(_W.partitionBy("h")))
+    reps = docs.where(F.col("doc_id") == F.col("rep_id")).select(
+        F.col("doc_id").alias("rid"), "text"
     )
-    scores = tok.join(profile, "token").groupBy("doc_id", "plang").agg(
+    tok = reps.select(
+        "rid", F.explode(F.split("text", " ")).alias("token")
+    )
+    scores = tok.join(profile, "token").groupBy("rid", "plang").agg(
         F.count("*").alias("score")
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("plang"))
+    w = Window.partitionBy("rid").orderBy(F.col("score").desc(), F.col("plang"))
     best = scores.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
     return (
-        t["documents"]
-        .select("doc_id")
-        .join(best, "doc_id", "left")
+        docs.select("doc_id", F.col("rep_id").alias("rid"))
+        .join(best, "rid", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("plang"), F.lit("und")).alias("pred_lang"),
@@ -347,26 +365,44 @@ def text_quality(spark, t):
     engines — no rounding discipline needed), and the final gate is a
     boolean conjunction of range checks.
     """
-    tok = t["documents"].select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    from pyspark.sql import Window as _W
+
+    # Exact-collapse-first (r16, with text_lang_id): the token stats
+    # are pure functions of the text, so explode/aggregate only the
+    # min-doc_id md5(text) representative and join the group stats
+    # back to every member — each member still contributes its OWN
+    # n_chars to avg_token_len, so the collapse is exact even if a
+    # clone's n_chars column disagreed with its text.  NULL-text docs
+    # explode to zero rows in the per-member form and are dropped by
+    # its inner join; here their rep has no stats row and the inner
+    # join on rep_id drops the same members.
+    docs = t["documents"].select(
+        "doc_id", F.md5("text").alias("h"), "text", "n_chars"
+    ).withColumn("rep_id", F.min("doc_id").over(_W.partitionBy("h")))
+    reps = docs.where(F.col("doc_id") == F.col("rep_id")).select(
+        F.col("doc_id").alias("rid"), "text"
     )
-    stats = tok.groupBy("doc_id").agg(
+    tok = reps.select("rid", F.explode(F.split("text", " ")).alias("token"))
+    stats = tok.groupBy("rid").agg(
         F.count("*").alias("n_tokens"),
         F.countDistinct("token").alias("n_distinct"),
         F.sum(F.when(F.col("token").isin(_STOPWORDS), 1).otherwise(0)).alias("n_stop"),
     )
-    d = t["documents"]
     nt = F.col("n_tokens")
     distinct_ratio = F.col("n_distinct").cast("double") / nt
-    return d.join(stats, "doc_id").select(
-        "doc_id",
-        "n_tokens",
-        distinct_ratio.alias("distinct_ratio"),
-        (F.col("n_stop").cast("double") / nt).alias("stopword_ratio"),
-        ((F.col("n_chars") - nt + 1).cast("double") / nt).alias("avg_token_len"),
-        F.when(nt.between(20, 1000) & (distinct_ratio > 0.2), 1)
-        .otherwise(0)
-        .alias("quality_pass"),
+    return (
+        docs.select("doc_id", "n_chars", F.col("rep_id").alias("rid"))
+        .join(stats, "rid")
+        .select(
+            "doc_id",
+            "n_tokens",
+            distinct_ratio.alias("distinct_ratio"),
+            (F.col("n_stop").cast("double") / nt).alias("stopword_ratio"),
+            ((F.col("n_chars") - nt + 1).cast("double") / nt).alias("avg_token_len"),
+            F.when(nt.between(20, 1000) & (distinct_ratio > 0.2), 1)
+            .otherwise(0)
+            .alias("quality_pass"),
+        )
     )
 
 
