@@ -1581,7 +1581,9 @@ def dedup_minhash_lsh(spark, t):
         "doc_id",
         F.expr("transform(tokens, w -> xxhash64(w) & 2147483647)").alias("g"),
     )
-    cand = _banded_candidate_pairs(g, n_bands=8)
+    # size_ratio pushes the lossless 4/5 set-size bound (implied by
+    # dist <= 0.2) into the band join itself — see _banded_candidate_pairs
+    cand = _banded_candidate_pairs(g, n_bands=8, size_ratio=(4, 5))
     ids = rt.select(
         "doc_id",
         F.sort_array(F.expr("transform(tokens, w -> xxhash64(w))")).alias("i"),
@@ -1684,11 +1686,31 @@ def dedup_minhash_verdicts(spark, t):
     docs = t["documents"].select("doc_id", h.alias("h"), "n_chars", "text")
     # rep election as ONE window over the h exchange (same shape as the
     # pair keys, r13): member and the rep token frame are projections
-    # of one shuffled frame instead of groupBy + two joins back
-    docs = docs.withColumn("rep_id", F.min("doc_id").over(Window.partitionBy("h")))
+    # of one shuffled frame instead of groupBy + two joins back.
+    #
+    # localCheckpoint (r16 optimization round, guide §5 / §3.3 "very
+    # wide plans — materialise an intermediate"): before this, the
+    # md5+window chain re-ran in EVERY subtree that needs it (~8x per
+    # pipeline run: band a-side, band b-side broadcast, t_a, t_b,
+    # component nodes, rep_map, lab, canon).  The checkpoint holds one
+    # narrow row per doc plus text ONLY for the elected rep (the
+    # distinct-text bytes the banding tier must persist anyway — never
+    # the full corpus payload), so the chain runs ONCE.
+    docs = docs.withColumn(
+        "rep_id", F.min("doc_id").over(Window.partitionBy("h"))
+    ).select(
+        "doc_id",
+        "h",
+        "n_chars",
+        "rep_id",
+        F.when(F.col("doc_id") == F.col("rep_id"), F.col("text")).alias(
+            "rep_text"
+        ),
+    )
+    docs = docs.localCheckpoint(eager=True)
     member = docs.select("doc_id", "h", "n_chars", "rep_id")
     toks = docs.where(F.col("doc_id") == F.col("rep_id")).select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
+        "doc_id", F.array_distinct(F.split("rep_text", " ")).alias("tokens")
     )
     # sorted 64-bit token ids — computed BEFORE banding since r16 so
     # they drive both the second-level collapse and the verify; see
@@ -1720,6 +1742,12 @@ def dedup_minhash_verdicts(spark, t):
     ids = ids.withColumn(
         "ts_rep", F.min("doc_id").over(Window.partitionBy(ts_key))
     )
+    # second checkpoint (r16 optimization round): the tokenize + sort +
+    # ts-window chain feeds FIVE downstream subtrees (band a/b sides,
+    # t_a, t_b, component nodes, rep_map); one tiny rep-level frame
+    # (one row per distinct text) materialized once replaces five
+    # recomputes of the whole chain.
+    ids = ids.localCheckpoint(eager=True)
     rep_map = ids.select(F.col("doc_id").alias("rep_doc"), "ts_rep")
     uids = ids.where(F.col("doc_id") == F.col("ts_rep")).select("doc_id", "i")
     # minhash ids: same value set as the old transform(tokens, ...) &
@@ -1728,7 +1756,15 @@ def dedup_minhash_verdicts(spark, t):
     g = uids.select(
         "doc_id", F.expr("transform(i, x -> x & 2147483647)").alias("g")
     )
-    cand = _banded_candidate_pairs(g, n_bands=8)
+    # size_ratio: lossless 4/5 set-size bound (implied by dist <= 0.2)
+    # applied inside the band join (r16 optimization round; A/B
+    # checksum-identical).  rebalance stays ON: although the verify
+    # below is two broadcast joins, fusing it into the band-join
+    # stage leaves the intersect work on the ~n_salt·n_bands
+    # bucket-keyed tasks — measured 5.79 s vs 4.15 s WITH the doc_a
+    # exchange at sf0.1, i.e. the (now size-pruned) pair shuffle buys
+    # back 2.5x its cost in verify balance.
+    cand = _banded_candidate_pairs(g, n_bands=8, size_ratio=(4, 5))
     ta = uids.select(F.col("doc_id").alias("doc_a"), F.col("i").alias("t_a"))
     tb = uids.select(F.col("doc_id").alias("doc_b"), F.col("i").alias("t_b"))
     inter = F.size(F.array_intersect(F.col("t_a"), F.col("t_b")))
@@ -1755,19 +1791,25 @@ def dedup_minhash_verdicts(spark, t):
         ),
         "rep_id",
     )
+    # Keeper election as ONE first_value window (r16 optimization
+    # round, guide §2.4): the old row_number→filter→join-back form
+    # computed the whole lab subtree TWICE and rejoined the copies
+    # with a SortMergeJoin (two extra component_id exchanges + sorts;
+    # see plans/r16/dedup_minhash_verdicts_before.txt ops 44/91/97).
+    # first_value over the same total order (n_chars DESC, doc_id —
+    # deterministic: doc_id is unique) yields the keeper row's doc_id
+    # and h directly on every member row in a single component_id
+    # exchange.  A/B checksum-identical at sf0.01/sf0.1.
     w = Window.partitionBy("component_id").orderBy(
         F.desc("n_chars"), F.asc("doc_id")
     )
-    canon = (
-        lab.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "component_id",
-            F.col("doc_id").alias("keep_doc_id"),
-            F.col("h").alias("keep_h"),
-        )
-    )
-    return lab.join(canon, "component_id").select(
+    return lab.select(
+        "doc_id",
+        "component_id",
+        "h",
+        F.first("doc_id").over(w).alias("keep_doc_id"),
+        F.first("h").over(w).alias("keep_h"),
+    ).select(
         "doc_id",
         "component_id",
         (F.col("doc_id") == F.col("keep_doc_id")).alias("keep"),
@@ -1827,6 +1869,19 @@ def _mh_band_sql(engine: str, n_bands: int = _MH_BANDS) -> list[str]:
     shingle threshold; 8 bands of 2 for the 0.8-token threshold of L3
     (recall 1-(1-s²)^8 ≥ 0.9997 at s = 0.8 — above ml.MinHashLSH's
     5-table 1-(1-s)^5 = 0.9997 everywhere s ≥ 0.8).
+
+    Band-value representation (r16 optimization round): 2-row bands
+    pack their two sub-2³¹ minima into ONE bigint (m0·2³¹ + m1 < 2⁶²,
+    injective — exactly the pairs that were equal as '-'-joined
+    strings are equal as packed longs, so every candidate SET is
+    unchanged) instead of concat_ws strings.  The band equi-join keys
+    and the ≤7 first-collision-ownership compares per raw band match
+    then run on 8-byte longs instead of ~21-char strings (guide §2.3,
+    narrower types: the r16 attribution put 41% of the verdict
+    headline in banding, and the band join evaluates those compares
+    tens of millions of times).  4-row bands (4·31 bits > 63) keep
+    the string form — that is the portable oracle tier, whose DuckDB
+    CTE mirrors it string-for-string.
     """
     if engine == "spark":
         mins = [
@@ -1839,15 +1894,48 @@ def _mh_band_sql(engine: str, n_bands: int = _MH_BANDS) -> list[str]:
             for a, b in _MH_AB
         ]
     rows = _MH_K // n_bands
+    if rows == 2:
+        return [
+            f"({mins[j * 2]}) * 2147483648 + ({mins[j * 2 + 1]})"
+            for j in range(n_bands)
+        ]
     return [
         "concat_ws('-', " + ", ".join(mins[j * rows : (j + 1) * rows]) + ")"
         for j in range(n_bands)
     ]
 
 
-def _banded_candidate_pairs(g_df, n_bands: int = _MH_BANDS, n_salt: int | None = None):
+def _banded_candidate_pairs(
+    g_df,
+    n_bands: int = _MH_BANDS,
+    n_salt: int | None = None,
+    size_ratio: tuple[int, int] | None = None,
+    rebalance: bool = True,
+):
     """(doc_a, doc_b) pairs colliding in ≥1 minhash band — each pair
     emitted EXACTLY ONCE, with no distinct().
+
+    ``size_ratio=(num, den)`` (r16 optimization round) pushes the
+    caller's LOSSLESS set-size prefilter (see :func:`_size_ratio_ok`:
+    J ≥ num/den forces den·min(|A|,|B|) ≥ num·max(|A|,|B|)) INTO the
+    band join condition: each banded row carries one extra int
+    (``size(g)``) and provably-below-threshold pairs are dropped
+    map-side inside the join, before they are ever materialized,
+    shuffled to the consumer, or joined against token arrays (guide
+    §2.3 "shuffle fewer bytes" / §1.2 "don't compute things you throw
+    away").  Callers keep their verify-side filter — it is two int
+    ops — so passing this is purely an optimization; the surviving
+    edge set is unchanged by construction.
+
+    ``rebalance=False`` skips the final doc_a repartition, for callers
+    with NO downstream per-pair work.  Measured (r16 optimization
+    round) it is the WRONG choice for the verify tiers even though
+    their token joins are broadcast: fused into the band-join stage
+    the intersect work rides the ~n_salt·n_bands bucket-keyed tasks
+    and skews (verdict key sf0.1: 5.79 s without the exchange, 4.15 s
+    with), so the narrow 2-bigint pair shuffle earns its cost back in
+    balance exactly as the r12 A/B found.  Kept as an explicit knob so
+    the trade-off stays measurable per caller.
 
     ``g_df`` is (doc_id, g: array<bigint>) with ids < 2³¹ (so the
     affine mixes never overflow a bigint under ANSI mode).  This is
@@ -1884,10 +1972,12 @@ def _banded_candidate_pairs(g_df, n_bands: int = _MH_BANDS, n_salt: int | None =
     g_df = g_df.where(F.size("g") > 0)
     bands = _mh_band_sql("spark", n_bands)
     vcols = [f"v{i}" for i in range(n_bands)]
+    size_cols = [F.size("g").alias("sz")] if size_ratio else []
     banded = g_df.select(
-        "doc_id", *[F.expr(b).alias(c) for c, b in zip(vcols, bands)]
+        "doc_id", *size_cols, *[F.expr(b).alias(c) for c, b in zip(vcols, bands)]
     ).select(
         "doc_id",
+        *(["sz"] if size_ratio else []),
         *vcols,
         F.posexplode(F.array(*[F.col(c) for c in vcols])).alias("j", "v"),
     )
@@ -1956,6 +2046,12 @@ def _banded_candidate_pairs(g_df, n_bands: int = _MH_BANDS, n_salt: int | None =
     )
     if n_salt > 1:
         join_cond = join_cond & (F.col("a.salt") == F.col("b.salt"))
+    if size_ratio:
+        num, den = size_ratio
+        join_cond = join_cond & (
+            F.least(F.col("a.sz"), F.col("b.sz")) * den
+            >= F.greatest(F.col("a.sz"), F.col("b.sz")) * num
+        )
     pairs = (
         a.join(b, join_cond)
         .where(~earlier_collision)
@@ -1963,6 +2059,8 @@ def _banded_candidate_pairs(g_df, n_bands: int = _MH_BANDS, n_salt: int | None =
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
     )
+    if not rebalance:
+        return pairs
     # Re-balance before returning: pair production is bucket-local (a
     # dense cluster's pairs all emerge from ~n_bands·n_salt tasks), and
     # every consumer immediately does per-pair work that dwarfs a
