@@ -250,3 +250,116 @@ def test_banded_first_collision_equals_distinct_on_random_corpora(spark):
                 .collect()
             }
             assert set(got) == ref, (trial, n_bands)
+
+
+def _random_token_corpus(rng, n_groups=4):
+    """Clone-group corpus with deliberately varied token-set SIZES so
+    the size-ratio bound has pairs on both sides of 4/5."""
+    vocab = [f"tok{i}" for i in range(60)]
+    docs, doc_id = [], 0
+    for _ in range(n_groups):
+        base = rng.sample(vocab, rng.randint(4, 20))
+        for _ in range(rng.randint(1, 4)):
+            words = list(base)
+            # grow/shrink mutations move |g| across the 4/5 boundary
+            for _ in range(rng.randint(0, 3)):
+                roll = rng.random()
+                if roll < 0.4 and len(words) > 3:
+                    words.pop(rng.randrange(len(words)))
+                elif roll < 0.8:
+                    words.append(rng.choice(vocab))
+                else:
+                    words[rng.randrange(len(words))] = rng.choice(vocab)
+            docs.append((doc_id, " ".join(words)))
+            doc_id += 1
+    for _ in range(rng.randint(1, 3)):
+        docs.append((doc_id, " ".join(rng.sample(vocab, rng.randint(3, 12)))))
+        doc_id += 1
+    return docs
+
+
+def test_band_join_size_ratio_prunes_exactly_the_provable_pairs(spark):
+    """Property (r16 optimization round): pushing the lossless 4/5
+    set-size bound INTO the band join (``size_ratio=(4, 5)``) drops
+    EXACTLY the candidate pairs with 5·min(|A|,|B|) < 4·max(|A|,|B|) —
+    the pairs the callers' verify-side ``_size_ratio_ok`` filter would
+    discard anyway — so the verified edge set is provably unchanged."""
+    from pyspark.sql import functions as F
+
+    from tweetdb_spark.llm.dedup import _banded_candidate_pairs
+
+    rng = random.Random(20260817)
+    n_dropped = 0
+    for trial in range(3):
+        docs = _random_token_corpus(rng)
+        g = spark.createDataFrame(docs, "doc_id long, text string").select(
+            "doc_id",
+            F.expr(
+                "transform(array_distinct(split(text, ' ')),"
+                " w -> xxhash64(w) & 2147483647)"
+            ).alias("g"),
+        )
+        sizes = {r.doc_id: len(r.g) for r in g.collect()}
+        unpruned = {
+            (r.doc_a, r.doc_b)
+            for r in _banded_candidate_pairs(g, n_bands=8).collect()
+        }
+        pruned = {
+            (r.doc_a, r.doc_b)
+            for r in _banded_candidate_pairs(
+                g, n_bands=8, size_ratio=(4, 5)
+            ).collect()
+        }
+        want = {
+            (a, b)
+            for a, b in unpruned
+            if min(sizes[a], sizes[b]) * 5 >= max(sizes[a], sizes[b]) * 4
+        }
+        assert pruned == want, (trial, pruned ^ want)
+        n_dropped += len(unpruned) - len(pruned)
+    # the corpus generator must actually exercise the bound
+    assert n_dropped > 0, "no pair ever crossed the 4/5 size boundary"
+
+
+def test_bigint_band_pack_collides_exactly_like_string_bands(spark):
+    """Property (r16 optimization round): the 2-row bigint band pack
+    (m0·2³¹ + m1) is injective over sub-2³¹ minima, so two docs share
+    a packed band value IFF they share the concat_ws('-') string form
+    of the same two minhash rows — the candidate set of every 8-band
+    consumer is unchanged by the representation swap."""
+    from pyspark.sql import functions as F
+
+    from tweetdb_spark.llm.dedup import _MH_AB, _MH_P, _mh_band_sql
+
+    rng = random.Random(20260816)
+    docs = _random_token_corpus(rng, n_groups=5)
+    g = spark.createDataFrame(docs, "doc_id long, text string").select(
+        "doc_id",
+        F.expr(
+            "transform(array_distinct(split(text, ' ')),"
+            " w -> xxhash64(w) & 2147483647)"
+        ).alias("g"),
+    )
+    packed_exprs = _mh_band_sql("spark", 8)
+    mins = [
+        f"array_min(transform(g, x -> ({a}L * x + {b}L) % {_MH_P}L))"
+        for a, b in _MH_AB
+    ]
+    string_exprs = [
+        f"concat_ws('-', {mins[j * 2]}, {mins[j * 2 + 1]})" for j in range(8)
+    ]
+    rows = g.select(
+        "doc_id",
+        *[F.expr(e).alias(f"p{j}") for j, e in enumerate(packed_exprs)],
+        *[F.expr(e).alias(f"s{j}") for j, e in enumerate(string_exprs)],
+    ).collect()
+    assert "2147483648" in " ".join(packed_exprs)  # really the packed tier
+    for j in range(8):
+        by_packed = {}
+        by_string = {}
+        for r in rows:
+            by_packed.setdefault(r[f"p{j}"], set()).add(r.doc_id)
+            by_string.setdefault(r[f"s{j}"], set()).add(r.doc_id)
+        assert sorted(map(sorted, by_packed.values())) == sorted(
+            map(sorted, by_string.values())
+        ), j
