@@ -67,8 +67,17 @@ def main() -> None:
         t[name].write.mode("overwrite").parquet(f"{args.out}/{name}.parquet")
         print(f"{name}: copied")
 
+    # Explosion-parallelism floor (r16, same rule as SCALE.md /
+    # llm/dedup._expand_rep_pairs): the source tables are one or two
+    # parquet files, so the ×factor explode used to run in ONE task
+    # and then `repartition` reshuffled the EXPLODED output — a full
+    # shuffle of the entire synthesized fixture (23 GB at factor
+    # 1000).  Round-robin the SMALL source first and let the narrow
+    # explode inherit that width: every core explodes its slice and
+    # writes its own output file, no post-explosion shuffle at all.
+    par = spark.sparkContext.defaultParallelism
     for name, keys in SHIFT.items():
-        df = t[name]
+        df = t[name].repartition(par)
         # one pass: explode a replica index, shift every key column
         rep = df.withColumn(
             "_r", F.explode(F.sequence(F.lit(0), F.lit(args.factor - 1)))
@@ -85,10 +94,7 @@ def main() -> None:
             rep = rep.withColumn("ts", F.unix_micros("ts") * F.lit(1000)).select(
                 [f.name for f in df.schema.fields]
             )
-        n_parts = max(4, rep.rdd.getNumPartitions())
-        rep.repartition(n_parts).write.mode("overwrite").parquet(
-            f"{args.out}/{name}.parquet"
-        )
+        rep.write.mode("overwrite").parquet(f"{args.out}/{name}.parquet")
         print(f"{name}: x{args.factor}")
     print(f"done -> {args.out}")
 
