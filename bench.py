@@ -105,7 +105,38 @@ COMPACT_KEYS = (
     "calibration",
     "calibration2",
     "calibrated_total",
+    "fault_mbps",
 )
+
+
+def _fault_probe(mb: int = 64) -> float:
+    """First-touch page-fault bandwidth (MB/s) of a fresh anonymous
+    allocation — the THIRD host probe (r16 optimization round).
+
+    The r16 sessions isolated a hypervisor-level pathology invisible
+    to every in-guest load metric (idle 93%+, steal <5%, MemFree
+    121 GiB): the host delivering brand-new pages at 3-9 MB/s while
+    recycled pages run at GB/s (sweeps/host_pathology_r16.log).  That
+    state inflates cold allocations 2-4x NON-uniformly (the heaviest,
+    allocation-richest keys suffer most), which the two compute-shaped
+    calibration probes only partially track.  Healthy hosts measure
+    ~1000-6000 MB/s here; double-digit values mean every cold-start
+    number in the same artifact is suspect.  Runs once, before any
+    timing, on a buffer that is freed immediately (so the timed
+    queries still see the allocator state they always had)."""
+    import time as _time
+
+    try:
+        import numpy as np
+
+        t0 = _time.perf_counter()
+        a = np.empty(mb * 131072, dtype=np.int64)  # mb MiB
+        a[::512] = 1  # touch one word per 4K page
+        dt = _time.perf_counter() - t0
+        del a
+        return round(mb / dt, 1) if dt > 0 else float("inf")
+    except Exception:
+        return -1.0  # probe must never kill the bench
 
 
 def _timed_runs(action) -> tuple[float, list[float]]:
@@ -195,6 +226,7 @@ def main() -> None:
     spark = get_spark("tweetdb-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    fault_mbps = _fault_probe()
     calibration = _calibration(spark)
     calibration2 = _calibration_joinwin(spark)
 
@@ -230,6 +262,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calibration": calibration,
         "calibration2": calibration2,
+        "fault_mbps": fault_mbps,
         # host-speed-normalized total: divide out the probe so
         # cross-round comparisons self-adjudicate (r7 incident)
         "calibrated_total": round(total / calibration, 3) if calibration else None,
@@ -246,7 +279,11 @@ def main() -> None:
         "calibration = fixed 64M-row groupBy probe, calibration2 = "
         "fixed 1M-row join+window+agg probe (host-speed normalizers, "
         "code-independent; a calibrated ratio indicts code only when "
-        "it moves against BOTH probes); calibrated_total = "
+        "it moves against BOTH probes); fault_mbps = first-touch "
+        "page-fault bandwidth of a fresh 64 MiB allocation, measured "
+        "once before any timing (healthy ~1000-6000; double-digit "
+        "values flag the r16 host pathology — "
+        "sweeps/host_pathology_r16.log); calibrated_total = "
         "value / calibration; vs_prior compares against the newest "
         "BENCH_r*.json present on raw and calibrated axes, per-query "
         "and over the intersection of query sets (comparable_total); "

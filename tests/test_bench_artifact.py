@@ -27,6 +27,7 @@ def _representative_full() -> dict:
         "sf": 0.1,
         "calibration": 1234.567,
         "calibration2": 1234.567,
+        "fault_mbps": 123456.7,
         "calibrated_total": 12345.678,
         "calibrated_queries": {n: 1234.567 for n in queries},
         "runs": {n: [12345.678] * bench.N_RUNS for n in queries},
