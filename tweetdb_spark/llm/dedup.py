@@ -187,38 +187,43 @@ _DUCK_TOKHASH = (
 _HAMMING_MAX = 3
 
 
-def _simhash_fingerprints(spark, t):
-    """(doc_id, simhash) for every document — the 32-bit tf-weighted
-    bit-vote fingerprint.  Single implementation shared by
-    dedup_simhash and dedup_cluster_resolve so the Spark pipeline can
-    never drift from the (identical) oracle SQL both embed."""
-    from pyspark.sql import Window as _W
+def _text_groups(t):
+    """(h, g_rep) — one row per distinct non-NULL md5(text), g_rep =
+    min doc_id of the group.  The canonical exact-collapse frame every
+    simhash consumer maps members through; a skinny groupBy (map-side
+    combinable) instead of the historical min-over-window, so the
+    member shuffle carries (h, doc_id) only — never the text bytes."""
+    return (
+        t["documents"]
+        .select("doc_id", F.md5("text").alias("h"))
+        .where(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("g_rep"))
+    )
 
-    # Fingerprint only the min-doc_id md5(text) representative and map
-    # the value back to every member (r13, sf10 rung catch): a SimHash
-    # is a pure function of the tf multiset, so exact clones share it
-    # by construction, and the token explode × 32-bit vote below runs
-    # on reps (~#distinct texts) instead of every member — at sf10
-    # (500k docs, ~100-clone groups) the naive form pushed ~800M vote
-    # rows through the (doc_id, b) aggregation and died by GC at the
-    # 8g ladder config.  NULL-text docs group under h = NULL and their
-    # rep explodes to zero tokens, so they drop out of the join back —
-    # exactly the rows the naive per-doc groupBy never produced.
-    docs = t["documents"].select(
-        "doc_id", F.md5("text").alias("h"), "text"
-    ).withColumn("rep_id", F.min("doc_id").over(_W.partitionBy("h")))
-    reps = docs.where(F.col("doc_id") == F.col("rep_id")).select(
-        F.col("doc_id").alias("rid"), "text"
+
+def _simhash_group_fps(spark, t, groups=None):
+    """(h, g_rep, simhash) per distinct non-NULL md5(text) — the
+    32-bit tf-weighted bit-vote fingerprint, computed once per GROUP
+    (a SimHash is a pure function of the tf multiset, so exact clones
+    share it by construction).  ``groups`` lets a caller reuse a
+    (h, g_rep) frame it already aggregated.  NULL-text docs have no
+    group here; empty-string texts do (split('', ' ') is [''])."""
+    if groups is None:
+        groups = _text_groups(t)
+    reps = t["documents"].select("doc_id", "text").join(
+        groups.select(F.col("g_rep").alias("doc_id")), "doc_id"
     )
     tok = reps.select(
-        F.col("rid").alias("doc_id"), F.explode(F.split("text", " ")).alias("token")
+        F.col("doc_id").alias("g_rep"),
+        F.explode(F.split("text", " ")).alias("token"),
     )
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
+    tf = tok.groupBy("g_rep", "token").agg(F.count("*").alias("cnt"))
     th = tf.select("token").distinct().withColumn("h", F.expr(_SPARK_TOKHASH))
     bits = (
         tf.join(F.broadcast(th), "token")
         .crossJoin(F.broadcast(spark.range(32).select(F.col("id").alias("b"))))
-        .groupBy("doc_id", "b")
+        .groupBy("g_rep", "b")
         .agg(
             F.sum(
                 # pyspark's shiftright() only takes a literal shift, so
@@ -229,7 +234,7 @@ def _simhash_fingerprints(spark, t):
             ).alias("s")
         )
     )
-    rep_fp = bits.groupBy("doc_id").agg(
+    rep_fp = bits.groupBy("g_rep").agg(
         F.sum(
             F.when(
                 F.col("s") > 0,
@@ -239,9 +244,28 @@ def _simhash_fingerprints(spark, t):
         .cast("bigint")
         .alias("simhash")
     )
+    return groups.join(rep_fp, "g_rep").select("h", "g_rep", "simhash")
+
+
+def _simhash_fingerprints(spark, t):
+    """(doc_id, simhash) for every document with a non-NULL text —
+    single implementation shared by dedup_simhash and the graph keys
+    so the Spark pipeline can never drift from the (identical) oracle
+    SQL they embed.
+
+    r13 made this collapse-first (fingerprint the md5(text) rep, map
+    back — at sf10 the naive per-doc form pushed ~800M vote rows
+    through the (doc, bit) aggregation and died by GC).  r16 replaces
+    the min-over-window collapse with :func:`_text_groups` (skinny
+    combinable groupBy; the window variant shuffled the full text
+    bytes) and maps members back through ONE equi-join on h.
+    NULL-text docs have no group row, so the inner join drops them —
+    exactly the rows the per-doc form never produced."""
+    gfp = _simhash_group_fps(spark, t)
     return (
-        docs.select("doc_id", "rep_id")
-        .join(rep_fp.withColumnRenamed("doc_id", "rep_id"), "rep_id")
+        t["documents"]
+        .select("doc_id", F.md5("text").alias("h"))
+        .join(gfp.select("h", "simhash"), "h")
         .select("doc_id", "simhash")
     )
 
@@ -610,19 +634,51 @@ def dedup_cluster_resolve(spark, t):
     with per-round checkpointing (cut lineage) or the large/small-star
     algorithm; the oracle is an exact recursive-CTE transitive
     closure, which proves the propagation's fixpoint.
+
+    r16 collapse-first: the member-level label frame only ever fed a
+    COUNT here, and counts are additive over md5(text) groups — so the
+    one member-scale pass is a skinny (h, doc_id) groupBy carrying the
+    group size, the component aggregation runs on group rows
+    (~#distinct texts), and NULL-text docs (their own singleton
+    components in the per-doc form) union in directly.  Output row
+    multiset unchanged: n_docs = Σ group sizes of the component,
+    keep_doc_id = min g_rep = min member doc_id.
     """
-    labels = _simhash_components(spark, t)
-    return labels.groupBy("component_id").agg(
-        F.count("*").alias("n_docs"),
-        F.min("doc_id").alias("keep_doc_id"),
+    d = t["documents"].select("doc_id", F.md5("text").alias("h"))
+    g = (
+        d.where(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("g_rep"), F.count("*").alias("n_docs"))
+        .localCheckpoint(eager=True)  # feeds both the fp pipeline and the sum
     )
+    glab = _simhash_group_labels(spark, t, groups=g.select("h", "g_rep"))
+    grouped = (
+        g.join(glab.select("h", "component_id"), "h")
+        .groupBy("component_id")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.min("g_rep").alias("keep_doc_id"),
+        )
+    )
+    singles = d.where(F.col("h").isNull()).select(
+        F.col("doc_id").alias("component_id"),
+        F.lit(1).cast("long").alias("n_docs"),
+        F.col("doc_id").alias("keep_doc_id"),
+    )
+    return grouped.unionByName(singles)
 
 
-def _simhash_components(spark, t):
-    """Connected-component labels (doc_id, component_id) over the
-    simhash hamming ≤ 1 pair graph — min-label propagation with
-    pointer doubling; shared by dedup_cluster_resolve and
-    corpus_dedup_e2e.
+def _simhash_group_labels(spark, t, groups=None):
+    """Connected-component labels (h, g_rep, component_id) over the
+    simhash hamming ≤ 1 pair graph, at md5(text)-GROUP granularity —
+    min-label propagation with pointer doubling; shared by
+    dedup_cluster_resolve, corpus_dedup_e2e and corpus_pipeline_audit,
+    which map members back through one equi-join on h (r16: the
+    per-doc label frame this used to return forced every consumer
+    through 5M-row doc_id joins for facts that are pure functions of
+    the text).  ``groups`` lets a caller reuse a (h, g_rep) frame it
+    already aggregated; component_id is unchanged from the historical
+    per-doc form (see below).
 
     Edges come from the banded candidate equi-join, NOT an all-pairs
     join: hamming ≤ 1 < 4 bands, so by pigeonhole every qualifying
@@ -650,13 +706,29 @@ def _simhash_components(spark, t):
     and fingerprint-less docs label themselves through the left
     join's coalesce.  component_id is unchanged: the rep-graph min
     label is the min rep id of the component, and each rep is
-    already its group's min doc_id."""
-    # fp checkpoint (r15): this key spans multiple jobs (edge
-    # checkpoint, component solve, final count), and each would
-    # otherwise re-execute the token-explode × bit-vote fingerprint
-    # pipeline; one materialization serves them all
-    fp = _simhash_fingerprints(spark, t).localCheckpoint(eager=True)
-    m, rep_pairs = _simhash_rep_pairs(spark, fp, max_hamming=1)
+    already its group's min doc_id.
+
+    r16: the member inherit moved OUT of this helper into the
+    consumers (one h-join each), so the fingerprint pipeline, the
+    simhash-value collapse, and the fixpoint all run at group scale
+    (~#distinct texts) with a group-sized checkpoint — the per-doc
+    form checkpointed a member-sized fp frame and paid two more
+    member-wide exchanges (rep_id inherit + doc_id left join).
+    component_id is STILL the min doc_id of the member component:
+    the rep-graph min label is the min simhash-rep id, each
+    simhash-rep is the min g_rep of its value group, and each g_rep
+    is its text group's min doc_id."""
+    # gfp checkpoint (r15 shape, r16 group-sized): this frame spans
+    # multiple jobs (edge checkpoint, component solve, final map), and
+    # each would otherwise re-execute the token-explode × bit-vote
+    # fingerprint pipeline; one ~#distinct-texts materialization
+    # serves them all
+    gfp = _simhash_group_fps(spark, t, groups).localCheckpoint(eager=True)
+    m, rep_pairs = _simhash_rep_pairs(
+        spark,
+        gfp.select(F.col("g_rep").alias("doc_id"), "simhash"),
+        max_hamming=1,
+    )
     edges = rep_pairs.select(
         F.col("rep_a").alias("u"), F.col("rep_b").alias("v")
     )
@@ -664,14 +736,48 @@ def _simhash_components(spark, t):
     rep_labels = _min_label_components(rep_nodes, edges).withColumnRenamed(
         "doc_id", "rep_id"
     )
-    inherited = m.select("doc_id", "rep_id").join(rep_labels, "rep_id").select(
-        "doc_id", "component_id"
+    return (
+        gfp.select("h", "g_rep")
+        .join(
+            m.select(F.col("doc_id").alias("g_rep"), "rep_id"), "g_rep"
+        )
+        .join(rep_labels, "rep_id")
+        .select("h", "g_rep", "component_id")
     )
-    nodes = t["documents"].select("doc_id")
-    return nodes.join(inherited, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("component_id", F.col("doc_id")).alias("component_id"),
+
+
+def _simhash_canon(spark, t, sub):
+    """(glab, canon) for the e2e dedup-verdict keys: group component
+    labels plus the per-component canonical keeper.
+
+    ``sub`` is one row per distinct non-NULL (md5(text), n_chars) pair
+    with ``s_rep`` = min doc_id of the subgroup.  The member-level
+    keeper window (ORDER BY n_chars DESC, doc_id ASC over every doc of
+    the component) collapses exactly onto subgroups: the first member
+    row is the max-n_chars row with the least doc_id, i.e. the
+    subgroup row with (max n_chars, min s_rep) — grouping by
+    (h, n_chars) rather than h alone keeps this exact even if a
+    clone's stored n_chars column disagreed with its text."""
+    from pyspark.sql import Window as _W
+
+    groups = sub.groupBy("h").agg(F.min("s_rep").alias("g_rep"))
+    glab = _simhash_group_labels(spark, t, groups=groups)
+    subc = sub.select("h", "n_chars", "s_rep").join(
+        glab.select("h", "component_id"), "h"
     )
+    w = _W.partitionBy("component_id").orderBy(
+        F.desc("n_chars"), F.asc("s_rep")
+    )
+    canon = (
+        subc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "component_id",
+            F.col("s_rep").alias("keep_doc_id"),
+            F.col("h").alias("keep_h"),
+        )
+    )
+    return glab, canon
 
 
 # Edge-count bound for solving connected components driver-side (the
@@ -964,35 +1070,44 @@ def corpus_dedup_e2e(spark, t):
     the full chain: recursive-CTE components + the same window, so
     cluster membership, canonical choice, and reason codes are all
     value-hash-checked.
-    """
-    from pyspark.sql import Window
 
-    labels = _simhash_components(spark, t)
-    docs = t["documents"].select(
-        "doc_id", F.md5("text").alias("h"), "n_chars"
+    r16 collapse-first: every output column is a function of
+    (doc_id, md5(text), the group's component, the component's
+    keeper), so the member-scale work is ONE skinny
+    (h, n_chars) groupBy plus two small-frame equi-joins back — the
+    keeper window runs on subgroup rows (~#distinct texts), not 5M
+    members (see :func:`_simhash_canon` for the exactness argument),
+    and the per-doc component labels + doc_id SortMergeJoins of the
+    historical form disappear.  NULL-text docs are their own
+    kept singletons through the left joins' coalesces, exactly as the
+    per-doc form labeled them.
+    """
+    d2 = t["documents"].select("doc_id", F.md5("text").alias("h"), "n_chars")
+    sub = (
+        d2.where(F.col("h").isNotNull())
+        .groupBy("h", "n_chars")
+        .agg(F.min("doc_id").alias("s_rep"))
+        .localCheckpoint(eager=True)  # feeds groups, fp pipeline, keeper window
     )
-    lab = labels.join(docs, "doc_id")
-    w = Window.partitionBy("component_id").orderBy(
-        F.desc("n_chars"), F.asc("doc_id")
-    )
-    canon = (
-        lab.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "component_id",
-            F.col("doc_id").alias("keep_doc_id"),
-            F.col("h").alias("keep_h"),
+    glab, canon = _simhash_canon(spark, t, sub)
+    keep_id = F.coalesce("keep_doc_id", F.col("doc_id"))
+    return (
+        d2.select("doc_id", "h")
+        .join(glab.select("h", "component_id"), "h", "left")
+        .withColumn(
+            "component_id", F.coalesce("component_id", F.col("doc_id"))
         )
-    )
-    return lab.join(canon, "component_id").select(
-        "doc_id",
-        "component_id",
-        (F.col("doc_id") == F.col("keep_doc_id")).alias("keep"),
-        "keep_doc_id",
-        F.when(F.col("doc_id") == F.col("keep_doc_id"), F.lit("kept"))
-        .when(F.col("h") == F.col("keep_h"), F.lit("exact_dup"))
-        .otherwise(F.lit("near_dup"))
-        .alias("reason"),
+        .join(canon, "component_id", "left")
+        .select(
+            "doc_id",
+            "component_id",
+            (F.col("doc_id") == keep_id).alias("keep"),
+            keep_id.alias("keep_doc_id"),
+            F.when(F.col("doc_id") == keep_id, F.lit("kept"))
+            .when(F.col("h") == F.col("keep_h"), F.lit("exact_dup"))
+            .otherwise(F.lit("near_dup"))
+            .alias("reason"),
+        )
     )
 
 
@@ -1076,10 +1191,43 @@ def corpus_pipeline_audit(spark, t):
     write, and this table IS the pipeline's audit trail (why did doc
     X drop? which stage?).  The oracle replays every stage, so the
     whole pipeline composition is value-hash-checked.
+
+    r16 collapse-first: token stats and the 8-gram set are pure
+    functions of the TEXT, so both explodes run once per distinct
+    md5(text) group (~#distinct texts) instead of per member — the
+    historical form pushed two ~member×tokens explodes (~250M + 215M
+    rows at sf100) through per-doc aggregations.  Contamination is the
+    one signal that is NOT text-pure (it depends on each member's
+    doc_id % 7 split), but it factors exactly through two per-group
+    member flags: a group's grams enter the bench set iff the group
+    HAS a bench member, and a TRAIN member is contaminated iff its
+    group's grams intersect that set.  decontam_clean for bench docs
+    stays vacuously true (the member form never put them in the
+    contaminated set), hence the `~is_train OR clean` disjunction.
+    NULL-text docs drop out through the inner stats join on h exactly
+    as they dropped out of the per-doc inner stats join (explode of a
+    NULL split yields no rows).
     """
     d = t["documents"]
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    stats = tok.groupBy("doc_id").agg(
+    dh = d.select("doc_id", "lang", F.md5("text").alias("h"))
+    # One row per distinct non-NULL text: rep doc + the two split
+    # flags contamination needs.  Checkpointed because it feeds three
+    # branches (rep explode, bench-gram set, contamination map-back).
+    grp = (
+        dh.where(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("g_rep"),
+            F.max((F.col("doc_id") % 7 == 0).cast("int")).alias("has_bench"),
+            F.max((F.col("doc_id") % 7 != 0).cast("int")).alias("has_train"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    reps = d.select("doc_id", "text").join(
+        grp.select(F.col("g_rep").alias("doc_id"), "h"), "doc_id"
+    )
+    rtok = reps.select("h", F.explode(F.split("text", " ")).alias("token"))
+    gstats = rtok.groupBy("h").agg(
         F.count("*").alias("n_tokens"),
         F.countDistinct("token").alias("n_distinct"),
     )
@@ -1092,17 +1240,19 @@ def corpus_pipeline_audit(spark, t):
         "i -> array_join(slice(split(text, ' '), i, 8), ' '))) "
         "ELSE array() END"
     )
-    g = d.select("doc_id", grams.alias("grams"))
+    g = reps.join(grp.select("h", "has_bench", "has_train"), "h").select(
+        "h", "has_bench", "has_train", grams.alias("grams")
+    )
     bench = (
-        g.where(F.col("doc_id") % 7 == 0)
+        g.where(F.col("has_bench") == 1)
         .select(F.explode("grams").alias("gram"))
         .distinct()
     )
-    contaminated = (
-        g.where(F.col("doc_id") % 7 != 0)
-        .select("doc_id", F.explode("grams").alias("gram"))
+    contaminated_h = (
+        g.where(F.col("has_train") == 1)
+        .select("h", F.explode("grams").alias("gram"))
         .join(bench, "gram")
-        .select("doc_id")
+        .select("h")
         .distinct()
         .withColumn("is_contaminated", F.lit(1))
     )
@@ -1113,17 +1263,21 @@ def corpus_pipeline_audit(spark, t):
         1,
     ).otherwise(0)
     audit = (
-        d.select("doc_id", "lang")
-        .join(stats, "doc_id")
+        dh.join(gstats, "h")
         .join(verdict, "doc_id")
-        .join(contaminated, "doc_id", "left")
+        .join(contaminated_h, "h", "left")
         .select(
             "doc_id",
             "lang",
             is_train.alias("is_train"),
             quality_pass.alias("quality_pass"),
             "dedup_keep",
-            F.col("is_contaminated").isNull().alias("decontam_clean"),
+            # a doc is unclean only if it is a TRAIN doc of a
+            # contaminated text group — bench members of the same
+            # group were never in the member form's contaminated set
+            (~is_train | F.col("is_contaminated").isNull()).alias(
+                "decontam_clean"
+            ),
         )
     )
     selected = (
