@@ -321,6 +321,65 @@ def test_band_join_size_ratio_prunes_exactly_the_provable_pairs(spark):
     assert n_dropped > 0, "no pair ever crossed the 4/5 size boundary"
 
 
+def test_integer_jaccard_threshold_equals_double_dist_filter(spark):
+    """Property (r16 optimization round, fifth session): the verify
+    filter's exact-integer form ``9·|A∩B| >= 4·(|A|+|B|)`` accepts
+    EXACTLY the pairs the old double form ``1 - try_divide(i, u) <=
+    0.2`` accepted, including pairs sitting exactly ON the 4/5
+    boundary and one intersection element off either side — so the
+    dedup_minhash_verdicts edge set is unchanged by the swap."""
+    from pyspark.sql import functions as F
+
+    # sweep sizes and intersections across the boundary, including
+    # exact i/u == 4/5 points (i = 4k shared, u = 5k) and ±1 cases
+    rows = []
+    pid = 0
+    for sa in range(1, 26):
+        for sb in range(sa, 26):
+            for i in range(0, sa + 1):  # |A∩B| <= min(|A|,|B|)
+                rows.append((pid, sa, sb, i))
+                pid += 1
+    df = spark.createDataFrame(
+        rows, "pid long, sa int, sb int, i int"
+    ).select(
+        "pid", "sa", "sb", "i",
+        # A = [0..i) ∪ [1000..1000+sa-i); B = [0..i) ∪ [2000..2000+sb-i).
+        # CASE guards: Spark sequence(x, y) DESCENDS for y < x (the
+        # codebase's shingle-guard rule), so empty slices must be
+        # literal empty arrays, not sequence(0, -1).
+        F.expr(
+            "concat("
+            "CASE WHEN i > 0 THEN sequence(0, i - 1) ELSE array() END, "
+            "CASE WHEN sa - i > 0 THEN sequence(1000, 1000 + (sa - i) - 1) "
+            "ELSE array() END)"
+        ).alias("t_a"),
+        F.expr(
+            "concat("
+            "CASE WHEN i > 0 THEN sequence(0, i - 1) ELSE array() END, "
+            "CASE WHEN sb - i > 0 THEN sequence(2000, 2000 + (sb - i) - 1) "
+            "ELSE array() END)"
+        ).alias("t_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("t_a"), F.col("t_b")))
+    union = F.size(F.col("t_a")) + F.size(F.col("t_b")) - inter
+    dist = 1.0 - F.try_divide(inter.cast("double"), union)
+    got = df.select(
+        "pid", "sa", "sb", "i",
+        (dist <= 0.2).alias("old_form"),
+        (
+            (F.lit(9) * inter)
+            >= (F.lit(4) * (F.size(F.col("t_a")) + F.size(F.col("t_b"))))
+        ).alias("new_form"),
+    ).collect()
+    boundary_hits = 0
+    for r in got:
+        assert bool(r.old_form) == bool(r.new_form), (r.sa, r.sb, r.i)
+        if 9 * r.i == 4 * (r.sa + r.sb):
+            boundary_hits += 1
+    # the sweep must actually exercise the exact boundary
+    assert boundary_hits > 10
+
+
 def test_bigint_band_pack_collides_exactly_like_string_bands(spark):
     """Property (r16 optimization round): the 2-row bigint band pack
     (m0·2³¹ + m1) is injective over sub-2³¹ minima, so two docs share

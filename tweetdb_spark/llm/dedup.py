@@ -1921,13 +1921,31 @@ def dedup_minhash_verdicts(spark, t):
     cand = _banded_candidate_pairs(g, n_bands=8, size_ratio=(4, 5))
     ta = uids.select(F.col("doc_id").alias("doc_a"), F.col("i").alias("t_a"))
     tb = uids.select(F.col("doc_id").alias("doc_b"), F.col("i").alias("t_b"))
+    # Exact-integer threshold, single intersect evaluation (r16
+    # optimization round, fifth session; guide §1.2 step 2 "per-task
+    # work").  The old double form — dist = 1 - try_divide(inter,
+    # union) with union = sa + sb - inter — referenced
+    # size(array_intersect(...)) TWICE in the filter predicate
+    # (numerator and union term), and codegen evaluated the intersect
+    # (hash-set build + probe + result-array alloc per pair) twice for
+    # every one of the 3.59M candidate pairs.  dist <= 0.2 over sets
+    # is EXACTLY i/u >= 4/5, i.e. 5i >= 4(sa + sb - i), i.e.
+    # 9i >= 4(sa + sb): pure int64 arithmetic, one intersect, no
+    # division, no float boundary (the nearest rational i/u != 4/5 at
+    # these set sizes is ~1e-7 away from 0.8 — 10^9 times the double
+    # rounding error — and u = 0 cannot reach this filter: banding
+    # drops empty signatures, so every candidate has sa, sb >= 1).
+    # Interleaved noop A/B at sf0.1: 0.923s -> 0.481s median for the
+    # verify stage, edge multiset checksum-identical
+    # (sweeps/verify_expr_ab_r16.log).
     inter = F.size(F.array_intersect(F.col("t_a"), F.col("t_b")))
-    union = F.size(F.col("t_a")) + F.size(F.col("t_b")) - inter
-    dist = 1.0 - F.try_divide(inter.cast("double"), union)
+    within = (F.lit(9) * inter) >= (
+        F.lit(4) * (F.size(F.col("t_a")) + F.size(F.col("t_b")))
+    )
     edges = (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
-        .where(_size_ratio_ok(F.col("t_a"), F.col("t_b"), 4, 5) & (dist <= 0.2))
+        .where(_size_ratio_ok(F.col("t_a"), F.col("t_b"), 4, 5) & within)
         .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     )
 
