@@ -1440,3 +1440,22 @@ def test_ann_family_degenerate_vectors(spark, registry, tmp_path_factory):
     assert set(per_q) == {1, 3, 4}, per_q
     assert all(len(v) == 3 for v in per_q.values()), per_q
     assert not any(v in (7, 8) for vs in per_q.values() for v in vs), per_q
+
+
+def test_corpus_interleave_two_pass_equals_single_sort(
+    registry, spark, monkeypatch
+):
+    """r16 optimization round: the bucketed two-pass row_number form
+    (engaged above the _INTERLEAVE_TWO_PASS_MIN_BYTES stats gate) must
+    be row-identical to the direct single-sort form on the same
+    corpus — base-offset + within-bucket rank IS the global rank."""
+    key = "corpus_interleave"
+    monkeypatch.setenv(
+        "TWEETDB_INTERLEAVE_TWO_PASS_MIN_BYTES", str(1 << 60)
+    )  # force single-sort
+    single = sorted(map(tuple, registry.QUERIES[key](spark, SF_DIR).collect()))
+    monkeypatch.setenv(
+        "TWEETDB_INTERLEAVE_TWO_PASS_MIN_BYTES", "0"
+    )  # force two-pass
+    two = sorted(map(tuple, registry.QUERIES[key](spark, SF_DIR).collect()))
+    assert single == two

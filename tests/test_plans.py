@@ -483,3 +483,35 @@ def test_ann_ivf_pq_batch_query_prep_is_distributed(q):
         seg.splitlines()[0] for seg in plan.split("PartitionFilters:")[1:]
     ]
     assert any("cell#" in f for f in frags), plan
+
+
+def test_corpus_interleave_two_pass_has_no_member_scale_single_partition(
+    registry, spark, monkeypatch
+):
+    """r16 optimization round: forced above its size gate,
+    corpus_interleave's global row_number must run bucket-parallel —
+    every SinglePartition exchange left in the plan feeds from a
+    partial HashAggregate (the tiny per-bucket offsets frame), never
+    from the member-scale Project the single-sort form funnels."""
+    import re
+
+    monkeypatch.setenv("TWEETDB_INTERLEAVE_TWO_PASS_MIN_BYTES", "0")
+    plan = _plan(registry.QUERIES["corpus_interleave"](spark, SF_DIR))
+    ops = {}
+    for m in re.finditer(r"^\((\d+)\) (\S+)", plan, re.M):
+        ops[int(m.group(1))] = m.group(2)
+    sp_ops = [
+        int(m.group(1))
+        for m in re.finditer(
+            r"^\((\d+)\) Exchange\b(?:(?!^\(\d+\)).)*?SinglePartition",
+            plan,
+            re.M | re.S,
+        )
+    ]
+    assert sp_ops, "expected the tiny offsets aggregate to remain"
+    for n in sp_ops:
+        child = ops.get(n - 1, "?")
+        assert "HashAggregate" in child, (
+            f"SinglePartition exchange op {n} fed by {child} "
+            f"(member-scale funnel)"
+        )

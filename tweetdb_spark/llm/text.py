@@ -1853,6 +1853,24 @@ def text_bpe_encode(spark, t):
     )
 
 
+# corpus_interleave's two-pass global row_number pays two extra
+# member-scale passes (the bucket-counts groupBy and the counts-per-
+# level-2-bucket branch) to remove the single-partition sort; below
+# this documents-table size (catalyst stats, the broadcast-threshold
+# analogue — same pattern as dedup.py's _LOCAL_COMPONENTS_MAX_EDGES)
+# the one-task sort is cheaper than the extra passes.  Measured
+# interleaved A/B (r16 optimization round, noop sink, min-of-runs per
+# the fault_mbps rule): 500k docs / 3.3 MB parquet — single 0.78 s vs
+# two-pass 1.58 s; 5M docs / 86 MB parquet — single 5.42 s vs
+# two-pass 3.56 s.  Crossover sits between those points; 32 MiB picks
+# the side that errs toward parallelism (a too-early two-pass costs a
+# bounded constant, a too-late single-sort is the unbounded one-task
+# wall).  Both forms are output-identical (oracle-proven at every
+# fixture scale and under NULL/empty surveys with the gate forced each
+# way via TWEETDB_INTERLEAVE_TWO_PASS_MIN_BYTES).
+_INTERLEAVE_TWO_PASS_MIN_BYTES = 1 << 25
+
+
 @query(
     "corpus_interleave",
     oracle="""
@@ -1894,13 +1912,41 @@ def corpus_interleave(spark, t):
     mix_key = (r − 0.5)/w — sorting by mix_key yields a stream where
     any prefix contains each source in proportion to its weight
     (upweighted sources recur w× as often), with no RNG state and
-    stable under re-runs and appends.  One shuffle for the per-source
-    rank; the global_pos window is a single-partition sort kept for
-    fixture-scale parity — at 100 TB you stop there: range-partition
-    BY mix_key into shards (corpus_shuffle's layout) and let loaders
-    sort shard-locally, since mix_key itself already encodes the
-    interleave order.
+    stable under re-runs and appends.
+
+    Scale shape (r16 optimization round, guide §2.5): this was the ONE
+    member-scale ``Exchange SinglePartition`` in the whole registry
+    (every other hit feeds from a partial HashAggregate) — the
+    global_pos window funneled the full corpus through one task, and
+    the src_rank window's parallelism was bounded by #sources (which
+    does not grow with the corpus).  Above the
+    ``_INTERLEAVE_TWO_PASS_MIN_BYTES`` stats gate both row_numbers use
+    a bucketed two-pass form (the multimodal_pack offset idiom): bucket
+    by a deterministic MONOTONE coarsening of the sort key, rank
+    within (partition, bucket) in parallel, and add per-bucket base
+    offsets computed on a tiny counts frame.  Output is provably
+    identical — a monotone bucket function never splits equal keys and
+    never reorders across buckets, and base + within-bucket row_number
+    is exactly the global row_number — and the only single-partition
+    work left is the ≤(#sources·n_buckets)-row offset frames.
+
+    Exactness notes: (a) bucket-of-h uses integer ``DIV`` (monotone,
+    handles the negative h of survey-injected negative doc_ids);
+    (b) max(mix_key) — needed to scale the level-2 buckets — is taken
+    from the per-source totals frame as (n_s − 0.5)/w_s, which is
+    bit-identical to the per-row maximum (same bigint/double operand
+    values, same expression shape) without a third member-scale pass;
+    (c) NULL mix_key rows (NULL/unparseable-weight sources) keep their
+    own NULL bucket that sorts first (NULLS FIRST, matching the
+    declared order), and a +Inf/NaN mix_key (w = 0 via a pathological
+    source string; impossible in the fixture but guarded) pins to the
+    last bucket, where Spark's NaN-greatest ordering places it anyway;
+    (d) a degenerate max (NULL/≤0/+Inf) zeroes the scale so every
+    finite row lands in bucket 0 — single-partition again, but only in
+    corpora where mix_key carries no order at all.
     """
+    import os
+
     from pyspark.sql.window import Window
 
     d = t["documents"].select(
@@ -1909,25 +1955,130 @@ def corpus_interleave(spark, t):
         (1 + F.expr("TRY_CAST(substr(source, 4) AS INT)") % 4).alias("w"),
         F.expr("((doc_id % 2147483647) * 69621) % 2147483647").alias("h"),
     )
-    ranked = d.select(
-        "doc_id",
-        "source",
-        "w",
-        F.row_number()
-        .over(Window.partitionBy("source").orderBy("h", "doc_id"))
-        .cast("bigint")
-        .alias("src_rank"),
+    # size gate (see _INTERLEAVE_TWO_PASS_MIN_BYTES): catalyst file-size
+    # stats — no job, same estimate the broadcast threshold reads
+    threshold = int(
+        os.environ.get(
+            "TWEETDB_INTERLEAVE_TWO_PASS_MIN_BYTES",
+            str(_INTERLEAVE_TWO_PASS_MIN_BYTES),
+        )
     )
-    mix_key = (F.col("src_rank") - 0.5) / F.col("w")
-    return ranked.select(
-        "doc_id",
-        "source",
-        "src_rank",
-        (F.round(mix_key, 6) + 0).alias("mix_key"),
-        F.row_number()
-        .over(Window.orderBy(mix_key, "source", "doc_id"))
-        .cast("bigint")
-        .alias("global_pos"),
+    doc_bytes = int(
+        t["documents"]._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    if doc_bytes < threshold:
+        ranked = d.select(
+            "doc_id",
+            "source",
+            "w",
+            F.row_number()
+            .over(Window.partitionBy("source").orderBy("h", "doc_id"))
+            .cast("bigint")
+            .alias("src_rank"),
+        )
+        mix_key = (F.col("src_rank") - 0.5) / F.col("w")
+        return ranked.select(
+            "doc_id",
+            "source",
+            "src_rank",
+            (F.round(mix_key, 6) + 0).alias("mix_key"),
+            F.row_number()
+            .over(Window.orderBy(mix_key, "source", "doc_id"))
+            .cast("bigint")
+            .alias("global_pos"),
+        )
+
+    # scale-adaptive bucket count (same parameterization stance as
+    # _banded_candidate_pairs): offsets frames stay ≤ #sources · n_b
+    n_b = 4 * int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    width = (2**31 + n_b - 1) // n_b  # |h| < 2³¹ ⇒ bh ∈ (−n_b, n_b)
+    d = d.withColumn("bh", F.expr(f"h DIV {width}"))
+
+    # level 1: src_rank = base1(source, bh) + row_number within bucket
+    counts1 = d.groupBy("source", "bh").agg(F.count("*").alias("c"))
+    w_off1 = (
+        Window.partitionBy("source")
+        .orderBy(F.asc_nulls_first("bh"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off1 = counts1.select(
+        F.col("source").alias("o_source"),
+        F.col("bh").alias("o_bh"),
+        F.coalesce(F.sum("c").over(w_off1), F.lit(0)).alias("base1"),
+    )
+    rn1 = F.row_number().over(
+        Window.partitionBy("source", "bh").orderBy("h", "doc_id")
+    )
+    ranked = (
+        d.join(
+            F.broadcast(off1),
+            d["source"].eqNullSafe(off1["o_source"])
+            & d["bh"].eqNullSafe(off1["o_bh"]),
+        )
+        .select("doc_id", "source", "w", "h", "bh", "base1")
+        .withColumn("src_rank", (rn1 + F.col("base1")).cast("bigint"))
+    )
+
+    # level 2: global_pos over (mix_key, source, doc_id), same trick.
+    # max_mk from the tiny totals frame (see docstring note b).
+    totals = counts1.groupBy("source").agg(F.sum("c").alias("n_s"))
+    w_of_src = 1 + F.expr("TRY_CAST(substr(source, 4) AS INT)") % 4
+    scale_row = totals.select(
+        ((F.col("n_s") - 0.5) / w_of_src).alias("mk_s")
+    ).agg(F.max("mk_s").alias("max_mk"))
+    inf = float("inf")
+    g = (
+        ranked.crossJoin(F.broadcast(scale_row))
+        .withColumn("mk", (F.col("src_rank") - 0.5) / F.col("w"))
+        .withColumn(
+            "scale",
+            F.when(
+                F.col("max_mk").isNotNull()
+                & (F.col("max_mk") > 0)
+                & (F.col("max_mk") < F.lit(inf)),
+                F.lit(float(n_b)) / F.col("max_mk"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "b2",
+            F.when(F.col("mk").isNull(), F.lit(None).cast("bigint"))
+            # NaN >= Inf is true under Spark's NaN-greatest semantics,
+            # so this branch pins both +Inf and NaN to the last bucket
+            .when(F.col("mk") >= F.lit(inf), F.lit(n_b - 1).cast("bigint"))
+            .otherwise(
+                F.least(
+                    F.lit(n_b - 1).cast("bigint"),
+                    F.greatest(
+                        F.lit(0).cast("bigint"),
+                        F.floor(F.col("mk") * F.col("scale")),
+                    ),
+                )
+            ),
+        )
+    )
+    counts2 = g.groupBy("b2").agg(F.count("*").alias("c"))
+    w_off2 = Window.orderBy(F.asc_nulls_first("b2")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off2 = counts2.select(
+        F.col("b2").alias("o_b2"),
+        F.coalesce(F.sum("c").over(w_off2), F.lit(0)).alias("base2"),
+    )
+    rn2 = F.row_number().over(
+        Window.partitionBy("b2").orderBy(
+            F.asc_nulls_first("mk"), F.asc_nulls_first("source"), "doc_id"
+        )
+    )
+    return (
+        g.join(F.broadcast(off2), F.col("b2").eqNullSafe(F.col("o_b2")))
+        .withColumn("global_pos", (rn2 + F.col("base2")).cast("bigint"))
+        .select(
+            "doc_id",
+            "source",
+            "src_rank",
+            (F.round(F.col("mk"), 6) + 0).alias("mix_key"),
+            "global_pos",
+        )
     )
 
 
