@@ -1459,3 +1459,20 @@ def test_corpus_interleave_two_pass_equals_single_sort(
     )  # force two-pass
     two = sorted(map(tuple, registry.QUERIES[key](spark, SF_DIR).collect()))
     assert single == two
+
+
+def test_corpus_token_budget_two_pass_equals_direct(
+    registry, spark, monkeypatch
+):
+    """r16 optimization round: the bucket-pruned two-pass running sum
+    must be row-identical to the direct per-lang window — bucket base +
+    within-bucket sum IS the running total, and a pruned bucket (base
+    >= budget) can contain no surviving row since n_tokens >= 0."""
+    key = "corpus_token_budget"
+    monkeypatch.setenv(
+        "TWEETDB_TOKEN_BUDGET_TWO_PASS_MIN_BYTES", str(1 << 60)
+    )
+    direct = sorted(map(tuple, registry.QUERIES[key](spark, SF_DIR).collect()))
+    monkeypatch.setenv("TWEETDB_TOKEN_BUDGET_TWO_PASS_MIN_BYTES", "0")
+    two = sorted(map(tuple, registry.QUERIES[key](spark, SF_DIR).collect()))
+    assert direct == two

@@ -689,3 +689,17 @@ def test_embed_outlier_flags_planted_antipode(spark):
     assert out[99].is_outlier
     assert min(out.values(), key=lambda r: r.z).vec_id == 99
     assert all(not out[i].is_outlier for i in range(40))
+
+
+def test_value_histogram_two_pass_equals_ntile_window(
+    registry, spark, monkeypatch
+):
+    """r16 optimization round: the bucketed closed-form decile (rank
+    base + within-bucket row_number, NTile's remainder arithmetic) must
+    be row-identical to the direct per-type ntile window."""
+    key = "value_histogram"
+    monkeypatch.setenv("TWEETDB_HISTOGRAM_TWO_PASS_MIN_BYTES", str(1 << 60))
+    direct = sorted(map(tuple, registry.QUERIES[key](spark, SF_DIR).collect()))
+    monkeypatch.setenv("TWEETDB_HISTOGRAM_TWO_PASS_MIN_BYTES", "0")
+    two = sorted(map(tuple, registry.QUERIES[key](spark, SF_DIR).collect()))
+    assert direct == two

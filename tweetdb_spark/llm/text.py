@@ -1168,10 +1168,29 @@ def corpus_token_budget(spark, t):
 
     The corpus-sizing primitive (assemble an N-token training mix per
     domain).  Docs are ordered by the portable deterministic shuffle,
-    so the sample is reproducible and unbiased-by-construction; the
-    greedy prefix is one running-total window per shard.  At 100 TB
-    the budget is per (lang, shard) and the windows stay bounded.
+    so the sample is reproducible and unbiased-by-construction.
+
+    Scale shape (r16 optimization round, guide §2.3/§2.5): the direct
+    form was one running-total window per lang — parallelism bounded
+    by #languages (constant in corpus size), and every member row
+    shuffled into it only to be discarded by the budget filter.  Now a
+    bucketed two-pass (corpus_interleave's offset idiom): per-(lang,
+    bucket-of-h) token sums on a tiny frame give each bucket its
+    running-total base; buckets whose base already exceeds the budget
+    PROVABLY contribute no output (n_tokens ≥ 0, so every row's
+    cum_before ≥ its bucket base) and are dropped by the inner
+    broadcast join BEFORE the window exchange — at scale the member
+    shuffle carries only each language's ~budget-sized prefix, not the
+    corpus.  cum_before = bucket base + within-bucket running total is
+    exact bigint arithmetic, and SUM skips NULL n_tokens identically
+    in both forms (and both engines).  The same 32 MiB stats gate as
+    corpus_interleave keeps the direct form where the extra passes
+    cost more than the small window (measured: 500k docs, direct
+    0.70 s vs two-pass 0.90 s; 5M docs, direct 5.6 s vs two-pass
+    2.1 s — sweeps/interleave_twopass_r16.log).
     """
+    import os
+
     from pyspark.sql.window import Window
 
     d = t["documents"].select(
@@ -1180,16 +1199,58 @@ def corpus_token_budget(spark, t):
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
         F.expr("((doc_id % 2147483647) * 2654435761) % 2147483647").alias("h"),
     )
-    w = (
+    threshold = int(
+        os.environ.get(
+            "TWEETDB_TOKEN_BUDGET_TWO_PASS_MIN_BYTES",
+            str(_INTERLEAVE_TWO_PASS_MIN_BYTES),
+        )
+    )
+    doc_bytes = int(
+        t["documents"]._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    if doc_bytes < threshold:
+        w = (
+            Window.partitionBy("lang")
+            .orderBy("h", "doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return (
+            d.withColumn(
+                "cum_before",
+                F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"),
+            )
+            .where(F.col("cum_before") < 5000)
+            .select("doc_id", "lang", "n_tokens", "cum_before")
+        )
+
+    n_b = 4 * int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    width = (2**31 + n_b - 1) // n_b  # |h| < 2³¹; DIV is monotone in h
+    d = d.withColumn("bh", F.expr(f"h DIV {width}"))
+    sums = d.groupBy("lang", "bh").agg(F.sum("n_tokens").alias("s"))
+    w_off = (
         Window.partitionBy("lang")
+        .orderBy(F.asc_nulls_first("bh"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = sums.select(
+        F.col("lang").alias("o_lang"),
+        F.col("bh").alias("o_bh"),
+        F.coalesce(F.sum("s").over(w_off), F.lit(0)).alias("base"),
+    ).where(F.col("base") < 5000)
+    w_in = (
+        Window.partitionBy("lang", "bh")
         .orderBy("h", "doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    cum_before = (
+        F.col("base") + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    ).cast("bigint")
     return (
-        d.withColumn(
-            "cum_before",
-            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"),
+        d.join(
+            F.broadcast(off),
+            d["lang"].eqNullSafe(off["o_lang"]) & d["bh"].eqNullSafe(off["o_bh"]),
         )
+        .withColumn("cum_before", cum_before)
         .where(F.col("cum_before") < 5000)
         .select("doc_id", "lang", "n_tokens", "cum_before")
     )
@@ -1867,7 +1928,9 @@ def text_bpe_encode(spark, t):
 # bounded constant, a too-late single-sort is the unbounded one-task
 # wall).  Both forms are output-identical (oracle-proven at every
 # fixture scale and under NULL/empty surveys with the gate forced each
-# way via TWEETDB_INTERLEAVE_TWO_PASS_MIN_BYTES).
+# way via TWEETDB_INTERLEAVE_TWO_PASS_MIN_BYTES).  corpus_token_budget
+# shares the constant (its measured crossover sits in the same
+# 3.3-86 MB window; override: TWEETDB_TOKEN_BUDGET_TWO_PASS_MIN_BYTES).
 _INTERLEAVE_TWO_PASS_MIN_BYTES = 1 << 25
 
 

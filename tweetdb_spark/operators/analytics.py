@@ -645,27 +645,134 @@ def value_histogram(spark, t):
 
     The data-profiling/monitoring primitive (equi-depth bins are what
     CBOs and drift monitors want — equal-width bins collapse under
-    skew).  ntile needs a per-group sort; at 100 TB swap in
-    approx_percentile boundaries (sketch, map-side mergeable) and bin
-    by range — same report schema, no global sort.  The (value,
-    event_id) tie-break makes bin assignment deterministic.
+    skew).  The (value, event_id) tie-break makes bin assignment
+    deterministic.
+
+    Scale shape (r16 optimization round, guide §2.5): the direct form
+    sorts EVERY event inside one window task per event_type —
+    #event_types (5) is constant in data size, so this was the
+    heaviest member-scale constant-parallelism window in the engine
+    (sf100: 100M events through 5 sort tasks, 72.9 s).  Above the
+    shared 32 MiB stats gate the EXACT decile is computed without the
+    per-type global sort: bucket rows by a monotone clamp of value
+    (range from a 1-row min/max attach), per-(type, bucket) counts
+    give each bucket a rank base and each type its total n, the
+    within-bucket row_number + base reproduces the global rank, and
+    NTile's assignment is closed-form integer math over (rank, n) —
+    the first n%10 tiles take n DIV 10 + 1 rows, the rest n DIV 10
+    (Spark's NTile definition, reproduced exactly; the q = 0 branch is
+    unreachable when n < 10 because every rank then falls in the
+    remainder tiles, so the guarded DIV never divides by zero).  NULL
+    values keep their own first-sorting bucket (they bin into decile 1
+    exactly as NULLS FIRST did); NaN/+Inf pin to the last bucket where
+    Spark's NaN-greatest ordering places them; a degenerate value
+    range (constant, NULL-only, or unbounded) collapses to one bucket
+    — the direct form's parallelism, never wrong output.
     """
+    import os
+
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    return (
-        t["events"]
-        .select(
-            "event_type",
-            "value",
-            F.ntile(10).over(w).cast("int").alias("decile"),
+    e = t["events"].select("event_type", "value", "event_id")
+    threshold = int(
+        os.environ.get(
+            "TWEETDB_HISTOGRAM_TWO_PASS_MIN_BYTES", str(1 << 25)
         )
-        .groupBy("event_type", "decile")
-        .agg(
-            F.count("*").cast("bigint").alias("n"),
-            F.min("value").alias("lo"),
-            F.max("value").alias("hi"),
+    )
+    ev_bytes = int(
+        t["events"]._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    if ev_bytes < threshold:
+        w = Window.partitionBy("event_type").orderBy("value", "event_id")
+        return (
+            e.select(
+                "event_type",
+                "value",
+                F.ntile(10).over(w).cast("int").alias("decile"),
+            )
+            .groupBy("event_type", "decile")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.min("value").alias("lo"),
+                F.max("value").alias("hi"),
+            )
         )
+
+    n_b = 4 * int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    inf = float("inf")
+    mm = e.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    span = F.col("vmax") - F.col("vmin")
+    scale_ok = (
+        F.col("vmin").isNotNull()
+        & ~F.isnan(F.col("vmin"))
+        & (F.col("vmin") > F.lit(-inf))
+        & (span > 0)
+        & ~F.isnan(span)
+        & (span < F.lit(inf))
+    )
+    # monotone in value: x−c, ×n_b, ÷span and floor are each monotone
+    # non-decreasing under IEEE round-to-nearest, so equal values share
+    # a bucket and buckets respect the sort order; the clamp keeps the
+    # ±1-ulp edge cases inside [0, n_b)
+    bv = (
+        F.when(F.col("value").isNull(), F.lit(None).cast("bigint"))
+        .when(F.col("value") <= F.lit(-inf), F.lit(0).cast("bigint"))
+        .when(
+            F.isnan(F.col("value")) | (F.col("value") >= F.lit(inf)),
+            F.lit(n_b - 1).cast("bigint"),
+        )
+        .when(~scale_ok, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.least(
+                F.lit(n_b - 1).cast("bigint"),
+                F.greatest(
+                    F.lit(0).cast("bigint"),
+                    F.floor(
+                        (F.col("value") - F.col("vmin")) * F.lit(float(n_b)) / span
+                    ),
+                ),
+            )
+        )
+    )
+    eb = e.crossJoin(F.broadcast(mm)).withColumn("bv", bv)
+    counts = eb.groupBy("event_type", "bv").agg(F.count("*").alias("c"))
+    w_off = (
+        Window.partitionBy("event_type")
+        .orderBy(F.asc_nulls_first("bv"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy("event_type")
+    off = counts.select(
+        F.col("event_type").alias("o_et"),
+        F.col("bv").alias("o_bv"),
+        F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("base"),
+        F.sum("c").over(w_tot).alias("n_g"),
+    )
+    rn_in = F.row_number().over(
+        Window.partitionBy("event_type", "bv").orderBy("value", "event_id")
+    )
+    j = (
+        eb.join(
+            F.broadcast(off),
+            eb["event_type"].eqNullSafe(off["o_et"])
+            & eb["bv"].eqNullSafe(off["o_bv"]),
+        )
+        .withColumn("rn", (rn_in + F.col("base")).cast("bigint"))
+        .withColumn(
+            "decile",
+            F.expr(
+                "CAST(CASE WHEN rn <= (n_g % 10) * (n_g DIV 10 + 1) "
+                "THEN (rn - 1) DIV (n_g DIV 10 + 1) + 1 "
+                "ELSE (n_g % 10) "
+                "+ (rn - (n_g % 10) * (n_g DIV 10 + 1) - 1) DIV (n_g DIV 10) "
+                "+ 1 END AS INT)"
+            ),
+        )
+    )
+    return j.groupBy("event_type", "decile").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
     )
 
 
