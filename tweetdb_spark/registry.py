@@ -151,10 +151,12 @@ def query(name: str, oracle: Optional[str] = None, eager: bool = False):
 #        refreshes one batch key's driver evidence for free.
 #        WINDOW_ROWS_ONLY_KEYS = the five streaming keys,
 #        ROTATION_ROUND = 16.
-#   r17 (PLANNED): reverse swap — the six fn_* keys back IN at
-#        positions 45-50, scan_parquet back to the parked-hashable
-#        block, the five streaming keys back to their natural rows-only
-#        tail positions, WINDOW_ROWS_ONLY_KEYS emptied, ROTATION_ROUND
+#   r17 (EXECUTED, r16 verdict ask #1): reverse swap — the six fn_*
+#        keys back IN at positions 45-50, scan_parquet back to the
+#        parked-hashable block (its driver evidence refreshed by the
+#        r16 tour), the five streaming keys back to their natural
+#        rows-only tail positions (fresh r16 driver spark_rows
+#        evidence), WINDOW_ROWS_ONLY_KEYS emptied, ROTATION_ROUND
 #        bumped to 17.  Restores the all-hashable 50-key window.
 # If the driver's window size or selection policy ever differs,
 # ``tools/check.py --strict`` still verifies ALL registered hashable keys
@@ -207,21 +209,12 @@ CONTRACT_ORDER: list[str] = [
     "text_sentiment_lexicon",# L7
     "text_stats",            # L8
     "multimodal_norm",       # L9
-    # --- positions 45-49: r16 streaming evidence re-tour (one round) ---
-    # (r10-vintage driver evidence, six rounds stale — the oldest in the
-    # registry; declared in WINDOW_ROWS_ONLY_KEYS below, revert staged
-    # for r17)
-    "stream_tumbling",       # ST1  (r10 driver rows; batch twin hash-green)
-    "stream_session",        # ST3  (r10 driver rows; batch twin hash-green)
-    "stream_dedup",          # ST5  (r10 driver rows; doubled-feed pytest)
-    "stream_stateful",       # ST6  (r10 driver rows; equals-batch pytest)
-    "join_stream_static",    # J11  (r10 driver rows; batch-join pytest)
-    # --- position 50: stalest parked hashable key, promoted for the tour ---
-    "scan_parquet",          # S1  (r01+r02+r06+r07+r10+r11 pass)
-    # --- positions 51-56: fn_* family parked for the one-round r16 tour ---
-    # (hash-green in ELEVEN driver rounds each — r01-r09 + r11-r13 + r15
-    # for the r10/r14-parked five, all fourteen graded rounds for
-    # fn_split_explode; every one still in check.py --strict each round)
+    # --- positions 45-50: fn_* family restored by the r17 reverse swap ---
+    # (toured OUT for the one-round r16 streaming re-tour; hash-green in
+    # ELEVEN driver rounds each — r01-r09 + r11-r13 + r15 for the
+    # r10/r14-parked five, all fourteen graded rounds for
+    # fn_split_explode; every one green in both committed r16 strict
+    # sweeps at sf0.01 and sf0.1)
     "fn_string",             # F1  (11 driver-green rounds)
     "fn_split_explode",      # F2  (14 driver-green rounds)
     "fn_datetime",           # F3  (11 driver-green rounds)
@@ -230,7 +223,10 @@ CONTRACT_ORDER: list[str] = [
     "fn_array",              # F6  (11 driver-green rounds)
     # --- hashable contract rows parked in r12 ---
     # (rotated out in r12 swap, driver-hash-green r01+r02+r06+r07+r10+r11;
-    # every one still in check.py --strict each round)
+    # scan_parquet additionally refreshed by the r16 tour (all three
+    # checks green at position 50); every one still in
+    # check.py --strict each round)
+    "scan_parquet",          # S1  (r01+r02+r06+r07+r10+r11+r16 pass)
     "project_arith",         # P1  (r01+r02+r06+r07+r10+r11 pass)
     "filter_like",           # P3  (r01+r02+r06+r07+r10+r11 pass)
     "agg_global",            # A1  (r01+r02+r06+r07+r10+r11 pass)
@@ -245,24 +241,23 @@ CONTRACT_ORDER: list[str] = [
     "stream_sliding",        # ST2 (r14 driver rows, 2883; twin hash-green)
     "stream_watermark_late", # ST4 (r14 driver rows, 719; window-count pytest)
     "dedup_minhash_lsh",     # L3  (r14 driver rows, 30327; twin banded green)
+    "stream_tumbling",       # ST1  (r16 driver rows, 3385; batch twin hash-green)
+    "stream_session",        # ST3  (r16 driver rows, 9525; batch twin hash-green)
+    "stream_dedup",          # ST5  (r16 driver rows, 10000; doubled-feed pytest)
+    "stream_stateful",       # ST6  (r16 driver rows, 150; equals-batch pytest)
+    "join_stream_static",    # J11  (r16 driver rows, 10000; batch-join pytest)
 ]
 
 # Rows-only keys deliberately placed inside the graded 50-key window
-# this round.  r16 executes the staged streaming evidence re-tour (r14
-# verdict ask #3 / r15 verdict ask #1): the five r10-stale streaming
-# keys tour the window for ONE round to refresh their driver-executed
-# spark_rows evidence; r17 executes the reverse swap (staged in the
-# rotation log above).  Any future rotation must both name its keys
-# here AND bump ROTATION_ROUND so the expiry test can tell a planned
-# carve-out from a forgotten one.
-ROTATION_ROUND: int = 16
-WINDOW_ROWS_ONLY_KEYS: frozenset[str] = frozenset({
-    "stream_tumbling",
-    "stream_session",
-    "stream_dedup",
-    "stream_stateful",
-    "join_stream_static",
-})
+# this round.  r17 executes the staged reverse swap (r16 verdict ask
+# #1): the five streaming keys returned to their natural rows-only tail
+# positions with fresh r16 driver spark_rows evidence, the six fn_*
+# keys back at positions 45-50, the all-hashable 50-key window
+# restored.  Any future rotation must both name its keys here AND bump
+# ROTATION_ROUND so the expiry test can tell a planned carve-out from a
+# forgotten one.
+ROTATION_ROUND: int = 17
+WINDOW_ROWS_ONLY_KEYS: frozenset[str] = frozenset()
 
 
 def ordered_queries() -> tuple[dict[str, Callable], dict[str, str]]:
