@@ -1837,73 +1837,66 @@ def dedup_minhash_verdicts(spark, t):
     h = F.coalesce(
         F.md5("text"), F.concat(F.lit(":null:"), F.col("doc_id").cast("string"))
     )
-    docs = t["documents"].select("doc_id", h.alias("h"), "n_chars", "text")
-    # rep election as ONE window over the h exchange (same shape as the
-    # pair keys, r13): member and the rep token frame are projections
-    # of one shuffled frame instead of groupBy + two joins back.
-    #
-    # localCheckpoint (r16 optimization round, guide §5 / §3.3 "very
-    # wide plans — materialise an intermediate"): before this, the
-    # md5+window chain re-ran in EVERY subtree that needs it (~8x per
-    # pipeline run: band a-side, band b-side broadcast, t_a, t_b,
-    # component nodes, rep_map, lab, canon).  The checkpoint holds one
-    # narrow row per doc plus text ONLY for the elected rep (the
-    # distinct-text bytes the banding tier must persist anyway — never
-    # the full corpus payload), so the chain runs ONCE.
-    docs = docs.withColumn(
-        "rep_id", F.min("doc_id").over(Window.partitionBy("h"))
-    ).select(
-        "doc_id",
-        "h",
-        "n_chars",
-        "rep_id",
-        F.when(F.col("doc_id") == F.col("rep_id"), F.col("text")).alias(
-            "rep_text"
-        ),
+    # Single-exchange collapse (r17 optimization round, guide §2.4
+    # "remove shuffles outright").  The r16 form ran TWO sequential
+    # collapse passes — a window over md5(text) electing per-text reps
+    # (exchange 1, carrying the full text column), then tokenize on
+    # reps and a second window over the token-set key (exchange 2) —
+    # each behind its own eager localCheckpoint, plus a rep_map join to
+    # inherit labels back through the two levels.  But the token-set
+    # partition is a COARSENING of the md5 partition (byte-identical
+    # text ⟹ identical token array ⟹ identical ts_key), so one
+    # min-window over ts_key on MEMBERS yields, for every doc, exactly
+    # the ts_rep the two-level form produced:
+    #   • member ts-group = union of the md5-groups whose reps share
+    #     the token set, so min(doc_id) over members = min over the
+    #     per-md5-group minima = min over reps = the old ts_rep;
+    #   • the node set {doc : doc_id == ts_rep} is therefore unchanged,
+    #     and each node's token array (a pure function of its text) is
+    #     unchanged — banding, verify, and components see identical
+    #     inputs;
+    #   • label inheritance becomes ONE member→ts_labels join instead
+    #     of member→rep_map→ts_labels.
+    # Cost/benefit at scale: tokenize+xxhash64 now runs per MEMBER
+    # instead of per text-rep — the same single pass over the text
+    # bytes that md5 (kept, for the exact_dup reason column) already
+    # makes — while the pipeline drops one full member-frame exchange,
+    # one window, one eager checkpoint, and one join.  The one
+    # remaining exchange carries sorted token ids (~8B/token) instead
+    # of raw text, comparable bytes.  A/B checksum-identical at
+    # sf0.01/sf0.1/sf10 (sweeps/mh_singlepass_r17.log); NULL-text docs
+    # keep their own per-doc sentinel group exactly as before (i is
+    # NULL iff text is NULL; xxhash64(NULL) is a constant, hence the
+    # sentinel).
+    i_expr = F.sort_array(
+        F.expr("transform(array_distinct(split(text, ' ')), w -> xxhash64(w))")
     )
-    docs = docs.localCheckpoint(eager=True)
-    member = docs.select("doc_id", "h", "n_chars", "rep_id")
-    toks = docs.where(F.col("doc_id") == F.col("rep_id")).select(
-        "doc_id", F.array_distinct(F.split("rep_text", " ")).alias("tokens")
+    docs = t["documents"].select(
+        "doc_id", h.alias("h"), "n_chars", i_expr.alias("i")
     )
-    # sorted 64-bit token ids — computed BEFORE banding since r16 so
-    # they drive both the second-level collapse and the verify; see
-    # dedup_minhash_lsh's docstring for the string→bigint intersection
-    # rationale (r12)
-    ids = toks.select(
-        "doc_id",
-        F.sort_array(F.expr("transform(tokens, w -> xxhash64(w))")).alias("i"),
-    )
-    # Second-level exact collapse on the token SET (r16, from the
-    # sweeps/mh_verdicts_attrib_r16.log attribution): every stage
-    # below — minhash bands, band candidates, exact-Jaccard verify —
-    # is a pure function of the token-id array, so reps with
-    # identical token sets (whitespace/duplicate-token variants whose
-    # bytes differ but tokens don't: 4992 → 3935 at the sf0.1 bench
-    # graph) are interchangeable nodes.  They always share all band
-    # signatures AND verify at distance 0, so collapsing them first
-    # is connectivity-exact while cutting the quadratic candidate
-    # mass by (1 - (u/n)²) ≈ 38% at sf0.1.  Group key is
-    # xxhash64(cast(i)) — the same 2⁻⁶⁴ collision trust as the
-    # token-id verify itself; NULL-token docs (NULL text) get a
-    # per-doc sentinel exactly like the md5 stage above, since a NULL
-    # token set asserts nothing about equality (xxhash64(NULL) is a
-    # CONSTANT, which would otherwise merge all NULL-text docs).
     ts_key = F.when(
         F.col("i").isNotNull(),
         F.concat(F.lit("t:"), F.xxhash64(F.col("i").cast("string")).cast("string")),
     ).otherwise(F.concat(F.lit(":null:"), F.col("doc_id").cast("string")))
-    ids = ids.withColumn(
+    # localCheckpoint (r16, guide §5 / §3.3 "very wide plans —
+    # materialise an intermediate"): the collapse chain feeds every
+    # downstream subtree (band a/b sides, t_a, t_b, component nodes,
+    # member assembly); the checkpoint holds one narrow row per doc
+    # plus token ids ONLY for the elected rep, so the chain runs ONCE.
+    docs = docs.withColumn(
         "ts_rep", F.min("doc_id").over(Window.partitionBy(ts_key))
+    ).select(
+        "doc_id",
+        "h",
+        "n_chars",
+        "ts_rep",
+        F.when(F.col("doc_id") == F.col("ts_rep"), F.col("i")).alias("rep_i"),
     )
-    # second checkpoint (r16 optimization round): the tokenize + sort +
-    # ts-window chain feeds FIVE downstream subtrees (band a/b sides,
-    # t_a, t_b, component nodes, rep_map); one tiny rep-level frame
-    # (one row per distinct text) materialized once replaces five
-    # recomputes of the whole chain.
-    ids = ids.localCheckpoint(eager=True)
-    rep_map = ids.select(F.col("doc_id").alias("rep_doc"), "ts_rep")
-    uids = ids.where(F.col("doc_id") == F.col("ts_rep")).select("doc_id", "i")
+    docs = docs.localCheckpoint(eager=True)
+    member = docs.select("doc_id", "h", "n_chars", "ts_rep")
+    uids = docs.where(F.col("doc_id") == F.col("ts_rep")).select(
+        "doc_id", F.col("rep_i").alias("i")
+    )
     # minhash ids: same value set as the old transform(tokens, ...) &
     # mask form — masking the already-hashed ids; minhash is
     # order/multiplicity-invariant so banding is unchanged
@@ -1949,19 +1942,15 @@ def dedup_minhash_verdicts(spark, t):
         .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     )
 
-    # components over token-set reps only; text-reps inherit through
-    # the ts_rep map.  component_id stays the min doc_id of the FULL
+    # components over token-set reps only; members inherit directly
+    # through their ts_rep (one join — the r16 two-level
+    # member→rep_map→ts_labels inherit collapsed with the collapse
+    # stages above).  component_id stays the min doc_id of the FULL
     # component: a ts_rep is the min doc_id of its token-set group, so
-    # min over ts_reps == min over all text-reps of the component.
+    # min over ts_reps == min over all members of the component.
     ts_labels = _min_label_components(uids.select("doc_id"), edges)
-    rep_labels = rep_map.join(
-        ts_labels.withColumnRenamed("doc_id", "ts_rep"), "ts_rep"
-    ).select(F.col("rep_doc").alias("doc_id"), "component_id")
     lab = member.join(
-        rep_labels.select(
-            F.col("doc_id").alias("rep_id"), "component_id"
-        ),
-        "rep_id",
+        ts_labels.withColumnRenamed("doc_id", "ts_rep"), "ts_rep"
     )
     # Keeper election as ONE first_value window (r16 optimization
     # round, guide §2.4): the old row_number→filter→join-back form
