@@ -497,9 +497,6 @@ def test_corpus_interleave_two_pass_has_no_member_scale_single_partition(
 
     monkeypatch.setenv("TWEETDB_INTERLEAVE_TWO_PASS_MIN_BYTES", "0")
     plan = _plan(registry.QUERIES["corpus_interleave"](spark, SF_DIR))
-    ops = {}
-    for m in re.finditer(r"^\((\d+)\) (\S+)", plan, re.M):
-        ops[int(m.group(1))] = m.group(2)
     sp_ops = [
         int(m.group(1))
         for m in re.finditer(
@@ -509,9 +506,22 @@ def test_corpus_interleave_two_pass_has_no_member_scale_single_partition(
         )
     ]
     assert sp_ops, "expected the tiny offsets aggregate to remain"
+    # Child lookup via the plan TREE, not operator-id adjacency (r17,
+    # r16 ADVICE: "(n) feeds (n+1)" only holds on linear chains).  In
+    # the formatted tree each operator line ends with "(<id>)"; an
+    # Exchange is unary, so its child is the next tree line, whatever
+    # id that line carries.
+    tree = plan.split("\n\n")[0].splitlines()
+    id_of = [
+        (idx, int(m.group(1)))
+        for idx, line in enumerate(tree)
+        for m in [re.search(r"\((\d+)\)\s*$", line)]
+        if m
+    ]
+    line_by_id = {opid: idx for idx, opid in id_of}
     for n in sp_ops:
-        child = ops.get(n - 1, "?")
-        assert "HashAggregate" in child, (
-            f"SinglePartition exchange op {n} fed by {child} "
+        child_line = tree[line_by_id[n] + 1]
+        assert "HashAggregate" in child_line, (
+            f"SinglePartition exchange op {n} fed by {child_line.strip()} "
             f"(member-scale funnel)"
         )

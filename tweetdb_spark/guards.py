@@ -17,6 +17,17 @@ from pyspark.sql import DataFrame
 # means someone mistook the ground-truth twin for the scale path.
 EXACT_TWIN_MAX_ROWS = 50_000
 
+# Shared stats gate for the bucketed two-pass global-window rewrites
+# (corpus_interleave / corpus_token_budget / value_histogram): inputs
+# whose catalyst size estimate is below this run the direct
+# single-window form, larger inputs the exact bucketed two-pass form.
+# One constant (r17, r16 ADVICE: analytics.py had its own str(1 << 25)
+# literal that could silently drift from text.py's) — the measured
+# crossover evidence lives at text._INTERLEAVE_TWO_PASS_MIN_BYTES's
+# original definition comment; per-key env overrides keep both forms
+# testable either way.
+TWO_PASS_MIN_BYTES = 1 << 25
+
 
 def exact_twin_input(
     df: DataFrame, op: str, scale_twin: str, limit: int = EXACT_TWIN_MAX_ROWS

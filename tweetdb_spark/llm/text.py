@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from tweetdb_spark.guards import TWO_PASS_MIN_BYTES as _SHARED_TWO_PASS_MIN_BYTES
 from tweetdb_spark.registry import query
 
 # Static sentiment lexicon over the fixture vocabulary (an engine
@@ -1930,8 +1931,11 @@ def text_bpe_encode(spark, t):
 # fixture scale and under NULL/empty surveys with the gate forced each
 # way via TWEETDB_INTERLEAVE_TWO_PASS_MIN_BYTES).  corpus_token_budget
 # shares the constant (its measured crossover sits in the same
-# 3.3-86 MB window; override: TWEETDB_TOKEN_BUDGET_TWO_PASS_MIN_BYTES).
-_INTERLEAVE_TWO_PASS_MIN_BYTES = 1 << 25
+# 3.3-86 MB window; override: TWEETDB_TOKEN_BUDGET_TWO_PASS_MIN_BYTES),
+# as does value_histogram (operators/analytics.py) — the value is the
+# shared guards.TWO_PASS_MIN_BYTES (r17, r16 ADVICE: no drift between
+# the three gates).
+_INTERLEAVE_TWO_PASS_MIN_BYTES = _SHARED_TWO_PASS_MIN_BYTES
 
 
 @query(

@@ -674,9 +674,11 @@ def value_histogram(spark, t):
     from pyspark.sql.window import Window
 
     e = t["events"].select("event_type", "value", "event_id")
+    from tweetdb_spark.guards import TWO_PASS_MIN_BYTES
+
     threshold = int(
         os.environ.get(
-            "TWEETDB_HISTOGRAM_TWO_PASS_MIN_BYTES", str(1 << 25)
+            "TWEETDB_HISTOGRAM_TWO_PASS_MIN_BYTES", str(TWO_PASS_MIN_BYTES)
         )
     )
     ev_bytes = int(

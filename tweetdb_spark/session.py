@@ -31,6 +31,12 @@ from pyspark.sql import SparkSession
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
+    # Spark 4 default, pinned explicitly (r17, r16 ADVICE):
+    # corpus_token_budget's bucket pruning relies on the n_tokens >= 0
+    # invariant, which holds because ANSI size(NULL) is NULL — a
+    # deployment overriding ANSI off would get size(NULL) = -1 and the
+    # pruning could silently drop rows the direct form keeps.
+    "spark.sql.ansi.enabled": "true",
     # Read parquet TIMESTAMP(isAdjustedToUTC=false) as TimestampType,
     # not TIMESTAMP_NTZ — keeps one timestamp type across the engine
     # (and unix_millis etc. require it).  Session tz is pinned UTC, so
