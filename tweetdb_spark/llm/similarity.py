@@ -487,14 +487,33 @@ def sim_pairwise_label_sampled(spark, t):
     """
     from pyspark.sql.window import Window
 
+    # Skinny-rank sampling (r17, r16 verdict ask #5; guide §2.3
+    # "shuffle keys and metadata instead of payloads"): the stratified
+    # row_number/count windows only need (vec_id, label) — ranking the
+    # full frame shipped the 64-float embedding through the label
+    # exchange and its sort, TWICE (the a/b self-join below duplicates
+    # the unreferenced subtree).  Rank a two-column projection instead
+    # and equi-join the surviving vec_ids back to the vector table:
+    # the window exchange carries ~16 B/row instead of ~540 B/row, and
+    # only SAMPLED vectors move through the join.  Output-identical:
+    # rn/cnt are computed over the identical row set (the projection
+    # drops no rows), vec_id is the embeddings key so the join
+    # re-attaches exactly the sampled rows, and a NULL vec_id row —
+    # which the old form kept in `sampled` but which contributed
+    # nothing downstream (a.vec_id < b.vec_id is UNKNOWN for NULL) —
+    # is dropped by the equi-join with the same net output.  The
+    # driver hash-checks this key against the unchanged oracle.
     w = Window.partitionBy("label").orderBy(F.expr(_PORTABLE_SHUFFLE), "vec_id")
     wc = Window.partitionBy("label")
-    sampled = (
+    keys = (
         t["embeddings"]
+        .select("vec_id", "label")
         .withColumn("rn", F.row_number().over(w))
         .withColumn("cnt", F.count("*").over(wc))
         .where(F.col("rn") * 2 <= F.col("cnt"))
+        .select("vec_id")
     )
+    sampled = t["embeddings"].join(keys, "vec_id")
     n = with_norm(sampled).select("vec_id", "label", "embedding", "norm")
     a, b = n.alias("a"), n.alias("b")
     cos = F.try_divide(
