@@ -1461,6 +1461,22 @@ def test_corpus_interleave_two_pass_equals_single_sort(
     assert single == two
 
 
+def test_corpus_pack_two_pass_equals_direct(registry, spark, monkeypatch):
+    """r17 optimization round: the bucketed two-pass running sum
+    (min/max-derived monotone doc_id buckets, base offset +
+    within-bucket exclusive sum) must be row-identical to the direct
+    per-lang window — concatenating buckets in bh order IS the global
+    per-lang doc_id order.  Counter multiset (NULL-safe, no sorted())."""
+    from collections import Counter
+
+    key = "corpus_pack"
+    monkeypatch.setenv("TWEETDB_PACK_TWO_PASS_MIN_BYTES", str(1 << 60))
+    direct = Counter(map(tuple, registry.QUERIES[key](spark, SF_DIR).collect()))
+    monkeypatch.setenv("TWEETDB_PACK_TWO_PASS_MIN_BYTES", "0")
+    two = Counter(map(tuple, registry.QUERIES[key](spark, SF_DIR).collect()))
+    assert direct == two
+
+
 def test_corpus_token_budget_two_pass_equals_direct(
     registry, spark, monkeypatch
 ):

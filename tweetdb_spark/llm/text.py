@@ -1070,28 +1070,90 @@ def corpus_pack(spark, t):
 
     The batch-assembly primitive for pre-training (docs concatenated
     into fixed-length sequences; pack_id/pack_offset say where each
-    doc lands).  One window per shard key — at 100 TB the shard key
-    is (lang, file-bucket) so no single ordered partition grows
-    unbounded; the running total stays a single pass.  Window SUM is
-    CAST to BIGINT on the DuckDB side (HUGEINT skew class).
+    doc lands).  Window SUM is CAST to BIGINT on the DuckDB side
+    (HUGEINT skew class).
+
+    Scale shape (r17, r16 verdict ask #4; guide §2.5): the direct form
+    is one running-total window per lang — parallelism bounded by
+    #languages, constant in corpus size (measured 7.6 s at 10M docs /
+    5 langs, 5 tasks doing all the work).  Above the shared 32 MiB
+    stats gate this becomes the bucketed two-pass offset idiom
+    (corpus_interleave/corpus_token_budget): the sort key here is the
+    UNBOUNDED doc_id, so a 1-row min/max scalar attach derives a
+    monotone width-based bucket first — (doc_id - dmin) DIV width is
+    nondecreasing in doc_id, so concatenating buckets in bh order
+    reproduces the global per-lang doc_id order exactly.  Per-(lang,
+    bh) token sums on a tiny frame give each bucket its running-total
+    base; cum_before = base + within-bucket exclusive running sum is
+    exact bigint arithmetic, and SUM skips NULL n_tokens identically
+    in both forms.  NULL doc_id rows (impossible for the key column in
+    any fixture, but cheap to keep exact) bucket to NULL, sort first
+    via asc_nulls_first in the offsets window, and join back via
+    eqNullSafe — the same rows the direct window orders first.
     """
+    import os
+
     from pyspark.sql.window import Window
 
     d = t["documents"].select(
         "doc_id", "lang", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
     )
-    w = (
+
+    def out(cum_before):
+        return d.select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.floor(cum_before / 2048).cast("bigint").alias("pack_id"),
+            (cum_before % 2048).cast("bigint").alias("pack_offset"),
+        )
+
+    threshold = int(
+        os.environ.get(
+            "TWEETDB_PACK_TWO_PASS_MIN_BYTES",
+            str(_INTERLEAVE_TWO_PASS_MIN_BYTES),
+        )
+    )
+    doc_bytes = int(
+        t["documents"]._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    if doc_bytes < threshold:
+        w = (
+            Window.partitionBy("lang")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return out(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+
+    n_b = 4 * int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    rng = d.agg(F.min("doc_id").alias("dmin"), F.max("doc_id").alias("dmax"))
+    d = d.crossJoin(F.broadcast(rng)).withColumn(
+        "bh", F.expr(f"(doc_id - dmin) DIV (((dmax - dmin) DIV {n_b}) + 1)")
+    )
+    sums = d.groupBy("lang", "bh").agg(F.sum("n_tokens").alias("s"))
+    w_off = (
         Window.partitionBy("lang")
+        .orderBy(F.asc_nulls_first("bh"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = sums.select(
+        F.col("lang").alias("o_lang"),
+        F.col("bh").alias("o_bh"),
+        F.coalesce(F.sum("s").over(w_off), F.lit(0)).alias("base"),
+    )
+    w_in = (
+        Window.partitionBy("lang", "bh")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return d.select(
-        "doc_id",
-        "lang",
-        "n_tokens",
-        F.floor(cum_before / 2048).cast("bigint").alias("pack_id"),
-        (cum_before % 2048).cast("bigint").alias("pack_offset"),
+    d = d.join(
+        F.broadcast(off),
+        d["lang"].eqNullSafe(off["o_lang"]) & d["bh"].eqNullSafe(off["o_bh"]),
+    )
+    return out(
+        (
+            F.col("base") + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+        ).cast("bigint")
     )
 
 
