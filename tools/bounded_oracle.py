@@ -522,6 +522,216 @@ FROM mem x JOIN mem y
 """
 
 
+def _incremental_sql() -> str:
+    """Bounded form of dedup_incremental_minhash's oracle (r17, r16
+    verdict ask #7 — the one intractable extra with no direct sf10
+    value evidence; its registered naive oracle computes 16 minhash
+    permutations over every MEMBER's shingle array).  DuckDB collapses
+    to distinct md5(text) groups first: band signatures, collisions and
+    the exact-Jaccard verify are pure functions of the TEXT, so the
+    batch flags reduce to group-level adjacency plus group stats —
+      dup_of_corpus(b) = some matching group (incl b's own) holds a
+                         corpus member;
+      dup_in_batch(b)  = some matching group's EARLIEST batch member
+                         precedes b (within b's own group this is
+                         exactly "an earlier batch clone exists");
+    where two groups "match" iff they collide in >=1 band AND verify
+    at 3-gram Jaccard >= 0.7 (a group self-matches iff it has >=1
+    shingle — identical signatures collide in every band, jaccard 1).
+    NULL-text batch docs (empty Spark shingle array, NULL DuckDB
+    shingles — neither ever collides) are emitted flag-free exactly
+    like the registered oracle."""
+    from tweetdb_spark.llm.dedup import _DUCK_SHINGLES, _mh_band_sql
+
+    bands = _mh_band_sql("duck")
+    band_union = "\n      UNION ALL ".join(
+        f"SELECT rep, {j} AS j, {b} AS v FROM gb" for j, b in enumerate(bands)
+    )
+    jac = (
+        "CAST(len(list_intersect(ga.g, g2.g)) AS DOUBLE) "
+        "/ (len(ga.g) + len(g2.g) - len(list_intersect(ga.g, g2.g)))"
+    )
+    return f"""
+WITH tgrp AS MATERIALIZED (
+  SELECT md5(text) AS h, MIN(doc_id) AS rep
+  FROM documents WHERE lang = 'en' AND text IS NOT NULL
+  GROUP BY md5(text)
+), gr AS (
+  SELECT tg.h, tg.rep, {_DUCK_SHINGLES} AS g
+  FROM tgrp tg JOIN documents d ON d.doc_id = tg.rep
+), gb AS MATERIALIZED (
+  SELECT * FROM gr WHERE len(g) > 0
+), bands AS (
+      {band_union}
+), tm AS (
+  SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b
+  FROM bands a JOIN bands b ON a.j = b.j AND a.v = b.v AND a.rep <= b.rep
+), vm AS MATERIALIZED (
+  SELECT t.rep_a, t.rep_b
+  FROM tm t
+  JOIN gb ga ON ga.rep = t.rep_a
+  JOIN gb g2 ON g2.rep = t.rep_b
+  WHERE {jac} >= 0.7
+), sym AS (
+  SELECT rep_a AS r1, rep_b AS r2 FROM vm
+  UNION ALL
+  SELECT rep_b, rep_a FROM vm WHERE rep_a <> rep_b
+), mem AS MATERIALIZED (
+  SELECT d.doc_id, tg.rep, d.doc_id % 10 = 0 AS is_new
+  FROM documents d JOIN tgrp tg ON tg.h = md5(d.text)
+  WHERE d.lang = 'en'
+), gstat AS MATERIALIZED (
+  SELECT rep,
+         COUNT(*) FILTER (WHERE NOT is_new) AS n_corpus,
+         MIN(doc_id) FILTER (WHERE is_new) AS min_batch
+  FROM mem GROUP BY rep
+), adj AS (
+  SELECT s.r1,
+         MAX(CASE WHEN gs.n_corpus > 0 THEN 1 ELSE 0 END) AS any_corpus,
+         MIN(gs.min_batch) AS min_b
+  FROM sym s JOIN gstat gs ON gs.rep = s.r2
+  GROUP BY s.r1
+)
+SELECT m.doc_id,
+       CASE WHEN COALESCE(a.any_corpus, 0) = 1 THEN 1 ELSE 0 END
+         AS dup_of_corpus,
+       CASE WHEN a.min_b < m.doc_id THEN 1 ELSE 0 END AS dup_in_batch,
+       CAST(COALESCE(a.any_corpus, 0) = 0
+            AND NOT COALESCE(a.min_b < m.doc_id, FALSE) AS INTEGER) AS keep
+FROM mem m LEFT JOIN adj a ON a.r1 = m.rep
+WHERE m.is_new
+UNION ALL
+SELECT doc_id, 0, 0, 1
+FROM documents
+WHERE lang = 'en' AND text IS NULL AND doc_id % 10 = 0
+"""
+
+
+def _containment_moments(spark, sf, con):
+    """Bounded VALUE check for dedup_containment (r17, r16 verdict ask
+    #7): its member-level output is clone-quadratic (19.0B rows at
+    sf10 — no oracle may materialize it), and the r14 extras sweep's
+    value check died before producing evidence.  Same design as
+    _simhash_pairs_moments: the output multiset is a pure function of
+    the md5(text)-group pairs, so DuckDB computes GROUND-TRUTH
+    rep-level all-pairs containment (re-proving PPJoin prefix-filter
+    completeness at sf10, not just value parity) and closed-form EXACT
+    symmetric moments of the expanded pair multiset — within a group
+    every pair carries 1.0; across a verified rep pair every member
+    pair carries the rep value — while the engine sums the identical
+    functionals directly over its output rows (two-level mod-Q bigint
+    aggregation; value coupled in via the round-6 1e6-scaled int)."""
+    from pyspark.sql import functions as F
+
+    P = 2147483647
+    K1, K2 = 2654435761, 2246822519
+    Q = 2147483629
+    sdf = __import__("tweetdb_spark").QUERIES["dedup_containment"](spark, sf)
+    ua = (F.col("doc_a") % P) * K1 % P
+    ub = (F.col("doc_b") % P) * K1 % P
+    va = (F.col("doc_a") % P) * K2 % P
+    vb = (F.col("doc_b") % P) * K2 % P
+    c6 = F.round(F.col("containment") * 1000000).cast("bigint")
+    # c6 <= 1e6 and (ua+ub)%Q < 2^32, so c6*((ua+ub)%Q) < 2^52 — every
+    # per-row term stays far inside bigint before the %Q reduction
+    terms = {
+        "sc": c6 % Q,
+        "m1": (ua + ub) % Q,
+        "m2": (ua * ub) % Q,
+        "mc": (c6 * ((ua + ub) % Q)) % Q,
+        "w1": (va + vb) % Q,
+        "w2": (va * vb) % Q,
+    }
+    salt = (F.col("doc_a") + F.col("doc_b")) % 8192
+    partial = sdf.groupBy(salt.alias("s")).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("doc_a") >= F.col("doc_b"), 1).otherwise(0)
+        ).alias("bad_order"),
+        *[(F.sum(e) % Q).alias(k) for k, e in terms.items()],
+    )
+    row = partial.agg(
+        F.sum("n").alias("n"),
+        F.sum("bad_order").alias("bad_order"),
+        *[(F.sum(k) % Q).alias(k) for k in terms],
+    ).collect()[0]
+    sql = """
+WITH grp AS MATERIALIZED (
+  -- engine filter: lang = 'en' AND at least one 3-gram (len >= 3);
+  -- md5 collapse with member count + two mod-P member-key sums
+  SELECT md5(text) AS h, MIN(doc_id) AS rep
+  FROM documents
+  WHERE lang = 'en' AND length(text) >= 3
+  GROUP BY md5(text)
+), gg AS MATERIALIZED (
+  SELECT g.rep,
+         list_distinct(list_transform(range(1, length(d.text) - 1),
+           i -> substr(d.text, CAST(i AS INT), 3))) AS g
+  FROM grp g JOIN documents d ON d.doc_id = g.rep
+), gagg AS MATERIALIZED (
+  SELECT g.rep,
+         CAST(COUNT(*) AS HUGEINT) AS c,
+         CAST(SUM(((d.doc_id % {P}) * {K1}) % {P}) AS HUGEINT) AS su,
+         CAST(SUM((((d.doc_id % {P}) * {K1}) % {P})
+                  * (((d.doc_id % {P}) * {K1}) % {P})) AS HUGEINT) AS suu,
+         CAST(SUM(((d.doc_id % {P}) * {K2}) % {P}) AS HUGEINT) AS sw,
+         CAST(SUM((((d.doc_id % {P}) * {K2}) % {P})
+                  * (((d.doc_id % {P}) * {K2}) % {P})) AS HUGEINT) AS sww
+  FROM documents d
+  JOIN grp g ON g.h = md5(d.text)
+  WHERE d.lang = 'en' AND length(d.text) >= 3
+  GROUP BY g.rep
+), rp AS MATERIALIZED (
+  -- GROUND-TRUTH rep-level all-pairs containment (no prefix filter):
+  -- matching the engine's blocked candidate set re-proves PPJoin
+  -- completeness at this scale
+  SELECT a.rep AS rep_a, b.rep AS rep_b,
+         CAST(ROUND(ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+               / LEAST(len(a.g), len(b.g)), 6) * 1000000) AS HUGEINT) AS c6
+  FROM gg a JOIN gg b ON a.rep < b.rep
+  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        / LEAST(len(a.g), len(b.g)) >= 0.6
+), wi AS (
+  SELECT COALESCE(SUM((c * (c - 1)) // 2), 0) AS n,
+         COALESCE(SUM(1000000 * ((c * (c - 1)) // 2)), 0) AS sc,
+         COALESCE(SUM((c - 1) * su), 0) AS m1,
+         COALESCE(SUM((su * su - suu) // 2), 0) AS m2,
+         COALESCE(SUM(1000000 * ((c - 1) * su)), 0) AS mc,
+         COALESCE(SUM((c - 1) * sw), 0) AS w1,
+         COALESCE(SUM((sw * sw - sww) // 2), 0) AS w2
+  FROM gagg
+), xr AS (
+  SELECT COALESCE(SUM(ga.c * gb.c), 0) AS n,
+         COALESCE(SUM(p.c6 * ga.c * gb.c), 0) AS sc,
+         COALESCE(SUM(ga.su * gb.c + gb.su * ga.c), 0) AS m1,
+         COALESCE(SUM(ga.su * gb.su), 0) AS m2,
+         COALESCE(SUM(p.c6 * (ga.su * gb.c + gb.su * ga.c)), 0) AS mc,
+         COALESCE(SUM(ga.sw * gb.c + gb.sw * ga.c), 0) AS w1,
+         COALESCE(SUM(ga.sw * gb.sw), 0) AS w2
+  FROM rp p
+  JOIN gagg ga ON ga.rep = p.rep_a
+  JOIN gagg gb ON gb.rep = p.rep_b
+)
+SELECT wi.n + xr.n, wi.sc + xr.sc, wi.m1 + xr.m1, wi.m2 + xr.m2,
+       wi.mc + xr.mc, wi.w1 + xr.w1, wi.w2 + xr.w2
+FROM wi, xr
+""".format(P=P, K1=K1, K2=K2)
+    o = con.execute(sql).fetchone()
+    s_vals = tuple(
+        0 if x is None else int(x)
+        for x in (row.n, row.sc, row.m1, row.m2, row.mc, row.w1, row.w2)
+    )
+    o_vals = (int(o[0]),) + tuple(int(x) % Q for x in o[1:])
+    ok = s_vals == o_vals and row.bad_order == 0
+    detail = (
+        f"spark {s_vals} bad_order={row.bad_order} vs oracle {o_vals}"
+        if not ok
+        else f"{s_vals[0]} pairs, n exact + 6 mod-{Q} moments "
+        f"identical (value-coupled), ordering clean"
+    )
+    return ok, detail
+
+
 def _simhash_pairs_moments(spark, sf, con, tokhash: str, max_hamming: int):
     """Bounded VALUE check for the pair-emitting dedup_simhash (r16):
     the member-level output is Theta(sum c_i*c_j) rows — quadratic in
@@ -724,6 +934,10 @@ def main() -> int:
         ("dedup_simhash", None, "pairs"),
         ("dedup_minhash_banded", _mh_banded_sql(), "sum"),
         ("fn_levenshtein_blocked", _lev_bounded_sql(), "sum"),
+        # r17 additions (r16 verdict ask #7): the last two extras
+        # without direct >=sf10 value evidence
+        ("dedup_incremental_minhash", _incremental_sql(), "exact"),
+        ("dedup_containment", None, "cmoments"),
     ]
     only = set(sys.argv[1:])
     if only:
@@ -747,6 +961,15 @@ def main() -> int:
             ok, detail = _simhash_pairs_moments(
                 spark, sf, con, _DUCK_TOKHASH, _HAMMING_MAX
             )
+            print(
+                f"{'PASS' if ok else 'FAIL'} {key}: MOMENTS {detail} "
+                f"({time.time() - t0:.1f}s)",
+                flush=True,
+            )
+            fails += 0 if ok else 1
+            continue
+        if mode == "cmoments":
+            ok, detail = _containment_moments(spark, sf, con)
             print(
                 f"{'PASS' if ok else 'FAIL'} {key}: MOMENTS {detail} "
                 f"({time.time() - t0:.1f}s)",

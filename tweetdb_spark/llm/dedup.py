@@ -2922,16 +2922,74 @@ def dedup_incremental_minhash(spark, t):
     exact-Jaccard verify joins shingle arrays for CANDIDATES only.
     Corpus growth = appending the keep-set's band rows, exactly like
     the exact tier's hash set.
+
+    **Exact-collapse-first (r17; the sf10 bounded-oracle run timed
+    the member-level form at 809 s — band signatures are identical
+    across byte-identical clones, so the member candidate join was
+    quadratic in clone multiplicity, the exact failure mode the
+    verdict/banded tiers fixed in r13).**  Shingles, band values and
+    the exact-Jaccard verify are pure functions of the TEXT, so the
+    match predicate lives at md5(text)-group level and each batch
+    doc's flags reduce to group adjacency plus two group stats:
+
+      dup_of_corpus(b) = some matched group (incl. b's own) holds a
+                         corpus member;
+      dup_in_batch(b)  = some matched group's EARLIEST batch member
+                         precedes b (within b's own group this is
+                         exactly "an earlier batch clone exists" —
+                         the greedy first-keeper rule);
+
+    where groups match iff they collide in ≥1 band AND verify at
+    Jaccard ≥ 0.7, and a group self-matches iff it has ≥1 shingle
+    (identical signatures collide in every band, jaccard exactly 1).
+    NULL/short-text docs have empty shingle arrays in BOTH forms
+    (banding drops them), so they emit flag-free batch rows exactly
+    as before; NULL-text groups get per-doc sentinel keys so no
+    window partition aggregates unrelated docs.  The registered
+    member-level oracle is unchanged — the driver hash check is a
+    standing equivalence proof — and tools/bounded_oracle.py
+    value-checks this form at sf10 (group-level bounded oracle,
+    sweeps/sf10_r17_bounded_oracles.log).
     """
+    from pyspark.sql import Window
+
     docs = t["documents"].where(F.col("lang") == "en")
-    g = docs.select(
-        "doc_id",
-        (F.col("doc_id") % 10 == 0).alias("is_new"),
-        F.expr(_SPARK_SHINGLES).alias("g"),
+    h = F.coalesce(
+        F.md5("text"), F.concat(F.lit(":null:"), F.col("doc_id").cast("string"))
     )
-    banded = g.select(
-        "doc_id",
-        "is_new",
+    is_new = (F.col("doc_id") % 10 == 0).cast("boolean")
+    w = Window.partitionBy("h")
+    frame = (
+        docs.select(
+            "doc_id", h.alias("h"), is_new.alias("is_new"), "text"
+        )
+        .withColumn("rep_id", F.min("doc_id").over(w))
+        .withColumn(
+            "n_corpus",
+            F.sum(F.when(~F.col("is_new"), 1).otherwise(0)).over(w),
+        )
+        .withColumn(
+            "min_batch",
+            F.min(F.when(F.col("is_new"), F.col("doc_id"))).over(w),
+        )
+        .select(
+            "doc_id",
+            "is_new",
+            "rep_id",
+            "n_corpus",
+            "min_batch",
+            F.when(
+                F.col("doc_id") == F.col("rep_id"), F.expr(_SPARK_SHINGLES)
+            ).alias("rep_g"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    reps = frame.where(
+        (F.col("doc_id") == F.col("rep_id")) & (F.size("rep_g") > 0)
+    ).select(F.col("rep_id").alias("rep"), F.col("rep_g").alias("g"))
+    banded = reps.select(
+        "rep",
+        F.size("g").alias("sz"),
         F.explode(
             F.array(
                 *[
@@ -2940,52 +2998,75 @@ def dedup_incremental_minhash(spark, t):
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "is_new", "band.j", "band.v")
+    ).select("rep", "sz", "band.j", "band.v")
     a, b = banded.alias("a"), banded.alias("b")
+    # rep <= rep: the self-pair (a band row matching itself) carries
+    # the "identical texts always match" case; size_ratio 7/10 is the
+    # lossless jaccard>=0.7 set-size bound, applied in-join (r16 idiom)
     cand = (
         a.join(
             b,
             (F.col("a.j") == F.col("b.j"))
             & (F.col("a.v") == F.col("b.v"))
-            & F.col("b.is_new")
-            & (~F.col("a.is_new") | (F.col("a.doc_id") < F.col("b.doc_id")))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+            & (F.col("a.rep") <= F.col("b.rep"))
+            & (
+                F.least(F.col("a.sz"), F.col("b.sz")) * 10
+                >= F.greatest(F.col("a.sz"), F.col("b.sz")) * 7
+            ),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("a.is_new").alias("a_new"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.rep").alias("rep_a"), F.col("b.rep").alias("rep_b")
         )
         .distinct()
     )
-    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("g_a"))
-    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g_b"))
+    ga = reps.select(F.col("rep").alias("rep_a"), F.col("g").alias("g_a"))
+    gb = reps.select(F.col("rep").alias("rep_b"), F.col("g").alias("g_b"))
     inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
     union = F.size(F.col("g_a")) + F.size(F.col("g_b")) - inter
-    # try_divide: an empty token/gram set (NULL or degenerate text)
-    # gives union 0 — DuckDB yields NULL and the threshold filter
-    # drops it; ANSI `/` would crash (r11 NULL-survey catch)
+    # try_divide: an empty gram set gives union 0 — cannot reach here
+    # (reps filters size > 0) but kept for the r11 NULL-survey posture
     jac = F.try_divide(inter.cast("double"), union)
-    p = (
-        cand.join(ga, "doc_a")
-        .join(gb, "doc_b")
-        .where(_size_ratio_ok(F.col("g_a"), F.col("g_b"), 7, 10) & (jac >= 0.7))
-        .select("doc_b", "a_new")
+    vm = (
+        cand.join(ga, "rep_a")
+        .join(gb, "rep_b")
+        .where(jac >= 0.7)
+        .select("rep_a", "rep_b")
     )
-    flags = p.groupBy("doc_b").agg(
-        F.max((~F.col("a_new")).cast("int")).alias("dup_of_corpus"),
-        F.max(F.col("a_new").cast("int")).alias("dup_in_batch"),
+    sym = vm.unionAll(
+        vm.where(F.col("rep_a") != F.col("rep_b")).select(
+            F.col("rep_b").alias("rep_a"), F.col("rep_a").alias("rep_b")
+        )
     )
-    batch = g.where(F.col("is_new")).select("doc_id")
+    # group stats are window-constant per group: the rep row already
+    # carries them, so this is a projection of the checkpoint, not an
+    # aggregation exchange
+    gstat = frame.where(F.col("doc_id") == F.col("rep_id")).select(
+        "rep_id",
+        F.col("n_corpus").alias("g_corpus"),
+        F.col("min_batch").alias("g_min_batch"),
+    )
+    adj = (
+        sym.join(gstat, sym.rep_b == gstat.rep_id)
+        .groupBy("rep_a")
+        .agg(
+            F.max((F.col("g_corpus") > 0).cast("int")).alias("any_corpus"),
+            F.min("g_min_batch").alias("min_b"),
+        )
+    )
+    batch = frame.where(F.col("is_new")).select("doc_id", "rep_id")
     return (
-        batch.join(flags, batch.doc_id == flags.doc_b, "left")
+        batch.join(adj, batch.rep_id == adj.rep_a, "left")
         .select(
             "doc_id",
-            F.coalesce("dup_of_corpus", F.lit(0)).alias("dup_of_corpus"),
-            F.coalesce("dup_in_batch", F.lit(0)).alias("dup_in_batch"),
+            F.coalesce("any_corpus", F.lit(0)).alias("dup_of_corpus"),
+            F.coalesce(
+                (F.col("min_b") < F.col("doc_id")).cast("int"), F.lit(0)
+            ).alias("dup_in_batch"),
             (
-                (F.coalesce("dup_of_corpus", F.lit(0)) == 0)
-                & (F.coalesce("dup_in_batch", F.lit(0)) == 0)
+                (F.coalesce("any_corpus", F.lit(0)) == 0)
+                & ~F.coalesce(
+                    F.col("min_b") < F.col("doc_id"), F.lit(False)
+                )
             )
             .cast("int")
             .alias("keep"),
