@@ -172,6 +172,25 @@ def test_minhash_lsh_scale_cap_is_topk_of_exact(q, registry, spark, monkeypatch)
     assert full == {(r.doc_a, r.doc_b, r.jaccard_dist) for r in exact}
 
 
+def test_minhash_verdicts_single_exchange_equals_two_level(
+    registry, spark, monkeypatch
+):
+    """r17 optimization round: the single-exchange member collapse
+    (engaged below the shared 32 MiB stats gate) must be row-identical
+    to the two-level md5-then-token-set collapse — the token-set
+    partition is a coarsening of the md5 partition, so the member
+    min-window reproduces the two-level ts_rep exactly.  Counter
+    multiset (NULL-safe, no sorted())."""
+    from collections import Counter
+
+    key = "dedup_minhash_verdicts"
+    monkeypatch.setenv("TWEETDB_VERDICTS_TWO_LEVEL_MIN_BYTES", str(1 << 60))
+    single = Counter(map(tuple, registry.QUERIES[key](spark, SF_DIR).collect()))
+    monkeypatch.setenv("TWEETDB_VERDICTS_TWO_LEVEL_MIN_BYTES", "0")
+    two = Counter(map(tuple, registry.QUERIES[key](spark, SF_DIR).collect()))
+    assert single == two
+
+
 def test_minhash_verdicts_consistent_with_pair_form(q, tables):
     """The verdict form (per-doc keep/dup_of) must agree with the
     pair-emitting L3 on the same fixture: every pair's endpoints land
